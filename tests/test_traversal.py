@@ -1,0 +1,131 @@
+"""BVH traversal vs brute-force oracle — the core correctness gate
+(SURVEY.md §7 stage 3/4: pixel parity between device traversal and oracle)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from rfw_tpu.accel.bvh_cpu import build_bvh_sah, refit_bvh, triangle_aabbs
+from rfw_tpu.models import cube, sphere
+from rfw_tpu.mathx import compose_trs, quat_identity
+from rfw_tpu.render import TraceScene, pack_trace_scene, bvh_closest_hit, bvh_occluded, brute_force_closest
+
+
+def make_rays(n, rng, origin_box=2.0, target_box=1.0):
+    o = rng.uniform(-origin_box, origin_box, (n, 3)).astype(np.float32)
+    o[:, 2] += 4.0  # in front of the scene
+    target = rng.uniform(-target_box, target_box, (n, 3)).astype(np.float32)
+    d = target - o
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    return o, d
+
+
+def world_tris(scene: TraceScene):
+    """Expand all instances' triangles to world space for the oracle."""
+    v0s, e1s, e2s = [], [], []
+    for i in range(scene.num_instances):
+        m = scene.inst_matrix[i]
+        mesh = scene.inst_mesh[i]
+        sel = scene.tri_mesh == mesh
+        v0 = scene.tri_v0[sel] @ m[:3, :3].T + m[:3, 3]
+        e1 = scene.tri_e1[sel] @ m[:3, :3].T
+        e2 = scene.tri_e2[sel] @ m[:3, :3].T
+        v0s.append(v0)
+        e1s.append(e1)
+        e2s.append(e2)
+    return np.concatenate(v0s), np.concatenate(e1s), np.concatenate(e2s)
+
+
+class TestSingleInstance:
+    def test_sphere_matches_oracle(self, rng):
+        mesh = sphere(quality=2)
+        scene = pack_trace_scene([(0, mesh, None)], [(0, np.eye(4, dtype=np.float32)[None])])
+        o, d = make_rays(512, rng)
+        hit = jax.jit(bvh_closest_hit)(scene_dev(scene), jnp.asarray(o), jnp.asarray(d))
+        t_ref, p_ref, _, _ = brute_force_closest(o, d, scene.tri_v0, scene.tri_e1, scene.tri_e2)
+        t = np.asarray(hit.t)
+        hit_mask = np.asarray(hit.prim) >= 0
+        ref_mask = p_ref >= 0
+        assert (hit_mask == ref_mask).all()
+        np.testing.assert_allclose(t[hit_mask], t_ref[hit_mask], rtol=1e-4, atol=1e-5)
+        # primitive ids agree (same tri arena indexing)
+        assert (np.asarray(hit.prim)[hit_mask] == p_ref[hit_mask]).all()
+
+    def test_miss_rays(self, rng):
+        mesh = cube()
+        scene = pack_trace_scene([(0, mesh, None)], [(0, np.eye(4, dtype=np.float32)[None])])
+        o = np.tile(np.array([[5.0, 5.0, 5.0]], np.float32), (8, 1))
+        d = np.tile(np.array([[1.0, 0.0, 0.0]], np.float32), (8, 1))
+        hit = bvh_closest_hit(scene_dev(scene), jnp.asarray(o), jnp.asarray(d))
+        assert (np.asarray(hit.prim) == -1).all()
+
+
+class TestMultiInstance:
+    def test_transformed_instances(self, rng):
+        mesh = sphere(quality=1)
+        box = cube()
+        mats_a = []
+        for k in range(5):
+            t = np.array([k * 2.5 - 5.0, 0, 0], np.float32)
+            s = np.full(3, 0.5 + 0.2 * k, np.float32)
+            mats_a.append(compose_trs(t, quat_identity(), s))
+        mats_b = [compose_trs(np.array([0, 2.5, 0], np.float32), quat_identity(), np.ones(3, np.float32))]
+        scene = pack_trace_scene(
+            [(0, mesh, None), (1, box, None)],
+            [(0, np.stack(mats_a)), (1, np.stack(mats_b))],
+        )
+        o, d = make_rays(512, rng, origin_box=6.0, target_box=5.0)
+        hit = jax.jit(bvh_closest_hit)(scene_dev(scene), jnp.asarray(o), jnp.asarray(d))
+        wv0, we1, we2 = world_tris(scene)
+        t_ref, p_ref, _, _ = brute_force_closest(o, d, wv0, we1, we2)
+        hit_mask = np.asarray(hit.prim) >= 0
+        ref_mask = p_ref >= 0
+        assert (hit_mask == ref_mask).all()
+        np.testing.assert_allclose(
+            np.asarray(hit.t)[hit_mask], t_ref[hit_mask], rtol=1e-3, atol=1e-4
+        )
+
+    def test_occlusion(self, rng):
+        mesh = cube(position=(0, 0, 0), size=(1, 1, 1))
+        scene = pack_trace_scene([(0, mesh, None)], [(0, np.eye(4, dtype=np.float32)[None])])
+        # rays through the cube -> occluded; rays beside it -> clear
+        o = np.array([[0, 0, 3], [0, 3, 3]], np.float32)
+        d = np.array([[0, 0, -1], [0, 0, -1]], np.float32)
+        occ = bvh_occluded(scene_dev(scene), jnp.asarray(o), jnp.asarray(d), 10.0)
+        assert bool(occ[0]) and not bool(occ[1])
+        # t_limit shorter than the distance -> not occluded
+        occ2 = bvh_occluded(scene_dev(scene), jnp.asarray(o), jnp.asarray(d), 1.0)
+        assert not bool(occ2[0])
+
+
+class TestBvhBuild:
+    def test_leaves_cover_all_prims(self, rng):
+        mesh = sphere(quality=3)
+        v = mesh.tri_vertices()
+        mn, mx = triangle_aabbs(v[:, 0], v[:, 1], v[:, 2])
+        bvh = build_bvh_sah(mn, mx)
+        assert sorted(bvh.prim_order.tolist()) == list(range(mesh.num_triangles))
+        covered = np.zeros(mesh.num_triangles, bool)
+        for i in range(bvh.num_nodes):
+            if bvh.node_count[i] > 0:
+                ids = bvh.prim_order[bvh.node_left[i] : bvh.node_left[i] + bvh.node_count[i]]
+                assert not covered[ids].any()  # each prim in exactly one leaf
+                covered[ids] = True
+        assert covered.all()
+
+    def test_refit_after_deform(self, rng):
+        mesh = sphere(quality=2)
+        v = mesh.tri_vertices()
+        mn, mx = triangle_aabbs(v[:, 0], v[:, 1], v[:, 2])
+        bvh = build_bvh_sah(mn, mx)
+        v2 = v * 2.0
+        mn2, mx2 = triangle_aabbs(v2[:, 0], v2[:, 1], v2[:, 2])
+        refit = refit_bvh(bvh, mn2, mx2)
+        np.testing.assert_allclose(refit.node_min[0], mn2.min(0), atol=1e-6)
+        np.testing.assert_allclose(refit.node_max[0], mx2.max(0), atol=1e-6)
+
+
+def scene_dev(scene: TraceScene) -> TraceScene:
+    """numpy pytree -> jnp pytree."""
+    return TraceScene(*[jnp.asarray(x) for x in scene])
