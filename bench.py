@@ -1,0 +1,153 @@
+"""Benchmark driver — prints ONE JSON line:
+  {"metric": "...", "value": N, "unit": "...", "vs_baseline": N}
+
+Headline (BASELINE.json): Mrays/sec/chip on a 1080p 1-bounce + NEE path
+trace of the flagship scene. The reference assets ship no sponza *geometry*
+(only sponza.mtl + textures), so the flagship scene is the pica gltf
+interior (76k tris, 170 instanced meshes) — the heaviest real asset in the
+reference repo — with a directional sun + two spot lights.
+
+vs_baseline is measured against the 500 Mrays/s/chip north-star target
+(the reference publishes no numbers of its own — BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import numpy as np
+
+PICA = "/root/reference/assets/models/pica/scene.gltf"
+TARGET_MRAYS = 500.0
+
+
+def build_scene(width, height):
+    import jax
+    import jax.numpy as jnp
+
+    from rfw_tpu.backend.lights import (
+        AreaLightsView, DirectionalLightsView, PointLightsView, SpotLightsView,
+    )
+    from rfw_tpu.loaders.gltf import GltfLoader
+    from rfw_tpu.mathx import compose_trs
+    from rfw_tpu.render import pack_trace_scene
+    from rfw_tpu.render.pack import TraceScene
+    from rfw_tpu.render.atlas import atlas_to_device, pack_atlas
+    from rfw_tpu.render.lights_pack import DeviceLights, pack_lights
+    from rfw_tpu.scene.camera import Camera3D
+    from rfw_tpu.scene.materials import Materials
+
+    mats = Materials()
+    sd = GltfLoader().load(PICA, mats)
+
+    world = {}
+
+    def walk(idx, parent):
+        nd = sd.nodes[idx]
+        local = nd.matrix if nd.matrix is not None else compose_trs(
+            nd.translation, nd.rotation, nd.scale
+        )
+        m = parent @ local
+        for mid in nd.mesh_ids:
+            world.setdefault(mid, []).append(m)
+        for c in nd.children:
+            walk(c, m)
+
+    for r in sd.roots:
+        walk(r, np.eye(4, dtype=np.float32))
+
+    meshes = [(i, m, None) for i, m in enumerate(sd.meshes)]
+    instances = [(i, np.stack(ms)) for i, ms in world.items()]
+    scene = pack_trace_scene(meshes, instances)
+
+    mn, mx = scene.tlas_min[0], scene.tlas_max[0]
+    center = 0.5 * (mn + mx)
+    ext = float(np.linalg.norm(mx - mn))
+
+    spot = SpotLightsView(
+        position=np.array([center + [0, ext * 0.4, 0], center + [ext * 0.2, ext * 0.3, ext * 0.2]], np.float32),
+        direction=np.array([[0, -1, 0], [-0.4, -0.8, -0.4]], np.float32),
+        energy=np.array([[80, 78, 70], [40, 40, 48]], np.float32) * ext,
+        cos_inner=np.array([np.cos(np.deg2rad(25))] * 2, np.float32),
+        cos_outer=np.array([np.cos(np.deg2rad(40))] * 2, np.float32),
+        changed=np.ones(2, bool),
+    )
+    sun = DirectionalLightsView(
+        direction=np.array([[0.4, -0.8, 0.3]], np.float32),
+        energy=np.array([[3.0, 2.9, 2.6]], np.float32),
+        changed=np.ones(1, bool),
+    )
+    dl = pack_lights(PointLightsView.empty(), spot, sun, AreaLightsView.empty())
+
+    sdev = TraceScene(*[jnp.asarray(x) for x in scene])
+    dmats = jax.device_put(mats.to_device())
+    atlas = atlas_to_device(pack_atlas([t for _, t in mats.textures]))
+    dlights = DeviceLights(*[jnp.asarray(x) for x in dl])
+
+    cam = Camera3D(fov=55).look_at(
+        center + np.array([0.55, 0.35, 0.75], np.float32) * ext * 0.62, center
+    )
+    view = jnp.asarray(cam.get_view(width, height).as_array())
+    return sdev, dmats, atlas, dlights, view
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--height", type=int, default=1080)
+    ap.add_argument("--spp", type=int, default=4, help="timed samples")
+    ap.add_argument("--bounces", type=int, default=1)
+    ap.add_argument("--save", default=None, help="optional PNG output")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from rfw_tpu.render.wavefront import RenderConfig, render_sample
+    from rfw_tpu.render.film import add_sample, new_film, tonemap
+
+    W, H = args.width, args.height
+    sdev, dmats, atlas, dlights, view = build_scene(W, H)
+    cfg = RenderConfig(max_bounces=args.bounces, clamp=20.0, sky_intensity=0.35)
+    key = jax.random.PRNGKey(11)
+
+    # warm-up / compile
+    r = render_sample(sdev, dmats, atlas, dlights, view, key, W, H, cfg)
+    jax.block_until_ready(r.radiance)
+
+    film = new_film(W, H)
+    t0 = time.perf_counter()
+    for s in range(args.spp):
+        r = render_sample(
+            sdev, dmats, atlas, dlights, view, jax.random.fold_in(key, s + 1), W, H, cfg
+        )
+        film = add_sample(film, r.radiance)
+    jax.block_until_ready(film)
+    dt = time.perf_counter() - t0
+
+    # rays per sample: closest+shadow at each of (bounces+1) path vertices
+    rays_per_px = 2 * (args.bounces + 1)
+    mrays = W * H * args.spp * rays_per_px / dt / 1e6
+
+    if args.save:
+        from PIL import Image
+
+        frame = np.asarray(tonemap(film, jnp.float32(args.spp), W, H))
+        Image.fromarray(frame).save(args.save)
+
+    print(json.dumps({
+        "metric": f"Mrays/sec/chip ({W}x{H}, {args.bounces}-bounce+NEE, pica)",
+        "value": round(mrays, 2),
+        "unit": "Mrays/s",
+        "vs_baseline": round(mrays / TARGET_MRAYS, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -18,6 +18,7 @@ numpy per node; O(n log n) total.
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Tuple
 
@@ -58,15 +59,24 @@ def _surface_areas(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
 
 
 def build_bvh_sah(
-    aabb_min: np.ndarray, aabb_max: np.ndarray, max_leaf: int = MAX_LEAF
+    aabb_min: np.ndarray, aabb_max: np.ndarray, max_leaf: int = MAX_LEAF,
+    use_native: bool = True,
 ) -> BvhNodes:
     """Build from per-primitive AABBs -> flat BVH.
 
-    Works for triangles (BLAS) and instance bounds (TLAS) alike.
+    Works for triangles (BLAS) and instance bounds (TLAS) alike. Uses the
+    C++ builder (rfw_tpu.native, ~80x faster, same layout/quality) when the
+    toolchain is available; this Python path is the reference fallback.
     """
     aabb_min = np.asarray(aabb_min, np.float32)
     aabb_max = np.asarray(aabb_max, np.float32)
     n = aabb_min.shape[0]
+    if use_native and n > 0 and os.environ.get("RFW_NO_NATIVE") != "1":
+        from rfw_tpu import native
+
+        built = native.build_bvh_sah_native(aabb_min, aabb_max, max_leaf)
+        if built is not None:
+            return built
     if n == 0:
         return BvhNodes(
             node_min=np.zeros((1, 3), np.float32),

@@ -1,0 +1,5 @@
+from rfw_tpu.app.ecs import Scheduler, Stage
+from rfw_tpu.app.events import Events
+from rfw_tpu.app.input import Input
+from rfw_tpu.app.timer import GameTimer
+from rfw_tpu.app.instance import Instance, Plugin, RenderSystem

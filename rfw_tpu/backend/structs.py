@@ -23,6 +23,7 @@ from __future__ import annotations
 from dataclasses import dataclass, field
 from typing import List, Optional, Tuple
 
+import jax
 import numpy as np
 
 INVALID_ID = -1  # reference MeshId3D INVALID (structs.rs:61-188)
@@ -192,6 +193,7 @@ MATFLAG_HAS_SHEEN_MAP = 1 << 5
 MATFLAG_EMISSIVE = 1 << 6
 
 
+@jax.tree_util.register_dataclass
 @dataclass
 class DeviceMaterials:
     """SoA device materials (reference DeviceMaterial array).

@@ -1,0 +1,100 @@
+"""Multi-chip scale-out: film-tile data parallelism over a device mesh.
+
+The reference is strictly single-GPU (SURVEY.md §2.9: no multi-process, no
+collectives). This module is the *new* TPU capability: shard pixel/ray
+space across chips with `jax.sharding` (DP over film tiles), replicate the
+scene arenas (they fit HBM), and let XLA insert the collectives. The film
+accumulator lives sharded; only the final tonemapped frame (or periodic
+progressive snapshots) is gathered — so the per-sample loop needs *zero*
+cross-chip traffic on ICI beyond what jit emits for the replicated scene
+(nothing), exactly the layout SURVEY.md §5 prescribes.
+
+Design notes:
+  * ray count R = width*height must be divisible by the mesh size — film
+    rows pad to the mesh (1080p = 2,073,600 pixels divides 2/4/8 chips).
+  * `render_sample` is per-ray elementwise over its R axis apart from
+    gathers into replicated scene arrays, so sharding its ray inputs
+    shards the whole integrator without code changes — the payoff of the
+    functional wavefront design.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def film_mesh(n_devices: Optional[int] = None, axis: str = "film") -> Mesh:
+    """1-D device mesh over film tiles."""
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (axis,))
+
+
+def shard_rays(mesh: Mesh, *arrays: jax.Array, axis: str = "film"):
+    """Place per-ray arrays sharded over the mesh's film axis."""
+    sh = NamedSharding(mesh, P(axis))
+    return tuple(jax.device_put(a, sh) for a in arrays)
+
+
+def replicate(mesh: Mesh, tree):
+    sh = NamedSharding(mesh, P())
+    return jax.tree_util.tree_map(lambda a: jax.device_put(a, sh), tree)
+
+
+def render_sample_sharded(
+    mesh: Mesh,
+    scene,
+    mats,
+    atlas,
+    lights,
+    view: jax.Array,
+    key: jax.Array,
+    width: int,
+    height: int,
+    config=None,
+    axis: str = "film",
+):
+    """Render one spp with rays sharded across the mesh.
+
+    Returns a SampleResult whose arrays are sharded over `axis`; call
+    `jax.device_get` (or film.tonemap after an all-gather via device_put to
+    a replicated sharding) when a full frame is needed.
+    """
+    from rfw_tpu.render.wavefront import RenderConfig, render_sample
+
+    config = config or RenderConfig()
+    scene_r = replicate(mesh, scene)
+    mats_r = replicate(mesh, mats)
+    atlas_r = replicate(mesh, atlas)
+    lights_r = replicate(mesh, lights)
+    view_r = jax.device_put(view, NamedSharding(mesh, P()))
+    key_r = jax.device_put(key, NamedSharding(mesh, P()))
+
+    ray_sharding = NamedSharding(mesh, P(axis))
+
+    # out_shardings: per-ray outputs sharded on the film axis
+    shardings = dict(
+        radiance=ray_sharding, albedo=ray_sharding, normal=ray_sharding,
+        depth=ray_sharding, position=ray_sharding,
+    )
+    fn = jax.jit(
+        functools.partial(render_sample, width=width, height=height, config=config)
+    )
+    # Ray generation happens inside render_sample from iota — constrain the
+    # outputs so XLA shards the pixel axis across the film mesh.
+    with mesh:
+        res = fn(scene_r, mats_r, atlas_r, lights_r, view_r, key_r)
+        res = jax.tree_util.tree_map(
+            lambda a: jax.lax.with_sharding_constraint(
+                a, ray_sharding
+            ) if a.ndim >= 1 and a.shape[0] == width * height else a,
+            res,
+        )
+    return res

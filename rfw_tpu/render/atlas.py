@@ -1,0 +1,137 @@
+"""Texture atlas: flat device texel pool + gather-based sampling.
+
+TPUs have no texture units (SURVEY.md §7 hard part #3): all mips of all
+textures are packed into one flat (N,) uint32 RGBA8 array in HBM, with a
+per-(texture, mip) offset/size table, and sampling is pure gather +
+arithmetic. Replaces the reference's 128-slot bind-group texture array
+(backends/wgpu/src/lib.rs:133, trilinear fetch in gpu-rt shade.comp).
+
+Layout: texel index = offset[tex, mip] + ty * width[tex, mip] + tx.
+sRGB decode happens at *pack* time into the pool? No — pool keeps raw
+RGBA8; decode after gather (cheap pow approximation) so linear-data
+textures (normal maps) stay exact.
+"""
+
+from __future__ import annotations
+
+from typing import List, NamedTuple, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+MAX_MIPS = 16
+
+
+class TextureAtlas(NamedTuple):
+    texels: np.ndarray  # (N,) uint32 packed RGBA8 (r | g<<8 | b<<16 | a<<24)
+    offset: np.ndarray  # (T, MAX_MIPS) i32
+    width: np.ndarray  # (T, MAX_MIPS) i32
+    height: np.ndarray  # (T, MAX_MIPS) i32
+    mip_count: np.ndarray  # (T,) i32
+    srgb: np.ndarray  # (T,) bool — decode gamma after gather
+
+
+def pack_atlas(textures: Sequence, pad_to: int = 1) -> TextureAtlas:
+    """textures: sequence of scene.materials.Texture (or None placeholders)."""
+    chunks: List[np.ndarray] = []
+    n_tex = max(len(textures), 1)
+    offset = np.zeros((n_tex, MAX_MIPS), np.int32)
+    width = np.ones((n_tex, MAX_MIPS), np.int32)
+    height = np.ones((n_tex, MAX_MIPS), np.int32)
+    mip_count = np.ones(n_tex, np.int32)
+    srgb = np.zeros(n_tex, bool)
+    cursor = 0
+    for ti, tex in enumerate(textures):
+        if tex is None:
+            continue
+        srgb[ti] = tex.srgb
+        mip_count[ti] = min(len(tex.mips), MAX_MIPS)
+        for mi, mip in enumerate(tex.mips[:MAX_MIPS]):
+            h, w = mip.shape[:2]
+            rgba = mip.astype(np.uint32)
+            packed = (
+                rgba[..., 0] | (rgba[..., 1] << 8) | (rgba[..., 2] << 16) | (rgba[..., 3] << 24)
+            ).reshape(-1)
+            chunks.append(packed)
+            offset[ti, mi] = cursor
+            width[ti, mi] = w
+            height[ti, mi] = h
+            cursor += packed.size
+    if not chunks:
+        chunks = [np.full(1, 0xFFFFFFFF, np.uint32)]
+        cursor = 1
+    texels = np.concatenate(chunks).astype(np.uint32)
+    if pad_to > 1 and texels.size % pad_to:
+        texels = np.concatenate(
+            [texels, np.zeros(pad_to - texels.size % pad_to, np.uint32)]
+        )
+    return TextureAtlas(texels, offset, width, height, mip_count, srgb)
+
+
+def _unpack_rgba(px: jax.Array) -> jax.Array:
+    """(...,) uint32 -> (...,4) float in [0,1]."""
+    r = (px & 0xFF).astype(jnp.float32)
+    g = ((px >> 8) & 0xFF).astype(jnp.float32)
+    b = ((px >> 16) & 0xFF).astype(jnp.float32)
+    a = ((px >> 24) & 0xFF).astype(jnp.float32)
+    return jnp.stack([r, g, b, a], axis=-1) * (1.0 / 255.0)
+
+
+def _srgb_to_linear(c: jax.Array) -> jax.Array:
+    return jnp.where(c <= 0.04045, c / 12.92, jnp.power((c + 0.055) / 1.055, 2.4))
+
+
+def sample_bilinear(
+    atlas: TextureAtlas,
+    tex_id: jax.Array,  # (R,) i32; <0 allowed (returns white)
+    uv: jax.Array,  # (R,2) f32, wrapped
+    lod: jax.Array,  # (R,) f32 — mip level (trilinear between floor/ceil)
+) -> jax.Array:
+    """Trilinear-filtered RGBA fetch. Returns (R,4) linear values."""
+    valid = tex_id >= 0
+    t = jnp.maximum(tex_id, 0)
+    max_mip = (atlas.mip_count[t] - 1).astype(jnp.float32)
+    lod = jnp.clip(lod, 0.0, max_mip)
+    m0 = jnp.floor(lod).astype(jnp.int32)
+    m1 = jnp.minimum(m0 + 1, atlas.mip_count[t] - 1)
+    frac = (lod - m0.astype(jnp.float32))[..., None]
+
+    def fetch_mip(m):
+        off = atlas.offset[t, m]
+        w = atlas.width[t, m]
+        h = atlas.height[t, m]
+        # wrap repeat
+        u = uv[..., 0] - jnp.floor(uv[..., 0])
+        v = uv[..., 1] - jnp.floor(uv[..., 1])
+        x = u * w.astype(jnp.float32) - 0.5
+        y = v * h.astype(jnp.float32) - 0.5
+        x0 = jnp.floor(x).astype(jnp.int32)
+        y0 = jnp.floor(y).astype(jnp.int32)
+        fx = (x - x0.astype(jnp.float32))[..., None]
+        fy = (y - y0.astype(jnp.float32))[..., None]
+
+        def at(xi, yi):
+            xi = jnp.mod(xi, w)
+            yi = jnp.mod(yi, h)
+            return _unpack_rgba(atlas.texels[off + yi * w + xi])
+
+        c00 = at(x0, y0)
+        c10 = at(x0 + 1, y0)
+        c01 = at(x0, y0 + 1)
+        c11 = at(x0 + 1, y0 + 1)
+        return (
+            (c00 * (1 - fx) + c10 * fx) * (1 - fy)
+            + (c01 * (1 - fx) + c11 * fx) * fy
+        )
+
+    c = fetch_mip(m0) * (1 - frac) + fetch_mip(m1) * frac
+    rgb = jnp.where(
+        atlas.srgb[t][..., None], _srgb_to_linear(c[..., :3]), c[..., :3]
+    )
+    c = jnp.concatenate([rgb, c[..., 3:4]], axis=-1)
+    return jnp.where(valid[..., None], c, jnp.ones_like(c))
+
+
+def atlas_to_device(atlas: TextureAtlas) -> TextureAtlas:
+    return TextureAtlas(*[jnp.asarray(x) for x in atlas])

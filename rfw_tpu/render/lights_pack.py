@@ -1,0 +1,95 @@
+"""Device light buffers: the four light-type SoA blocks on device.
+
+Mirrors the reference's four light buffer bindings (gpu-rt LightBindings,
+src/lib.rs:59-65; wgpu light UBOs light.rs:14-312) as one NamedTuple pytree.
+Zero-light types keep one dummy row so shapes stay static (masked by count).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from rfw_tpu.backend.lights import (
+    AreaLightsView,
+    DirectionalLightsView,
+    PointLightsView,
+    SpotLightsView,
+)
+
+
+class DeviceLights(NamedTuple):
+    # counts (static python ints are kept out: these are (1,) arrays so the
+    # pytree re-jits only when padded capacities change)
+    n_point: np.ndarray  # (1,) i32 actual count
+    n_spot: np.ndarray
+    n_dir: np.ndarray
+    n_area: np.ndarray
+
+    point_pos: np.ndarray  # (P,3)
+    point_energy: np.ndarray  # (P,3)
+
+    spot_pos: np.ndarray  # (S,3)
+    spot_dir: np.ndarray
+    spot_energy: np.ndarray
+    spot_cos_inner: np.ndarray  # (S,)
+    spot_cos_outer: np.ndarray
+
+    dir_dir: np.ndarray  # (D,3)
+    dir_energy: np.ndarray
+
+    area_v0: np.ndarray  # (A,3)
+    area_v1: np.ndarray
+    area_v2: np.ndarray
+    area_normal: np.ndarray
+    area_radiance: np.ndarray  # (A,3)
+    area_area: np.ndarray  # (A,)
+
+    @property
+    def total(self) -> int:
+        return int(self.n_point[0] + self.n_spot[0] + self.n_dir[0] + self.n_area[0])
+
+
+def _pad(a: np.ndarray, tail: tuple, cap: int) -> np.ndarray:
+    out = np.zeros((max(cap, 1),) + tail, np.float32)
+    out[: a.shape[0]] = a
+    return out
+
+
+def _cap(n: int) -> int:
+    """Round capacity up (power of two, >=1) so shapes change rarely."""
+    c = 1
+    while c < n:
+        c *= 2
+    return c
+
+
+def pack_lights(
+    point: PointLightsView,
+    spot: SpotLightsView,
+    directional: DirectionalLightsView,
+    area: AreaLightsView,
+) -> DeviceLights:
+    pc, sc, dc, ac = (_cap(v.count) for v in (point, spot, directional, area))
+    return DeviceLights(
+        n_point=np.array([point.count], np.int32),
+        n_spot=np.array([spot.count], np.int32),
+        n_dir=np.array([directional.count], np.int32),
+        n_area=np.array([area.count], np.int32),
+        point_pos=_pad(point.position, (3,), pc),
+        point_energy=_pad(point.energy, (3,), pc),
+        spot_pos=_pad(spot.position, (3,), sc),
+        spot_dir=_pad(spot.direction, (3,), sc),
+        spot_energy=_pad(spot.energy, (3,), sc),
+        spot_cos_inner=_pad(spot.cos_inner, (), sc),
+        spot_cos_outer=_pad(spot.cos_outer, (), sc),
+        dir_dir=_pad(directional.direction, (3,), dc),
+        dir_energy=_pad(directional.energy, (3,), dc),
+        area_v0=_pad(area.v0, (3,), ac),
+        area_v1=_pad(area.v1, (3,), ac),
+        area_v2=_pad(area.v2, (3,), ac),
+        area_normal=_pad(area.normal, (3,), ac),
+        area_radiance=_pad(area.radiance, (3,), ac),
+        area_area=_pad(area.area, (), ac),
+    )

@@ -62,6 +62,8 @@ class TraceScene(NamedTuple):
     tri_mat: np.ndarray  # (T,)
     tri_light: np.ndarray  # (T,)
     tri_mesh: np.ndarray  # (T,) owning mesh slot
+    tri_lodf: np.ndarray  # (T,) sqrt(uv_area/world_area) — texture LOD factor
+    #   (reference Mesh3D per-tri LOD, objects_3d/mod.rs:355-358)
 
     # vertex arena (shading attributes)
     vtx_normal: np.ndarray  # (V,3)
@@ -75,6 +77,18 @@ class TraceScene(NamedTuple):
     @property
     def num_triangles(self) -> int:
         return self.tri_v0.shape[0]
+
+
+def _tri_lod_factor(mesh: Mesh3D, po: np.ndarray) -> np.ndarray:
+    """Per-triangle sqrt(uv_area / world_area): multiplied by the ray
+    footprint to pick a mip level (reference objects_3d/mod.rs:355-358)."""
+    uv = mesh.uvs[mesh.indices[po]]  # (t,3,2)
+    e1 = uv[:, 1] - uv[:, 0]
+    e2 = uv[:, 2] - uv[:, 0]
+    uv_area = 0.5 * np.abs(e1[:, 0] * e2[:, 1] - e1[:, 1] * e2[:, 0])
+    v = mesh.positions[mesh.indices[po]]
+    w_area = 0.5 * np.linalg.norm(np.cross(v[:, 1] - v[:, 0], v[:, 2] - v[:, 0]), axis=-1)
+    return np.sqrt(uv_area / np.maximum(w_area, 1e-12)).astype(np.float32)
 
 
 def pack_trace_scene(
@@ -133,6 +147,7 @@ def pack_trace_scene(
                 mat=mesh.tri_material[po],
                 light=mesh.tri_light[po],
                 mesh=np.full(len(po), slot, np.int32),
+                lodf=_tri_lod_factor(mesh, po),
             )
         )
         vtx_chunks.append(
@@ -213,6 +228,7 @@ def pack_trace_scene(
         tri_mat=cat("mat", tri_chunks, (0,), np.int32),
         tri_light=cat("light", tri_chunks, (0,), np.int32),
         tri_mesh=cat("mesh", tri_chunks, (0,), np.int32),
+        tri_lodf=cat("lodf", tri_chunks, (0,), np.float32),
         vtx_normal=cat("normal", vtx_chunks, (0, 3), np.float32),
         vtx_uv=cat("uv", vtx_chunks, (0, 2), np.float32),
         vtx_tangent=cat("tangent", vtx_chunks, (0, 4), np.float32),

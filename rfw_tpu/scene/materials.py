@@ -62,13 +62,19 @@ def _to_pow2(img: np.ndarray) -> np.ndarray:
 
 
 def generate_mips(base: np.ndarray) -> List[np.ndarray]:
-    """Box-filter mip chain down to 1x1 (reference l3d mipmap gen)."""
+    """Box-filter mip chain down to 1x1 (reference l3d mipmap gen).
+
+    Axes reduce independently so non-square chains (e.g. 4x1) stay valid."""
     mips = [base]
     cur = base.astype(np.float32)
     while cur.shape[0] > 1 or cur.shape[1] > 1:
         h, w = cur.shape[:2]
-        nh, nw = max(1, h // 2), max(1, w // 2)
-        cur = cur[: nh * 2, : nw * 2].reshape(nh, 2, nw, 2, -1).mean(axis=(1, 3))
+        if h > 1:
+            nh = h // 2
+            cur = 0.5 * (cur[0 : 2 * nh : 2] + cur[1 : 2 * nh : 2])
+        if w > 1:
+            nw = w // 2
+            cur = 0.5 * (cur[:, 0 : 2 * nw : 2] + cur[:, 1 : 2 * nw : 2])
         mips.append(np.clip(cur + 0.5, 0, 255).astype(np.uint8))
     return mips
 

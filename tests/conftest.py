@@ -1,14 +1,23 @@
 """Test config: force an 8-device virtual CPU mesh so multi-chip sharding
-paths are exercised without TPU hardware (SURVEY.md §4)."""
+paths are exercised without TPU hardware (SURVEY.md §4).
+
+IMPORTANT: in this image `JAX_PLATFORMS=cpu` is silently IGNORED (the axon
+TPU plugin wins); only JAX_PLATFORM_NAME or jax.config force the CPU
+backend. Tests must never touch the real chip — concurrent access to the
+single tunneled TPU serializes and can hang for minutes.
+"""
 
 import os
 
-# Force CPU: the ambient environment may pin JAX_PLATFORMS=axon (the real TPU
-# tunnel), which must never be touched from tests.
+os.environ["JAX_PLATFORM_NAME"] = "cpu"
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest
@@ -17,3 +26,8 @@ import pytest
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
+
+
+@pytest.fixture(scope="session", autouse=True)
+def _assert_cpu():
+    assert jax.devices()[0].platform == "cpu", "tests must run on CPU"

@@ -1,0 +1,55 @@
+"""Scene snapshot/resume roundtrip (reference serde feature, SURVEY §5)."""
+
+import os
+
+import numpy as np
+
+from rfw_tpu.models import cube, sphere
+from rfw_tpu.scene import Material, Scene
+from rfw_tpu.scene.camera import Camera3D
+from rfw_tpu.scene.serialize import load_scene, save_scene
+
+
+def test_roundtrip(tmp_path):
+    scene = Scene()
+    red = scene.add_material(Material(name="red", color=np.array([0.8, 0.1, 0.1, 1], np.float32), roughness=0.3))
+    mid = scene.add_3d_object(sphere(quality=1, material_id=red))
+    h = scene.add_3d_instance(mid)
+    h.set_trs((1, 2, 3), (0, 0, 0, 1), (2, 2, 2))
+    scene.add_point_light((0, 5, 0), (10, 9, 8))
+    scene.add_spot_light((1, 4, 0), (0, -1, 0), (5, 5, 5), 20, 30)
+    scene.add_directional_light((0.3, -1, 0.2), (2, 2, 2))
+    cam = Camera3D(fov=42.0).look_at(np.array([0, 1, 5], np.float32), np.zeros(3, np.float32))
+    film = np.random.default_rng(0).random((64, 3)).astype(np.float32)
+
+    path = str(tmp_path / "snap")
+    save_scene(scene, path, camera=cam, film=film, spp=7)
+
+    s2, cam2, film2, spp = load_scene(path)
+    assert spp == 7
+    np.testing.assert_allclose(film2, film)
+    np.testing.assert_allclose(cam2.position, cam.position)
+    assert abs(cam2.fov - 42.0) < 1e-6
+    # mesh content
+    m0 = scene.meshes_3d[mid]
+    m1 = s2.meshes_3d[mid]
+    np.testing.assert_allclose(m1.positions, m0.positions)
+    np.testing.assert_array_equal(m1.indices, m0.indices)
+    # instance transform survives
+    il = s2.instances_3d[mid]
+    got = il.matrices[il.active][0]
+    np.testing.assert_allclose(got[:3, 3], [1, 2, 3], atol=1e-6)
+    # material fields
+    assert s2.materials.get(red).name == "red"
+    assert abs(s2.materials.get(red).roughness - 0.3) < 1e-6
+    # lights
+    assert len(s2.lights.point) == 1
+    assert len(s2.lights.spot) == 1
+    assert len(s2.lights.directional) == 1
+    # loaded scene syncs cleanly
+    from rfw_tpu.backend.contract import RecordingBackend
+
+    be = RecordingBackend()
+    s2.synchronize(be)
+    names = [c[0] for c in be.calls]
+    assert "set_3d_meshes" in names and "set_3d_instances" in names
