@@ -1,0 +1,6 @@
+from rfw_tpu.ops.traverse import (
+    PallasScene,
+    pallas_closest_hit,
+    pallas_occluded,
+    prepare_pallas_scene,
+)

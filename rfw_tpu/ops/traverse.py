@@ -1,0 +1,389 @@
+"""Pallas packet-traversal kernel — the speed-of-light path.
+
+The jnp packet traversal (render.packet) advances ALL tiles in lockstep
+through one XLA while_loop: every iteration costs the full ray front, so
+wall time scales with the *worst* tile's node-visit count. This kernel
+gives every tile its own in-VMEM traversal loop:
+
+  * grid = (num_tiles,); one program owns 1024 rays shaped (8,128) — the
+    native VPU tile;
+  * the whole scene (wide BVH arena + triangles + instance inverses) sits
+    in VMEM (fits for scenes up to ~100k triangles; bigger scenes fall
+    back to the jnp path until the HBM-streaming variant lands);
+  * the scalar core walks the tree (pop/push on an SMEM stack, dynamic
+    row reads of node/triangle data) while the VPU runs 1024-lane slab and
+    Moller-Trumbore tests — the TPU equivalent of the reference's
+    stackful per-warp traversal (gpu-rt intersection.glsl:106-167);
+  * two-level TLAS->BLAS: entering an instance re-bases the tile's rays
+    into object space once (12 scalar loads + 6 fused broadcast FMAs),
+    cached in VMEM scratch until the instance changes.
+
+Same node-code encoding as render.packet:
+    code >= 0  internal wide node;  code == -1 pop;
+    code <= -2 triangle leaf (v = -code-2; first = v>>3, count = v&7).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
+
+LANES = 1024  # (8,128) — one VPU-native tile per grid program
+SUB = 8
+LANE = 128
+STACK_DEPTH = 96
+MAX_LEAF = 4
+# scene arrays bigger than this fall back to the jnp packet path
+VMEM_SCENE_BUDGET = 10 * 1024 * 1024
+
+
+class PallasScene(NamedTuple):
+    wide_f: jax.Array  # (N,12) f32 unified wide arena [BLAS ++ TLAS]
+    wide_i: jax.Array  # (N,4) i32
+    tri9: jax.Array  # (Tri,9) f32
+    inst_inv12: jax.Array  # (I,12) f32
+    blas_root: jax.Array  # (I,1) i32
+    tlas_root: int
+    n_tri: int
+    n_inst: int
+
+    @property
+    def vmem_bytes(self) -> int:
+        return (
+            self.wide_f.size * 4 + self.wide_i.size * 4 + self.tri9.size * 4
+            + self.inst_inv12.size * 4 + self.blas_root.size * 4
+        )
+
+
+def prepare_pallas_scene(scene) -> PallasScene:
+    """Build kernel arrays from a (device) TraceScene."""
+    nb = int(scene.blas_wide_f.shape[0])
+    tlas_i = jnp.asarray(scene.tlas_wide_i)
+    codes = jnp.where(tlas_i[:, :2] >= 0, tlas_i[:, :2] + nb, tlas_i[:, :2])
+    tlas_i = jnp.concatenate([codes, tlas_i[:, 2:]], axis=1)
+    wide_f = jnp.concatenate(
+        [jnp.asarray(scene.blas_wide_f), jnp.asarray(scene.tlas_wide_f)]
+    )
+    wide_i = jnp.concatenate([jnp.asarray(scene.blas_wide_i), tlas_i])
+    n_inst = int(scene.inst_matrix.shape[0])
+    identity_row = jnp.array(
+        [[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]], jnp.float32
+    )
+    inst_inv12 = (
+        jnp.concatenate(
+            [jnp.asarray(scene.inst_inv)[:, :3, :].reshape(-1, 12), identity_row]
+        )
+        if n_inst
+        else jnp.concatenate([identity_row, identity_row])
+    )
+    # row [n_inst] is the identity: used for TLAS-space (world) rays
+    n_tri = int(scene.tri_v0.shape[0])
+    tri9 = (
+        jnp.concatenate(
+            [jnp.asarray(scene.tri_v0), jnp.asarray(scene.tri_e1),
+             jnp.asarray(scene.tri_e2)], axis=1
+        )
+        if n_tri
+        else jnp.zeros((1, 9), jnp.float32)
+    )
+    blas_root = (
+        jnp.asarray(scene.blas_wide_root).reshape(-1, 1)
+        if n_inst
+        else jnp.zeros((1, 1), jnp.int32)
+    )
+    return PallasScene(
+        wide_f=wide_f, wide_i=wide_i, tri9=tri9, inst_inv12=inst_inv12,
+        blas_root=blas_root, tlas_root=nb, n_tri=n_tri, n_inst=n_inst,
+    )
+
+
+def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: bool):
+    """Straight-line kernel body: every iteration runs both the leaf and the
+    internal phase with masks (TPU prefers predication over branching, and
+    the axon Mosaic compiler chokes on deeply nested stateful conds). The
+    instance transform uses a synthetic identity row at index n_inst for
+    TLAS-space rays, removing the world/object branch entirely."""
+
+    def kernel(
+        wf_ref, wi_ref, tri_ref, inv_ref, root_ref,  # scene (VMEM)
+        o_ref, d_ref, tlim_ref,  # per-tile inputs
+        t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-tile outputs
+        obj_ref,  # VMEM scratch (9,8,128)
+        stack_ref,  # SMEM scratch (STACK_DEPTH,2) i32
+    ):
+        wox = o_ref[0, 0]
+        woy = o_ref[0, 1]
+        woz = o_ref[0, 2]
+        wdx = d_ref[0, 0]
+        wdy = d_ref[0, 1]
+        wdz = d_ref[0, 2]
+
+        t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
+        prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+        iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+        u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+        v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+
+        def safe_inv(x):
+            return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
+                                   jnp.where(x < 0, -1e-20, 1e-20), x)
+
+        def set_obj(inst):
+            # inst < 0 -> identity row (appended by prepare at index n_inst)
+            i = jnp.where(inst < 0, n_inst, inst)
+            m = [inv_ref[i, k] for k in range(12)]
+            obj_ref[0] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+            obj_ref[1] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+            obj_ref[2] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+            obj_ref[3] = m[0] * wdx + m[1] * wdy + m[2] * wdz
+            obj_ref[4] = m[4] * wdx + m[5] * wdy + m[6] * wdz
+            obj_ref[5] = m[8] * wdx + m[9] * wdy + m[10] * wdz
+            obj_ref[6] = safe_inv(obj_ref[3])
+            obj_ref[7] = safe_inv(obj_ref[4])
+            obj_ref[8] = safe_inv(obj_ref[5])
+
+        set_obj(jnp.int32(-1))
+
+        def body(carry):
+            node, inst, cached, sp, alive = carry
+
+            # ---- pop when requested ----
+            do_pop = node == -1
+            sp = jnp.where(do_pop, sp - 1, sp)
+            spc = jnp.maximum(sp, 0)
+            node = jnp.where(do_pop, stack_ref[spc, 0], node)
+            inst = jnp.where(do_pop, stack_ref[spc, 1], inst)
+
+            @pl.when(inst != cached)
+            def _():
+                set_obj(inst)
+
+            cached = inst
+            ox, oy, oz = obj_ref[0], obj_ref[1], obj_ref[2]
+            dx, dy, dz = obj_ref[3], obj_ref[4], obj_ref[5]
+            ix, iy, iz = obj_ref[6], obj_ref[7], obj_ref[8]
+            t_best = t_ref[0]
+
+            is_leaf = node <= -2
+            is_int = node >= 0
+
+            # ---- leaf phase (masked; runs every iteration) ----
+            lv = jnp.maximum(-node - 2, 0)
+            first = lv >> 3
+            count = jnp.where(is_leaf, lv & 7, 0)
+
+            def tri_body(k, _):
+                tri = jnp.minimum(first + k, n_tri - 1)
+                v0x = tri_ref[tri, 0]
+                v0y = tri_ref[tri, 1]
+                v0z = tri_ref[tri, 2]
+                e1x = tri_ref[tri, 3]
+                e1y = tri_ref[tri, 4]
+                e1z = tri_ref[tri, 5]
+                e2x = tri_ref[tri, 6]
+                e2y = tri_ref[tri, 7]
+                e2z = tri_ref[tri, 8]
+                px = dy * e2z - dz * e2y
+                py = dz * e2x - dx * e2z
+                pz = dx * e2y - dy * e2x
+                det = e1x * px + e1y * py + e1z * pz
+                inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                                    1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+                tvx = ox - v0x
+                tvy = oy - v0y
+                tvz = oz - v0z
+                uq = (tvx * px + tvy * py + tvz * pz) * inv_det
+                qx = tvy * e1z - tvz * e1y
+                qy = tvz * e1x - tvx * e1z
+                qz = tvx * e1y - tvy * e1x
+                vq = (dx * qx + dy * qy + dz * qz) * inv_det
+                tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                ok = (
+                    (jnp.abs(det) > 1e-12)
+                    & (uq >= -1e-7) & (vq >= -1e-7) & (uq + vq <= 1 + 1e-7)
+                    & (tq > T_MIN) & (tq < t_ref[0])
+                )
+                t_ref[0] = jnp.where(ok, tq, t_ref[0])
+                prim_ref[0] = jnp.where(ok, tri, prim_ref[0])
+                iout_ref[0] = jnp.where(ok, inst, iout_ref[0])
+                u_ref[0] = jnp.where(ok, uq, u_ref[0])
+                v_ref[0] = jnp.where(ok, vq, v_ref[0])
+                return 0
+
+            jax.lax.fori_loop(0, count, tri_body, 0)
+
+            # ---- internal phase (masked) ----
+            nsafe = jnp.maximum(node, 0)
+
+            def slab(base):
+                mnx = wf_ref[nsafe, base]
+                mny = wf_ref[nsafe, base + 1]
+                mnz = wf_ref[nsafe, base + 2]
+                mxx = wf_ref[nsafe, base + 3]
+                mxy = wf_ref[nsafe, base + 4]
+                mxz = wf_ref[nsafe, base + 5]
+                tx0 = (mnx - ox) * ix
+                tx1 = (mxx - ox) * ix
+                ty0 = (mny - oy) * iy
+                ty1 = (mxy - oy) * iy
+                tz0 = (mnz - oz) * iz
+                tz1 = (mxz - oz) * iz
+                tn = jnp.maximum(
+                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                    jnp.minimum(tz0, tz1),
+                )
+                tf = jnp.minimum(
+                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                    jnp.maximum(tz0, tz1),
+                )
+                ok = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+                if any_hit:
+                    ok = ok & (prim_ref[0] < 0)
+                return jnp.any(ok), jnp.min(jnp.where(ok, tn, jnp.inf))
+
+            l_any, lt = slab(0)
+            r_any, rt = slab(6)
+            l_any = l_any & is_int
+            r_any = r_any & is_int
+
+            def child_entry(col):
+                code = wi_ref[nsafe, col]
+                cnt = wi_ref[nsafe, col + 2]
+                payload = -code - 1
+                leaf_child = code < 0
+                in_tlas = inst < 0
+                iid = jnp.clip(payload, 0, n_inst - 1)
+                tlas_entry = root_ref[iid, 0]
+                blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
+                e_code = jnp.where(
+                    leaf_child, jnp.where(in_tlas, tlas_entry, blas_entry), code
+                )
+                e_inst = jnp.where(leaf_child & in_tlas, payload, inst)
+                return e_code, e_inst
+
+            l_code, l_inst = child_entry(0)
+            r_code, r_inst = child_entry(1)
+
+            both = l_any & r_any
+            near_l = lt <= rt
+            near_code = jnp.where(near_l, l_code, r_code)
+            near_inst = jnp.where(near_l, l_inst, r_inst)
+            far_code = jnp.where(near_l, r_code, l_code)
+            far_inst = jnp.where(near_l, r_inst, l_inst)
+            one = l_any ^ r_any
+            one_code = jnp.where(l_any, l_code, r_code)
+            one_inst = jnp.where(l_any, l_inst, r_inst)
+
+            @pl.when(both)
+            def _():
+                slot = jnp.minimum(sp, STACK_DEPTH - 1)
+                stack_ref[slot, 0] = far_code
+                stack_ref[slot, 1] = far_inst
+
+            sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+            node = jnp.where(
+                is_int,
+                jnp.where(both, near_code,
+                          jnp.where(one, one_code, jnp.int32(-1))),
+                jnp.int32(-1),
+            )
+            inst = jnp.where(
+                is_int,
+                jnp.where(both, near_inst, jnp.where(one, one_inst, inst)),
+                inst,
+            )
+            if any_hit:
+                alive = jnp.any(prim_ref[0] < 0)
+            return node, inst, cached, sp, alive
+
+        def cond(carry):
+            node, _inst, _c, sp, alive = carry
+            more = (node != -1) | (sp > 0)
+            return more & alive if any_hit else more
+
+        jax.lax.while_loop(
+            cond, body,
+            (jnp.int32(tlas_root), jnp.int32(-1), jnp.int32(-2), jnp.int32(0),
+             jnp.bool_(True)),
+        )
+
+    return kernel
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("tlas_root", "n_tri", "n_inst", "any_hit", "interpret"),
+)
+def _run_arrays(
+    wide_f, wide_i, tri9, inst_inv12, blas_root, o4, d4, tl3,
+    tlas_root: int, n_tri: int, n_inst: int, any_hit: bool,
+    interpret: bool = False,
+):
+    T = o4.shape[0]
+    kernel = _traverse_kernel_factory(tlas_root, n_tri, n_inst, any_hit)
+    scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile3 = pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(T,),
+        in_specs=[scene_spec] * 5 + [tile3, tile3, tile1],
+        out_specs=(tile1, tile1, tile1, tile1, tile1),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((9, SUB, LANE), jnp.float32),
+            pltpu.SMEM((STACK_DEPTH, 2), jnp.int32),
+        ],
+        interpret=interpret,
+    )(wide_f, wide_i, tri9, inst_inv12, blas_root, o4, d4, tl3)
+
+
+def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):
+    return _run_arrays(
+        ps.wide_f, ps.wide_i, ps.tri9, ps.inst_inv12, ps.blas_root, o4, d4, tl3,
+        tlas_root=ps.tlas_root, n_tri=ps.n_tri, n_inst=ps.n_inst, any_hit=any_hit,
+        interpret=interpret,
+    )
+
+
+def _reshape_rays(ray_o, ray_d, t_limit):
+    R = ray_o.shape[0]
+    assert R % LANES == 0, f"ray count {R} not divisible by {LANES}"
+    T = R // LANES
+    o4 = ray_o.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    d4 = ray_d.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    tl = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+    tl3 = tl.reshape(T, SUB, LANE)
+    return o4, d4, tl3, T, R
+
+
+def pallas_closest_hit(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
+                       interpret: bool = False) -> Hit:
+    o4, d4, tl3, T, R = _reshape_rays(ray_o, ray_d, t_limit)
+    t, prim, inst, u, v = _run(ps, o4, d4, tl3, False, interpret)
+    return Hit(t.reshape(R), prim.reshape(R), inst.reshape(R),
+               u.reshape(R), v.reshape(R))
+
+
+def pallas_occluded(ps: PallasScene, ray_o, ray_d, t_limit,
+                    interpret: bool = False) -> jax.Array:
+    o4, d4, tl3, T, R = _reshape_rays(ray_o, ray_d, t_limit)
+    t, prim, inst, u, v = _run(ps, o4, d4, tl3, True, interpret)
+    return (prim >= 0).reshape(R)

@@ -52,6 +52,20 @@ class TraceScene(NamedTuple):
     blas_count: np.ndarray
     blas_root: np.ndarray  # (I,) root node index per *instance*
 
+    # Wide-node mirrors (fast traversal path): per INTERNAL node, both
+    # children's AABBs + encoded child links, so one gather per visited
+    # node replaces ~10 and leaves are intersected inline.
+    #   wide_f: (N,12) = [lmin,lmax,rmin,rmax]
+    #   wide_i: (N,4)  = [l_code, r_code, l_count, r_count]
+    #     code >= 0: internal child node index (wide index space)
+    #     code <  0: leaf; TLAS: instance id = -code-1 (count ignored);
+    #                BLAS: first tri = -code-1, count = *_count
+    tlas_wide_f: np.ndarray
+    tlas_wide_i: np.ndarray
+    blas_wide_f: np.ndarray
+    blas_wide_i: np.ndarray
+    blas_wide_root: np.ndarray  # (I,) wide root per instance
+
     # triangle arena
     tri_v0: np.ndarray  # (T,3)
     tri_e1: np.ndarray
@@ -77,6 +91,66 @@ class TraceScene(NamedTuple):
     @property
     def num_triangles(self) -> int:
         return self.tri_v0.shape[0]
+
+
+def build_wide_nodes(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
+    """Convert flat BvhNodes to the wide 'children-in-parent' layout.
+
+    Internal nodes only; child links re-indexed into the wide (internal-only)
+    space. Leaf children encode as code = -(payload+1) where payload is the
+    instance id (TLAS) or the first-triangle index (BLAS, plus
+    leaf_base_offset for arena packing). A single-leaf root gets a synthetic
+    internal root with an empty right child.
+    """
+    n = bvh.num_nodes
+    is_internal = bvh.node_count == 0
+    if not is_internal.any():
+        # root is a leaf: synthesize one internal node
+        wf = np.full((1, 12), 0.0, np.float32)
+        wf[0, 0:3] = bvh.node_min[0]
+        wf[0, 3:6] = bvh.node_max[0]
+        wf[0, 6:9] = np.inf   # empty right child
+        wf[0, 9:12] = -np.inf
+        payload = (bvh.prim_order[bvh.node_left[0]] if tlas
+                   else bvh.node_left[0] + leaf_base_offset)
+        wi = np.zeros((1, 4), np.int32)
+        wi[0, 0] = -(int(payload) + 1)
+        wi[0, 1] = -1  # leaf code pointing at payload 0 with count 0
+        wi[0, 2] = int(bvh.node_count[0])
+        wi[0, 3] = 0
+        return wf, wi, 0
+
+    # map old internal index -> wide index (dense over internals)
+    wide_idx = np.cumsum(is_internal) - 1  # valid where is_internal
+    internals = np.nonzero(is_internal)[0]
+    l = bvh.node_left[internals]
+    r = bvh.node_right[internals]
+    wf = np.empty((len(internals), 12), np.float32)
+    wf[:, 0:3] = bvh.node_min[l]
+    wf[:, 3:6] = bvh.node_max[l]
+    wf[:, 6:9] = bvh.node_min[r]
+    wf[:, 9:12] = bvh.node_max[r]
+
+    def code(child):
+        child_internal = bvh.node_count[child] == 0
+        internal_code = wide_idx[child]
+        if tlas:
+            payload = np.where(
+                child_internal, 0,
+                bvh.prim_order[np.minimum(bvh.node_left[child],
+                                          max(len(bvh.prim_order) - 1, 0))],
+            )
+        else:
+            payload = bvh.node_left[child] + leaf_base_offset
+        return np.where(child_internal, internal_code, -(payload + 1)).astype(np.int32)
+
+    wi = np.empty((len(internals), 4), np.int32)
+    wi[:, 0] = code(l)
+    wi[:, 1] = code(r)
+    wi[:, 2] = bvh.node_count[l]
+    wi[:, 3] = bvh.node_count[r]
+    root_wide = int(wide_idx[0]) if is_internal[0] else 0
+    return wf, wi, root_wide
 
 
 def _tri_lod_factor(mesh: Mesh3D, po: np.ndarray) -> np.ndarray:
@@ -110,10 +184,13 @@ def pack_trace_scene(
     blas_arrays: List[BvhNodes] = []
     tri_chunks = []
     vtx_chunks = []
+    wide_f_chunks = []
+    wide_i_chunks = []
     node_offset = 0
     tri_offset = 0
     vtx_offset = 0
-    mesh_info = {}  # slot -> (node_root, aabb_min, aabb_max)
+    wide_offset = 0
+    mesh_info = {}  # slot -> (node_root, aabb_min, aabb_max, wide_root)
 
     for slot, mesh, prebuilt in meshes:
         pos = deformed_positions.get(slot, mesh.positions)
@@ -153,12 +230,22 @@ def pack_trace_scene(
         vtx_chunks.append(
             dict(normal=mesh.normals, uv=mesh.uvs, tangent=mesh.tangents)
         )
+        # wide mirror (leaf first-tri pre-offset into the packed arena)
+        wf, wi, wroot = build_wide_nodes(bvh, tlas=False, leaf_base_offset=tri_offset)
+        wi = wi.copy()
+        internal_child = wi[:, :2] >= 0
+        wi[:, :2] = np.where(internal_child, wi[:, :2] + wide_offset, wi[:, :2])
+        wide_f_chunks.append(wf)
+        wide_i_chunks.append(wi)
+
         pos_mn = pos.min(axis=0) if len(pos) else np.zeros(3, np.float32)
         pos_mx = pos.max(axis=0) if len(pos) else np.zeros(3, np.float32)
-        mesh_info[slot] = (node_offset, pos_mn.astype(np.float32), pos_mx.astype(np.float32))
+        mesh_info[slot] = (node_offset, pos_mn.astype(np.float32), pos_mx.astype(np.float32),
+                           wroot + wide_offset)
         node_offset += bvh.num_nodes
         tri_offset += len(po)
         vtx_offset += pos.shape[0]
+        wide_offset += wf.shape[0]
 
     def cat(key, chunks, default_shape, dtype):
         arrs = [c[key] for c in chunks]
@@ -201,6 +288,9 @@ def pack_trace_scene(
     blas_root = np.array(
         [mesh_info[m][0] for m in inst_mesh], np.int32
     ) if n_inst else np.zeros(0, np.int32)
+    blas_wide_root = np.array(
+        [mesh_info[m][3] for m in inst_mesh], np.int32
+    ) if n_inst else np.zeros(0, np.int32)
 
     # world-space instance bounds for TLAS
     if n_inst:
@@ -208,8 +298,12 @@ def pack_trace_scene(
         local_max = np.stack([mesh_info[m][2] for m in inst_mesh])
         wb = aabb_transform(Aabb(local_min, local_max), inst_matrix)
         tlas = build_bvh_sah(wb.min, wb.max, max_leaf=1)
+        tlas_wf, tlas_wi, tlas_wroot = build_wide_nodes(tlas, tlas=True)
+        assert tlas_wroot == 0
     else:
         tlas = build_bvh_sah(np.zeros((0, 3)), np.zeros((0, 3)))
+        tlas_wf = np.zeros((1, 12), np.float32)
+        tlas_wi = np.full((1, 4), -1, np.int32)
 
     return TraceScene(
         tlas_min=tlas.node_min, tlas_max=tlas.node_max,
@@ -219,6 +313,12 @@ def pack_trace_scene(
         inst_normal=inst_normal, inst_mesh=inst_mesh,
         blas_min=blas_min, blas_max=blas_max, blas_left=blas_left,
         blas_right=blas_right, blas_count=blas_count, blas_root=blas_root,
+        tlas_wide_f=tlas_wf, tlas_wide_i=tlas_wi,
+        blas_wide_f=(np.concatenate(wide_f_chunks) if wide_f_chunks
+                     else np.zeros((1, 12), np.float32)),
+        blas_wide_i=(np.concatenate(wide_i_chunks) if wide_i_chunks
+                     else np.full((1, 4), -1, np.int32)),
+        blas_wide_root=blas_wide_root,
         tri_v0=cat("v0", tri_chunks, (0, 3), np.float32),
         tri_e1=cat("e1", tri_chunks, (0, 3), np.float32),
         tri_e2=cat("e2", tri_chunks, (0, 3), np.float32),

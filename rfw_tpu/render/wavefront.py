@@ -38,6 +38,32 @@ from rfw_tpu.render import disney
 from rfw_tpu.render.atlas import TextureAtlas, sample_bilinear
 from rfw_tpu.render.intersect import T_MAX, bvh_closest_hit, bvh_occluded
 from rfw_tpu.render.lights_pack import DeviceLights
+from rfw_tpu.render.packet import (
+    packet_closest_hit,
+    packet_occluded,
+    prepare_packet_scene,
+)
+
+
+def _block_swizzle(width: int, height: int, lanes: int):
+    """Permutation mapping swizzled ray order -> linear pixel index, so
+    each packet tile covers a coherent (BY x 32) pixel block. Returns
+    (px, py, inv_perm) or None when dimensions don't block-align."""
+    bx = 32
+    by = lanes // bx
+    if lanes % bx or width % bx or height % by:
+        return None
+    n = width * height
+    s = jnp.arange(n, dtype=jnp.int32)
+    nbx = width // bx
+    block, off = s // lanes, s % lanes
+    iby, ibx = off // bx, off % bx
+    gby, gbx = block // nbx, block % nbx
+    px = gbx * bx + ibx
+    py = gby * by + iby
+    lin = py * width + px
+    inv = jnp.argsort(lin).astype(jnp.int32)
+    return px, py, inv
 
 PI = 3.14159265358979
 
@@ -54,6 +80,8 @@ class RenderConfig:
     sky_intensity: float = 0.0  # constant sky radiance multiplier
     shadow_eps: float = 1e-3
     aovs: bool = True
+    traversal: str = "packet"  # "packet" (tiled, TPU-fast) | "lockstep"
+    lanes: int = 256  # packet tile width (rays per shared stack)
 
 
 class SampleResult(NamedTuple):
@@ -66,7 +94,7 @@ class SampleResult(NamedTuple):
 
 # ------------------------------------------------------------------ camera
 def camera_rays(
-    view: jax.Array, width: int, height: int, key: jax.Array
+    view: jax.Array, width: int, height: int, key: jax.Array, pixel_ids=None
 ) -> Tuple[jax.Array, jax.Array]:
     """Primary rays from the flattened CameraView3D (24,) vector
     (reference CameraView3D::generate_lens_ray, rfw-backend/src/structs.rs:
@@ -81,8 +109,11 @@ def camera_rays(
     inv_h = view[18]
 
     n = width * height
-    px = jnp.arange(n, dtype=jnp.int32) % width
-    py = jnp.arange(n, dtype=jnp.int32) // width
+    if pixel_ids is None:
+        px = jnp.arange(n, dtype=jnp.int32) % width
+        py = jnp.arange(n, dtype=jnp.int32) // width
+    else:
+        px, py = pixel_ids
     k1, k2 = jax.random.split(key)
     jit_uv = jax.random.uniform(k1, (n, 2))
     r = (px.astype(jnp.float32) + jit_uv[:, 0]) * inv_w
@@ -308,7 +339,32 @@ def render_sample(
     """Trace one sample per pixel; returns radiance + first-hit AOVs."""
     R = width * height
     k_cam, k_loop = jax.random.split(key)
-    ray_o, ray_d = camera_rays(view, width, height, k_cam)
+
+    # pick the largest lane width that divides the ray count
+    lanes = next((l for l in (config.lanes, 512, 256, 128, 64, 32) if R % l == 0), 0)
+    use_packet = config.traversal == "packet" and lanes > 0
+    inv_perm = None
+    pixel_ids = None
+    if use_packet:
+        sw = _block_swizzle(width, height, lanes)
+        if sw is not None:
+            px, py, inv_perm = sw
+            pixel_ids = (px, py)
+        ps = prepare_packet_scene(scene)
+
+        def trace_closest(o, d):
+            return packet_closest_hit(ps, o, d, lanes=lanes)
+
+        def trace_occluded(o, d, tl):
+            return packet_occluded(ps, o, d, tl, lanes=lanes)
+    else:
+        def trace_closest(o, d):
+            return bvh_closest_hit(scene, o, d)
+
+        def trace_occluded(o, d, tl):
+            return bvh_occluded(scene, o, d, tl)
+
+    ray_o, ray_d = camera_rays(view, width, height, k_cam, pixel_ids)
 
     total_lights = (
         lights.n_point[0] + lights.n_spot[0] + lights.n_dir[0] + lights.n_area[0]
@@ -317,7 +373,7 @@ def render_sample(
 
     def bounce(depth, st: _PathState) -> _PathState:
         kd = jax.random.fold_in(k_loop, depth)
-        hit = bvh_closest_hit(scene, st.ray_o, st.ray_d)
+        hit = trace_closest(st.ray_o, st.ray_d)
         found = (hit.prim >= 0) & st.alive
 
         # ---- miss: sky ---------------------------------------------------
@@ -389,7 +445,7 @@ def render_sample(
         cos_l = jnp.maximum(wi_local[..., 2], 0.0)
         can_light = alive & (total_lights > 0) & (cos_l > 0)
         shadow_o = pos + basis["ng"] * config.shadow_eps
-        occ = bvh_occluded(scene, shadow_o, wi_l, dist_l - 2.0 * config.shadow_eps)
+        occ = trace_occluded(shadow_o, wi_l, dist_l - 2.0 * config.shadow_eps)
         pdf_b_l = disney.disney_pdf(params, wo, wi_local)
         mis_nee = jnp.where(
             is_delta, 1.0, pdf_nee_sa / jnp.maximum(pdf_nee_sa + pdf_b_l, 1e-12)
@@ -441,10 +497,13 @@ def render_sample(
     )
     final = jax.lax.fori_loop(0, config.max_bounces + 1, bounce, init)
 
+    def unswizzle(a):
+        return a[inv_perm] if inv_perm is not None else a
+
     return SampleResult(
-        radiance=jnp.clip(final.radiance, 0.0, None),
-        albedo=final.aov_albedo,
-        normal=final.aov_normal,
-        depth=final.aov_depth,
-        position=final.aov_pos,
+        radiance=unswizzle(jnp.clip(final.radiance, 0.0, None)),
+        albedo=unswizzle(final.aov_albedo),
+        normal=unswizzle(final.aov_normal),
+        depth=unswizzle(final.aov_depth),
+        position=unswizzle(final.aov_pos),
     )
