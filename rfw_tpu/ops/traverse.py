@@ -139,7 +139,8 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
         def set_obj(inst):
             # inst < 0 -> identity row (appended by prepare at index n_inst)
             i = jnp.where(inst < 0, n_inst, inst)
-            m = [inv_ref[i, k] for k in range(12)]
+            mrow = inv_ref[pl.ds(i, 1), :]  # (1,12) dynamic-slice vector load
+            m = [mrow[0, k] for k in range(12)]
             obj_ref[0] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
             obj_ref[1] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
             obj_ref[2] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
@@ -182,15 +183,16 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
 
             def tri_body(k, _):
                 tri = jnp.minimum(first + k, n_tri - 1)
-                v0x = tri_ref[tri, 0]
-                v0y = tri_ref[tri, 1]
-                v0z = tri_ref[tri, 2]
-                e1x = tri_ref[tri, 3]
-                e1y = tri_ref[tri, 4]
-                e1z = tri_ref[tri, 5]
-                e2x = tri_ref[tri, 6]
-                e2y = tri_ref[tri, 7]
-                e2z = tri_ref[tri, 8]
+                trow = tri_ref[pl.ds(tri, 1), :]  # (1,9) vector load
+                v0x = trow[0, 0]
+                v0y = trow[0, 1]
+                v0z = trow[0, 2]
+                e1x = trow[0, 3]
+                e1y = trow[0, 4]
+                e1z = trow[0, 5]
+                e2x = trow[0, 6]
+                e2y = trow[0, 7]
+                e2z = trow[0, 8]
                 px = dy * e2z - dz * e2y
                 py = dz * e2x - dx * e2z
                 pz = dx * e2y - dy * e2x
@@ -222,14 +224,16 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
 
             # ---- internal phase (masked) ----
             nsafe = jnp.maximum(node, 0)
+            wrow = wf_ref[pl.ds(nsafe, 1), :]  # (1,12) both children's boxes
+            irow = wi_ref[pl.ds(nsafe, 1), :]  # (1,4) child codes/counts
 
             def slab(base):
-                mnx = wf_ref[nsafe, base]
-                mny = wf_ref[nsafe, base + 1]
-                mnz = wf_ref[nsafe, base + 2]
-                mxx = wf_ref[nsafe, base + 3]
-                mxy = wf_ref[nsafe, base + 4]
-                mxz = wf_ref[nsafe, base + 5]
+                mnx = wrow[0, base]
+                mny = wrow[0, base + 1]
+                mnz = wrow[0, base + 2]
+                mxx = wrow[0, base + 3]
+                mxy = wrow[0, base + 4]
+                mxz = wrow[0, base + 5]
                 tx0 = (mnx - ox) * ix
                 tx1 = (mxx - ox) * ix
                 ty0 = (mny - oy) * iy
@@ -255,13 +259,13 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
             r_any = r_any & is_int
 
             def child_entry(col):
-                code = wi_ref[nsafe, col]
-                cnt = wi_ref[nsafe, col + 2]
+                code = irow[0, col]
+                cnt = irow[0, col + 2]
                 payload = -code - 1
                 leaf_child = code < 0
                 in_tlas = inst < 0
                 iid = jnp.clip(payload, 0, n_inst - 1)
-                tlas_entry = root_ref[iid, 0]
+                tlas_entry = root_ref[pl.ds(iid, 1), :][0, 0]
                 blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
                 e_code = jnp.where(
                     leaf_child, jnp.where(in_tlas, tlas_entry, blas_entry), code

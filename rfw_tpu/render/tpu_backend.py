@@ -138,6 +138,7 @@ class TpuBackend:
         self._spp = 0
         self._frame_index = 0
         self._last_view: Optional[np.ndarray] = None
+        self._sky_tex_id = -1
 
     # ================= Backend contract =================
     def set_3d_meshes(self, changed: Sequence[Tuple[int, MeshView3D]]) -> None:
@@ -235,7 +236,13 @@ class TpuBackend:
                     self.mips = mips
                     self.srgb = srgb
 
-            atlas = pack_atlas([None if t is None else _T(t.mips) for t in tex_list])
+            packed = [None if t is None else _T(t.mips) for t in tex_list]
+            if self._skybox is not None:
+                self._sky_tex_id = len(packed)
+                packed.append(_T(self._skybox.mips))
+            else:
+                self._sky_tex_id = -1
+            atlas = pack_atlas(packed)
             self._atlas_dev = atlas_to_device(atlas)
             self._tex_dirty = False
             self._reset_film()
@@ -284,11 +291,15 @@ class TpuBackend:
         view_dev = jnp.asarray(view_arr)
         key = jax.random.PRNGKey(42)
         last = None
+        sky_tex = (
+            jnp.asarray([self._sky_tex_id], jnp.int32)
+            if self._sky_tex_id >= 0 else None
+        )
         for s in range(self.settings.samples_per_frame):
             res = render_sample(
                 self._scene_dev, self._mats_dev, self._atlas_dev, self._lights_dev,
                 view_dev, jax.random.fold_in(key, self._spp + s),
-                self.width, self.height, cfg,
+                self.width, self.height, cfg, sky_tex=sky_tex,
             )
             self._film = film_mod.add_sample(self._film, res.radiance)
             last = res

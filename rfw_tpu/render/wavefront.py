@@ -335,6 +335,7 @@ def render_sample(
     width: int,
     height: int,
     config: RenderConfig = RenderConfig(),
+    sky_tex: Optional[jax.Array] = None,  # (1,) i32 atlas texture id; <0/None = constant sky
 ) -> SampleResult:
     """Trace one sample per pixel; returns radiance + first-hit AOVs."""
     R = width * height
@@ -377,7 +378,19 @@ def render_sample(
         found = (hit.prim >= 0) & st.alive
 
         # ---- miss: sky ---------------------------------------------------
-        sky = jnp.full((R, 3), config.sky_intensity, jnp.float32)
+        # constant sky, or equirectangular skybox (reference set_skybox)
+        if sky_tex is not None:
+            sky_u = jnp.arctan2(st.ray_d[:, 2], st.ray_d[:, 0]) / (2.0 * PI) + 0.5
+            sky_v = jnp.arccos(jnp.clip(st.ray_d[:, 1], -1.0, 1.0)) / PI
+            sky_rgb = sample_bilinear(
+                atlas,
+                jnp.broadcast_to(sky_tex, (R,)),
+                jnp.stack([sky_u, sky_v], axis=-1),
+                jnp.zeros(R),
+            )[:, :3]
+            sky = sky_rgb * config.sky_intensity
+        else:
+            sky = jnp.full((R, 3), config.sky_intensity, jnp.float32)
         radiance = jnp.where(
             (st.alive & ~found)[:, None], st.radiance + st.throughput * sky, st.radiance
         )
