@@ -46,6 +46,15 @@ class DeviceLights(NamedTuple):
     area_radiance: np.ndarray  # (A,3)
     area_area: np.ndarray  # (A,)
 
+    # Power-proportional selection (improves on the reference's
+    # potential-weighted pick, shade.comp:283-470, with exact pdfs that
+    # scale to thousands of emissive triangles): cdf over the unified
+    # [point ++ spot ++ dir ++ area] light list, plus each light's pick
+    # probability for MIS (area probs gathered at emissive-hit time).
+    pick_cdf: np.ndarray  # (Lpad,) f32 inclusive cdf, 1-terminated
+    pick_prob: np.ndarray  # (Lpad,) f32 probability per light
+    area_pick_prob: np.ndarray  # (A,) f32 — slice of pick_prob for area lights
+
     @property
     def total(self) -> int:
         return int(self.n_point[0] + self.n_spot[0] + self.n_dir[0] + self.n_area[0])
@@ -65,6 +74,12 @@ def _cap(n: int) -> int:
     return c
 
 
+def _lum(rgb: np.ndarray) -> np.ndarray:
+    if rgb.shape[0] == 0:
+        return np.zeros(0, np.float32)
+    return (0.2126 * rgb[:, 0] + 0.7152 * rgb[:, 1] + 0.0722 * rgb[:, 2]).astype(np.float32)
+
+
 def pack_lights(
     point: PointLightsView,
     spot: SpotLightsView,
@@ -72,6 +87,35 @@ def pack_lights(
     area: AreaLightsView,
 ) -> DeviceLights:
     pc, sc, dc, ac = (_cap(v.count) for v in (point, spot, directional, area))
+
+    # per-light selection weights (relative emitted power proxies)
+    w_point = 4.0 * np.pi * _lum(point.energy)
+    cone = 2.0 * np.pi * (1.0 - 0.5 * (spot.cos_inner + spot.cos_outer)) if spot.count else np.zeros(0, np.float32)
+    w_spot = _lum(spot.energy) * np.maximum(cone, 1e-3)
+    # directional lights reach everything; weight by irradiance with a
+    # large fixed aperture so they stay competitive
+    w_dir = _lum(directional.energy) * (4.0 * np.pi)
+    w_area = _lum(area.radiance) * area.area * np.pi if area.count else np.zeros(0, np.float32)
+    weights = np.concatenate([w_point, w_spot, w_dir, w_area]).astype(np.float32)
+    total = float(weights.sum())
+    n = weights.shape[0]
+    if n == 0 or total <= 0:
+        prob = np.ones(max(n, 1), np.float32) / max(n, 1)
+    else:
+        prob = weights / total
+    cdf = np.cumsum(prob).astype(np.float32)
+    if len(cdf):
+        cdf[-1] = 1.0
+    lpad = _cap(max(n, 1))
+    prob_p = np.zeros(lpad, np.float32)
+    cdf_p = np.ones(lpad, np.float32)
+    prob_p[: len(prob)] = prob
+    cdf_p[: len(cdf)] = cdf
+    a0 = point.count + spot.count + directional.count
+    area_prob = np.zeros(max(ac, 1), np.float32)
+    if area.count:
+        area_prob[: area.count] = prob[a0 : a0 + area.count]
+
     return DeviceLights(
         n_point=np.array([point.count], np.int32),
         n_spot=np.array([spot.count], np.int32),
@@ -92,4 +136,7 @@ def pack_lights(
         area_normal=_pad(area.normal, (3,), ac),
         area_radiance=_pad(area.radiance, (3,), ac),
         area_area=_pad(area.area, (), ac),
+        pick_cdf=cdf_p,
+        pick_prob=prob_p,
+        area_pick_prob=area_prob,
     )

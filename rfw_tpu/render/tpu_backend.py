@@ -287,6 +287,7 @@ class TpuBackend:
             max_bounces=self.settings.max_bounces,
             clamp=self.settings.clamp,
             sky_intensity=self.settings.sky_intensity,
+            ao_aov=mode in (RenderMode.SSAO, RenderMode.FILTERED_SSAO),
         )
         view_dev = jnp.asarray(view_arr)
         key = jax.random.PRNGKey(42)
@@ -308,7 +309,8 @@ class TpuBackend:
 
         # AOV debug views (reference RenderMode -> G-buffer channels)
         if mode in (RenderMode.NORMAL, RenderMode.ALBEDO, RenderMode.GBUFFER,
-                    RenderMode.SCREEN_SPACE) and last is not None:
+                    RenderMode.SCREEN_SPACE, RenderMode.SSAO,
+                    RenderMode.FILTERED_SSAO) and last is not None:
             frame = self._aov_frame(last, mode)
         else:
             frame = np.asarray(
@@ -385,6 +387,13 @@ class TpuBackend:
             finite = d < 1e25
             dmax = d[finite].max() if finite.any() else 1.0
             img = np.repeat(np.where(finite, d / max(dmax, 1e-6), 1.0), 3, axis=-1)
+        elif mode in (RenderMode.SSAO, RenderMode.FILTERED_SSAO):
+            ao = np.asarray(res.ao).reshape(H, W, 1)
+            if mode == RenderMode.FILTERED_SSAO:
+                from scipy.ndimage import gaussian_filter
+
+                ao = gaussian_filter(ao, sigma=(2, 2, 0))
+            img = np.repeat(ao, 3, axis=-1)
         else:  # SCREEN_SPACE: world position, normalized
             p = np.asarray(res.position).reshape(H, W, 3)
             ext = np.abs(p).max() or 1.0

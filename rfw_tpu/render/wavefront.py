@@ -43,15 +43,24 @@ from rfw_tpu.render.packet import (
     packet_occluded,
     prepare_packet_scene,
 )
+from rfw_tpu.ops.traverse import (
+    LANES as PALLAS_LANES,
+    VMEM_SCENE_BUDGET,
+    pallas_closest_hit,
+    pallas_occluded,
+    prepare_pallas_scene,
+)
 
 
 def _block_swizzle(width: int, height: int, lanes: int):
     """Permutation mapping swizzled ray order -> linear pixel index, so
     each packet tile covers a coherent (BY x 32) pixel block. Returns
     (px, py, inv_perm) or None when dimensions don't block-align."""
-    bx = 32
-    by = lanes // bx
-    if lanes % bx or width % bx or height % by:
+    for bx in (32, 64, 128, 16):
+        by = lanes // bx
+        if by and lanes % bx == 0 and width % bx == 0 and height % by == 0:
+            break
+    else:
         return None
     n = width * height
     s = jnp.arange(n, dtype=jnp.int32)
@@ -80,7 +89,10 @@ class RenderConfig:
     sky_intensity: float = 0.0  # constant sky radiance multiplier
     shadow_eps: float = 1e-3
     aovs: bool = True
-    traversal: str = "packet"  # "packet" (tiled, TPU-fast) | "lockstep"
+    ao_aov: bool = False  # ambient-occlusion AOV (RenderMode.SSAO): one
+    #   cosine-hemisphere occlusion probe per first hit (reference ssao.comp)
+    ao_radius: float = 0.5
+    traversal: str = "auto"  # auto | pallas | packet | lockstep
     lanes: int = 256  # packet tile width (rays per shared stack)
 
 
@@ -90,6 +102,7 @@ class SampleResult(NamedTuple):
     normal: jax.Array  # (R,3) first-hit shading normal
     depth: jax.Array  # (R,) first-hit t
     position: jax.Array  # (R,3) first-hit world pos
+    ao: jax.Array  # (R,) ambient occlusion (1 = open) — only if config.ao_aov
 
 
 # ------------------------------------------------------------------ camera
@@ -151,8 +164,12 @@ def _sample_light(
         lights.n_point[0], lights.n_spot[0], lights.n_dir[0], lights.n_area[0]
     )
     total = np_ + ns + nd + na
-    totalf = jnp.maximum(total.astype(jnp.float32), 1.0)
-    pick = jnp.minimum((u[:, 0] * totalf).astype(jnp.int32), total - 1)
+    # power-proportional pick via the precomputed cdf
+    pick = jnp.minimum(
+        jnp.searchsorted(lights.pick_cdf, u[:, 0], side="right").astype(jnp.int32),
+        jnp.maximum(total - 1, 0),
+    )
+    pick_p = jnp.maximum(lights.pick_prob[pick], 1e-12)
 
     is_point = pick < np_
     is_spot = (~is_point) & (pick < np_ + ns)
@@ -214,9 +231,9 @@ def _sample_light(
     rad_over_pdf = jnp.where(
         is_point[:, None], p_rad,
         jnp.where(is_spot[:, None], s_rad, jnp.where(is_dir[:, None], d_rad, a_rad)),
-    ) * totalf  # 1 / pick_prob
+    ) / pick_p[:, None]
     is_delta = is_point | is_spot | is_dir
-    pdf_sa = jnp.where(is_area, a_pdf_sa / totalf, 0.0)
+    pdf_sa = jnp.where(is_area, a_pdf_sa * pick_p, 0.0)
     none = total == 0
     return wi, dist, jnp.where(none, 0.0, rad_over_pdf), is_delta, pdf_sa
 
@@ -322,6 +339,7 @@ class _PathState(NamedTuple):
     aov_normal: jax.Array
     aov_depth: jax.Array
     aov_pos: jax.Array
+    aov_ao: jax.Array
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "config"))
@@ -341,24 +359,53 @@ def render_sample(
     R = width * height
     k_cam, k_loop = jax.random.split(key)
 
-    # pick the largest lane width that divides the ray count
-    lanes = next((l for l in (config.lanes, 512, 256, 128, 64, 32) if R % l == 0), 0)
-    use_packet = config.traversal == "packet" and lanes > 0
+    # traversal backend selection: the Pallas per-tile kernel is fastest but
+    # needs the whole scene VMEM-resident and ray counts in 1024-lane tiles;
+    # jnp packet is the portable fallback; lockstep is the oracle tier.
+    scene_bytes = (
+        scene.blas_wide_f.shape[0] * 64 + scene.tri_v0.shape[0] * 36
+        + scene.inst_matrix.shape[0] * 64
+    )
+    mode = config.traversal
+    if mode == "auto":
+        on_tpu = jax.default_backend() != "cpu"
+        if on_tpu and R % PALLAS_LANES == 0 and scene_bytes <= VMEM_SCENE_BUDGET:
+            mode = "pallas"
+        else:
+            mode = "packet"
     inv_perm = None
     pixel_ids = None
-    if use_packet:
-        sw = _block_swizzle(width, height, lanes)
+    if mode == "pallas" and R % PALLAS_LANES == 0:
+        sw = _block_swizzle(width, height, PALLAS_LANES)
         if sw is not None:
             px, py, inv_perm = sw
             pixel_ids = (px, py)
-        ps = prepare_packet_scene(scene)
+        pps = prepare_pallas_scene(scene)
 
         def trace_closest(o, d):
-            return packet_closest_hit(ps, o, d, lanes=lanes)
+            return pallas_closest_hit(pps, o, d)
 
         def trace_occluded(o, d, tl):
-            return packet_occluded(ps, o, d, tl, lanes=lanes)
-    else:
+            return pallas_occluded(pps, o, d, tl)
+    elif mode in ("packet", "pallas"):
+        lanes = next(
+            (l for l in (config.lanes, 512, 256, 128, 64, 32) if R % l == 0), 0
+        )
+        if lanes == 0:
+            mode = "lockstep"
+        else:
+            sw = _block_swizzle(width, height, lanes)
+            if sw is not None:
+                px, py, inv_perm = sw
+                pixel_ids = (px, py)
+            ps = prepare_packet_scene(scene)
+
+            def trace_closest(o, d):
+                return packet_closest_hit(ps, o, d, lanes=lanes)
+
+            def trace_occluded(o, d, tl):
+                return packet_occluded(ps, o, d, tl, lanes=lanes)
+    if mode == "lockstep":
         def trace_closest(o, d):
             return bvh_closest_hit(scene, o, d)
 
@@ -370,7 +417,6 @@ def render_sample(
     total_lights = (
         lights.n_point[0] + lights.n_spot[0] + lights.n_dir[0] + lights.n_area[0]
     )
-    totalf = jnp.maximum(total_lights.astype(jnp.float32), 1.0)
 
     def bounce(depth, st: _PathState) -> _PathState:
         kd = jax.random.fold_in(k_loop, depth)
@@ -418,6 +464,17 @@ def render_sample(
         aov_normal = jnp.where(take_aov[:, None], ns, st.aov_normal)
         aov_depth = jnp.where(take_aov, hit.t, st.aov_depth)
         aov_pos = jnp.where(take_aov[:, None], pos, st.aov_pos)
+        aov_ao = st.aov_ao
+        if config.ao_aov:
+            u_ao = jax.random.uniform(jax.random.fold_in(kd, 7), (R, 3))
+            wi_ao = disney.to_world(
+                basis["tan"], basis["bitan"], basis["ns"],
+                disney._sample_cosine(u_ao[:, 0], u_ao[:, 1]),
+            )
+            occ_ao = trace_occluded(
+                pos + basis["ng"] * config.shadow_eps, wi_ao, config.ao_radius
+            )
+            aov_ao = jnp.where(take_aov, jnp.where(occ_ao, 0.0, 1.0), st.aov_ao)
 
         # ---- emissive hits (MIS vs NEE) ---------------------------------
         # The NEE competitor only exists if this triangle is a *registered*
@@ -425,9 +482,13 @@ def render_sample(
         # sole strategy and gets full weight.
         is_emitter = jnp.max(emission, axis=-1) > 0.0
         cos_hit = jnp.abs(jnp.sum(basis["ng"] * st.ray_d, -1))
+        hit_light = scene.tri_light[jnp.maximum(hit.prim, 0)]
+        hit_pick_p = lights.area_pick_prob[
+            jnp.clip(hit_light, 0, lights.area_pick_prob.shape[0] - 1)
+        ]
         pdf_nee_this = (hit.t * hit.t) / jnp.maximum(
             cos_hit * basis["world_area"], 1e-8
-        ) / totalf
+        ) * hit_pick_p
         nee_exists = (scene.tri_light[jnp.maximum(hit.prim, 0)] >= 0) & (
             lights.n_area[0] > 0
         )
@@ -493,6 +554,7 @@ def render_sample(
             aov_normal=aov_normal,
             aov_depth=aov_depth,
             aov_pos=aov_pos,
+            aov_ao=aov_ao,
         )
 
     init = _PathState(
@@ -507,6 +569,7 @@ def render_sample(
         aov_normal=jnp.zeros((R, 3), jnp.float32),
         aov_depth=jnp.full(R, T_MAX, jnp.float32),
         aov_pos=jnp.zeros((R, 3), jnp.float32),
+        aov_ao=jnp.ones(R, jnp.float32),
     )
     final = jax.lax.fori_loop(0, config.max_bounces + 1, bounce, init)
 
@@ -519,4 +582,5 @@ def render_sample(
         normal=unswizzle(final.aov_normal),
         depth=unswizzle(final.aov_depth),
         position=unswizzle(final.aov_pos),
+        ao=unswizzle(final.aov_ao),
     )
