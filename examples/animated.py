@@ -130,9 +130,9 @@ def main(argv=None):
         ))
 
     app.with_system(bounce_spheres).with_system(animate).with_system(overlay)
-    app.camera.look_at(np.array([6.0, 5.0, 9.0], np.float32),
-                       np.array([0, 1.0, 0], np.float32))
-    app.camera.fov = 55
+    app.camera.look_at(np.array([5.5, 4.0, 7.0], np.float32),
+                       np.array([0, 1.2, 0], np.float32))
+    app.camera.fov = 62
 
     # ---- run -------------------------------------------------------------
     t = Timer()

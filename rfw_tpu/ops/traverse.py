@@ -46,74 +46,101 @@ VMEM_SCENE_BUDGET = 10 * 1024 * 1024
 
 
 class PallasScene(NamedTuple):
-    wide_f: jax.Array  # (N,12) f32 unified wide arena [BLAS ++ TLAS]
-    wide_i: jax.Array  # (N,4) i32
-    tri9: jax.Array  # (Tri,9) f32
-    inst_inv12: jax.Array  # (I,12) f32
-    blas_root: jax.Array  # (I,1) i32
+    """Transposed column layouts: VMEM tiles are (8,128), so an (N,12) array
+    would be lane-padded to (N,128) — 10x waste (pica's triangles alone
+    would inflate to 39MB). Instead each record is a COLUMN: (16, Npad)
+    with the record index in the lane dimension. A fetch is one dynamic
+    lane-slice (16,1) + static sublane extracts."""
+
+    wide_t: jax.Array  # (16, Npad) f32: rows 0..11 child boxes, 12..15
+    #   bitcast int32 [l_code, r_code, l_count, r_count]
+    tri_t: jax.Array  # (16, Tpad) f32: rows 0..8 = v0,e1,e2
+    inst_t: jax.Array  # (16, Ipad+1) f32: rows 0..11 world->object; the
+    #   last column is the identity (used for TLAS-space rays)
+    root_t: jax.Array  # (8, Ipad) i32: row 0 = blas wide root per instance
     tlas_root: int
     n_tri: int
     n_inst: int
 
     @property
     def vmem_bytes(self) -> int:
-        return (
-            self.wide_f.size * 4 + self.wide_i.size * 4 + self.tri9.size * 4
-            + self.inst_inv12.size * 4 + self.blas_root.size * 4
-        )
+        return 4 * (self.wide_t.size + self.tri_t.size + self.inst_t.size
+                    + self.root_t.size)
+
+
+def _pad_lanes(a: jax.Array, mult: int = 128) -> jax.Array:
+    n = a.shape[1]
+    pad = (-n) % mult
+    if pad:
+        a = jnp.concatenate([a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
+    return a
 
 
 def prepare_pallas_scene(scene) -> PallasScene:
-    """Build kernel arrays from a (device) TraceScene."""
+    """Build transposed kernel arrays from a TraceScene. Pure jnp: safe to
+    call on device arrays or inside jit (the integrator traces through it)."""
     nb = int(scene.blas_wide_f.shape[0])
     tlas_i = jnp.asarray(scene.tlas_wide_i)
     codes = jnp.where(tlas_i[:, :2] >= 0, tlas_i[:, :2] + nb, tlas_i[:, :2])
     tlas_i = jnp.concatenate([codes, tlas_i[:, 2:]], axis=1)
     wide_f = jnp.concatenate(
         [jnp.asarray(scene.blas_wide_f), jnp.asarray(scene.tlas_wide_f)]
-    )
-    wide_i = jnp.concatenate([jnp.asarray(scene.blas_wide_i), tlas_i])
-    n_inst = int(scene.inst_matrix.shape[0])
-    identity_row = jnp.array(
-        [[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]], jnp.float32
-    )
-    inst_inv12 = (
-        jnp.concatenate(
-            [jnp.asarray(scene.inst_inv)[:, :3, :].reshape(-1, 12), identity_row]
-        )
-        if n_inst
-        else jnp.concatenate([identity_row, identity_row])
-    )
-    # row [n_inst] is the identity: used for TLAS-space (world) rays
+    ).astype(jnp.float32)
+    wide_i = jnp.concatenate([jnp.asarray(scene.blas_wide_i), tlas_i]).astype(jnp.int32)
+    wide = jnp.concatenate(
+        [wide_f, jax.lax.bitcast_convert_type(wide_i, jnp.float32)], axis=1
+    )  # (N,16)
+    wide_t = _pad_lanes(wide.T)
+
     n_tri = int(scene.tri_v0.shape[0])
-    tri9 = (
-        jnp.concatenate(
+    if n_tri:
+        tri = jnp.concatenate(
             [jnp.asarray(scene.tri_v0), jnp.asarray(scene.tri_e1),
              jnp.asarray(scene.tri_e2)], axis=1
-        )
-        if n_tri
-        else jnp.zeros((1, 9), jnp.float32)
-    )
-    blas_root = (
-        jnp.asarray(scene.blas_wide_root).reshape(-1, 1)
-        if n_inst
-        else jnp.zeros((1, 1), jnp.int32)
-    )
+        ).astype(jnp.float32)
+    else:
+        tri = jnp.zeros((1, 9), jnp.float32)
+    tri16 = jnp.concatenate([tri, jnp.zeros((tri.shape[0], 7), jnp.float32)], axis=1)
+    tri_t = _pad_lanes(tri16.T)
+
+    n_inst = int(scene.inst_matrix.shape[0])
+    if n_inst:
+        inv12 = jnp.asarray(scene.inst_inv)[:, :3, :].reshape(-1, 12)
+    else:
+        inv12 = jnp.zeros((0, 12), jnp.float32)
+    ident = jnp.array([[1, 0, 0, 0, 0, 1, 0, 0, 0, 0, 1, 0]], jnp.float32)
+    inv12 = jnp.concatenate([inv12, ident]).astype(jnp.float32)
+    inv16 = jnp.concatenate([inv12, jnp.zeros((inv12.shape[0], 4), jnp.float32)], axis=1)
+    inst_t = _pad_lanes(inv16.T)
+    ident_col = inv12.shape[0] - 1
+
+    roots = (jnp.asarray(scene.blas_wide_root).astype(jnp.int32)
+             if n_inst else jnp.zeros(1, jnp.int32))
+    root8 = jnp.zeros((8, roots.shape[0]), jnp.int32).at[0].set(roots)
+    root_t = _pad_lanes(root8)
+
     return PallasScene(
-        wide_f=wide_f, wide_i=wide_i, tri9=tri9, inst_inv12=inst_inv12,
-        blas_root=blas_root, tlas_root=nb, n_tri=n_tri, n_inst=n_inst,
+        wide_t=wide_t,
+        tri_t=tri_t,
+        inst_t=inst_t,
+        root_t=root_t,
+        tlas_root=nb,
+        n_tri=n_tri,
+        n_inst=ident_col,
     )
 
 
 def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: bool):
-    """Straight-line kernel body: every iteration runs both the leaf and the
-    internal phase with masks (TPU prefers predication over branching, and
-    the axon Mosaic compiler chokes on deeply nested stateful conds). The
-    instance transform uses a synthetic identity row at index n_inst for
-    TLAS-space rays, removing the world/object branch entirely."""
+    """Straight-line predicated kernel over transposed scene columns.
+
+    Per node visit: one dynamic lane-slice (16,1) column fetch + static
+    sublane extracts (int fields bitcast from f32 rows 12..15), two 1024-
+    lane slab tests; leaves run up to MAX_LEAF Moller-Trumbore column
+    fetches. The scalar core owns the SMEM stack; an instance switch
+    re-bases the tile's rays via one (16,1) inverse-matrix column."""
 
     def kernel(
-        wf_ref, wi_ref, tri_ref, inv_ref, root_ref,  # scene (VMEM)
+        wide_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM, transposed)
         o_ref, d_ref, tlim_ref,  # per-tile inputs
         t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-tile outputs
         obj_ref,  # VMEM scratch (9,8,128)
@@ -137,10 +164,9 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
                                    jnp.where(x < 0, -1e-20, 1e-20), x)
 
         def set_obj(inst):
-            # inst < 0 -> identity row (appended by prepare at index n_inst)
             i = jnp.where(inst < 0, n_inst, inst)
-            mrow = inv_ref[pl.ds(i, 1), :]  # (1,12) dynamic-slice vector load
-            m = [mrow[0, k] for k in range(12)]
+            col = inst_ref[:, pl.ds(i, 1)]  # (16,1)
+            m = [col[k, 0] for k in range(12)]
             obj_ref[0] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
             obj_ref[1] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
             obj_ref[2] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
@@ -181,59 +207,57 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
             first = lv >> 3
             count = jnp.where(is_leaf, lv & 7, 0)
 
-            def tri_body(k, _):
-                tri = jnp.minimum(first + k, n_tri - 1)
-                trow = tri_ref[pl.ds(tri, 1), :]  # (1,9) vector load
-                v0x = trow[0, 0]
-                v0y = trow[0, 1]
-                v0z = trow[0, 2]
-                e1x = trow[0, 3]
-                e1y = trow[0, 4]
-                e1z = trow[0, 5]
-                e2x = trow[0, 6]
-                e2y = trow[0, 7]
-                e2z = trow[0, 8]
-                px = dy * e2z - dz * e2y
-                py = dz * e2x - dx * e2z
-                pz = dx * e2y - dy * e2x
-                det = e1x * px + e1y * py + e1z * pz
-                inv_det = jnp.where(jnp.abs(det) > 1e-12,
-                                    1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-                tvx = ox - v0x
-                tvy = oy - v0y
-                tvz = oz - v0z
-                uq = (tvx * px + tvy * py + tvz * pz) * inv_det
-                qx = tvy * e1z - tvz * e1y
-                qy = tvz * e1x - tvx * e1z
-                qz = tvx * e1y - tvy * e1x
-                vq = (dx * qx + dy * qy + dz * qz) * inv_det
-                tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                ok = (
-                    (jnp.abs(det) > 1e-12)
-                    & (uq >= -1e-7) & (vq >= -1e-7) & (uq + vq <= 1 + 1e-7)
-                    & (tq > T_MIN) & (tq < t_ref[0])
-                )
-                t_ref[0] = jnp.where(ok, tq, t_ref[0])
-                prim_ref[0] = jnp.where(ok, tri, prim_ref[0])
-                iout_ref[0] = jnp.where(ok, inst, iout_ref[0])
-                u_ref[0] = jnp.where(ok, uq, u_ref[0])
-                v_ref[0] = jnp.where(ok, vq, v_ref[0])
-                return 0
-
-            jax.lax.fori_loop(0, count, tri_body, 0)
+            for k in range(MAX_LEAF):
+                @pl.when(k < count)
+                def _():
+                    tri = jnp.minimum(first + k, n_tri - 1)
+                    tc = tri_ref[:, pl.ds(tri, 1)]  # (16,1)
+                    v0x = tc[0, 0]
+                    v0y = tc[1, 0]
+                    v0z = tc[2, 0]
+                    e1x = tc[3, 0]
+                    e1y = tc[4, 0]
+                    e1z = tc[5, 0]
+                    e2x = tc[6, 0]
+                    e2y = tc[7, 0]
+                    e2z = tc[8, 0]
+                    px = dy * e2z - dz * e2y
+                    py = dz * e2x - dx * e2z
+                    pz = dx * e2y - dy * e2x
+                    det = e1x * px + e1y * py + e1z * pz
+                    inv_det = jnp.where(jnp.abs(det) > 1e-12,
+                                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+                    tvx = ox - v0x
+                    tvy = oy - v0y
+                    tvz = oz - v0z
+                    uq = (tvx * px + tvy * py + tvz * pz) * inv_det
+                    qx = tvy * e1z - tvz * e1y
+                    qy = tvz * e1x - tvx * e1z
+                    qz = tvx * e1y - tvy * e1x
+                    vq = (dx * qx + dy * qy + dz * qz) * inv_det
+                    tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    ok = (
+                        (jnp.abs(det) > 1e-12)
+                        & (uq >= -1e-7) & (vq >= -1e-7) & (uq + vq <= 1 + 1e-7)
+                        & (tq > T_MIN) & (tq < t_ref[0])
+                    )
+                    t_ref[0] = jnp.where(ok, tq, t_ref[0])
+                    prim_ref[0] = jnp.where(ok, tri, prim_ref[0])
+                    iout_ref[0] = jnp.where(ok, inst, iout_ref[0])
+                    u_ref[0] = jnp.where(ok, uq, u_ref[0])
+                    v_ref[0] = jnp.where(ok, vq, v_ref[0])
 
             # ---- internal phase (masked) ----
             nsafe = jnp.maximum(node, 0)
-            wrow = wf_ref[pl.ds(nsafe, 1), :]  # (1,12) both children's boxes
-            irow = wi_ref[pl.ds(nsafe, 1), :]  # (1,4) child codes/counts
+            wcol = wide_ref[:, pl.ds(nsafe, 1)]  # (16,1)
 
             def slab(base):
-                mnx = wrow[0, base]
-                mny = wrow[0, base + 1]
-                mnz = wrow[0, base + 2]
-                mxx = wrow[0, base + 3]
-                mxy = wrow[0, base + 4]
-                mxz = wrow[0, base + 5]
+                mnx = wcol[base, 0]
+                mny = wcol[base + 1, 0]
+                mnz = wcol[base + 2, 0]
+                mxx = wcol[base + 3, 0]
+                mxy = wcol[base + 4, 0]
+                mxz = wcol[base + 5, 0]
                 tx0 = (mnx - ox) * ix
                 tx1 = (mxx - ox) * ix
                 ty0 = (mny - oy) * iy
@@ -258,14 +282,17 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
             l_any = l_any & is_int
             r_any = r_any & is_int
 
+            def ibits(row):
+                return jax.lax.bitcast_convert_type(wcol[row, 0], jnp.int32)
+
             def child_entry(col):
-                code = irow[0, col]
-                cnt = irow[0, col + 2]
+                code = ibits(12 + col)
+                cnt = ibits(14 + col)
                 payload = -code - 1
                 leaf_child = code < 0
                 in_tlas = inst < 0
-                iid = jnp.clip(payload, 0, n_inst - 1)
-                tlas_entry = root_ref[pl.ds(iid, 1), :][0, 0]
+                iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
+                tlas_entry = root_ref[0, pl.ds(iid, 1)][0]
                 blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
                 e_code = jnp.where(
                     leaf_child, jnp.where(in_tlas, tlas_entry, blas_entry), code
@@ -327,7 +354,7 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
     static_argnames=("tlas_root", "n_tri", "n_inst", "any_hit", "interpret"),
 )
 def _run_arrays(
-    wide_f, wide_i, tri9, inst_inv12, blas_root, o4, d4, tl3,
+    wide_t, tri_t, inst_t, root_t, o4, d4, tl3,
     tlas_root: int, n_tri: int, n_inst: int, any_hit: bool,
     interpret: bool = False,
 ):
@@ -348,7 +375,7 @@ def _run_arrays(
     return pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[scene_spec] * 5 + [tile3, tile3, tile1],
+        in_specs=[scene_spec] * 4 + [tile3, tile3, tile1],
         out_specs=(tile1, tile1, tile1, tile1, tile1),
         out_shape=out_shapes,
         scratch_shapes=[
@@ -356,15 +383,54 @@ def _run_arrays(
             pltpu.SMEM((STACK_DEPTH, 2), jnp.int32),
         ],
         interpret=interpret,
-    )(wide_f, wide_i, tri9, inst_inv12, blas_root, o4, d4, tl3)
+    )(wide_t, tri_t, inst_t, root_t, o4, d4, tl3)
+
+
+def _chunk_tiles(scene_bytes: int) -> int:
+    """Max tiles per pallas_call: the axon AOT compiler stack-allocates the
+    call's FULL inputs+outputs (+double buffering) in scoped VMEM (16MB).
+    Per tile: 7 input + 5 output (8,128)-planes = 48KB, ~2x buffered."""
+    budget = 12 * 1024 * 1024 - scene_bytes
+    per_tile = 2 * 12 * 4096
+    return max(8, min(128, budget // per_tile))
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):
-    return _run_arrays(
-        ps.wide_f, ps.wide_i, ps.tri9, ps.inst_inv12, ps.blas_root, o4, d4, tl3,
-        tlas_root=ps.tlas_root, n_tri=ps.n_tri, n_inst=ps.n_inst, any_hit=any_hit,
-        interpret=interpret,
+    T = o4.shape[0]
+    CHUNK_TILES = _chunk_tiles(ps.vmem_bytes)
+
+    def call(o4c, d4c, tl3c):
+        return _run_arrays(
+            ps.wide_t, ps.tri_t, ps.inst_t, ps.root_t, o4c, d4c, tl3c,
+            tlas_root=ps.tlas_root, n_tri=ps.n_tri, n_inst=ps.n_inst,
+            any_hit=any_hit, interpret=interpret,
+        )
+
+    if T <= CHUNK_TILES:
+        return call(o4, d4, tl3)
+    # pad to a multiple of the chunk size, map over chunks, then strip
+    n_chunks = -(-T // CHUNK_TILES)
+    pad = n_chunks * CHUNK_TILES - T
+    if pad:
+        o4 = jnp.concatenate([o4, jnp.zeros((pad,) + o4.shape[1:], o4.dtype)])
+        d4 = jnp.concatenate(
+            [d4, jnp.ones((pad,) + d4.shape[1:], d4.dtype)]
+        )  # dummy dirs avoid 0-division
+        tl3 = jnp.concatenate([tl3, jnp.zeros((pad,) + tl3.shape[1:], tl3.dtype)])
+
+    def chunk_fn(args):
+        return call(*args)
+
+    outs = jax.lax.map(
+        chunk_fn,
+        (
+            o4.reshape(n_chunks, CHUNK_TILES, *o4.shape[1:]),
+            d4.reshape(n_chunks, CHUNK_TILES, *d4.shape[1:]),
+            tl3.reshape(n_chunks, CHUNK_TILES, *tl3.shape[1:]),
+        ),
     )
+    outs = tuple(x.reshape(n_chunks * CHUNK_TILES, *x.shape[2:])[:T] for x in outs)
+    return outs
 
 
 def _reshape_rays(ray_o, ray_d, t_limit):

@@ -362,9 +362,10 @@ def render_sample(
     # traversal backend selection: the Pallas per-tile kernel is fastest but
     # needs the whole scene VMEM-resident and ray counts in 1024-lane tiles;
     # jnp packet is the portable fallback; lockstep is the oracle tier.
-    scene_bytes = (
-        scene.blas_wide_f.shape[0] * 64 + scene.tri_v0.shape[0] * 36
-        + scene.inst_matrix.shape[0] * 64
+    # transposed-layout VMEM footprint: 16 rows x 4B per node/tri/inst column
+    scene_bytes = 64 * (
+        scene.blas_wide_f.shape[0] + scene.tlas_wide_f.shape[0]
+        + scene.tri_v0.shape[0] + scene.inst_matrix.shape[0]
     )
     mode = config.traversal
     if mode == "auto":
@@ -382,8 +383,8 @@ def render_sample(
             pixel_ids = (px, py)
         pps = prepare_pallas_scene(scene)
 
-        def trace_closest(o, d):
-            return pallas_closest_hit(pps, o, d)
+        def trace_closest(o, d, tl):
+            return pallas_closest_hit(pps, o, d, tl)
 
         def trace_occluded(o, d, tl):
             return pallas_occluded(pps, o, d, tl)
@@ -400,14 +401,14 @@ def render_sample(
                 pixel_ids = (px, py)
             ps = prepare_packet_scene(scene)
 
-            def trace_closest(o, d):
-                return packet_closest_hit(ps, o, d, lanes=lanes)
+            def trace_closest(o, d, tl):
+                return packet_closest_hit(ps, o, d, tl, lanes=lanes)
 
             def trace_occluded(o, d, tl):
                 return packet_occluded(ps, o, d, tl, lanes=lanes)
     if mode == "lockstep":
-        def trace_closest(o, d):
-            return bvh_closest_hit(scene, o, d)
+        def trace_closest(o, d, tl):
+            return bvh_closest_hit(scene, o, d, tl)
 
         def trace_occluded(o, d, tl):
             return bvh_occluded(scene, o, d, tl)
@@ -420,7 +421,11 @@ def render_sample(
 
     def bounce(depth, st: _PathState) -> _PathState:
         kd = jax.random.fold_in(k_loop, depth)
-        hit = trace_closest(st.ray_o, st.ray_d)
+        # dead lanes get t_limit 0: their slab tests fail immediately, so
+        # tiles dominated by finished paths stop traversing (the masked-
+        # wavefront answer to the reference's queue compaction)
+        live_lim = jnp.where(st.alive, T_MAX, 0.0)
+        hit = trace_closest(st.ray_o, st.ray_d, live_lim)
         found = (hit.prim >= 0) & st.alive
 
         # ---- miss: sky ---------------------------------------------------
