@@ -146,6 +146,21 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
         obj_ref,  # VMEM scratch (9,8,128)
         stack_ref,  # SMEM scratch (STACK_DEPTH,2) i32
     ):
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+
+        def fetch_col(ref, idx):
+            """Column `idx` of a transposed (rows, Npad) array: lane-dim
+            dynamic slices must be 128-aligned in Mosaic, so load the
+            aligned block and reduce out the wanted lane with a one-hot
+            mask (pure VPU work)."""
+            base = pl.multiple_of((idx // LANE) * LANE, LANE)
+            block = ref[:, pl.ds(base, LANE)]  # (rows,128)
+            onehot = lane_iota == (idx - base)
+            return jnp.sum(
+                jnp.where(onehot, block, jnp.zeros_like(block)),
+                axis=1, keepdims=True,
+            )  # (rows,1)
+
         wox = o_ref[0, 0]
         woy = o_ref[0, 1]
         woz = o_ref[0, 2]
@@ -165,7 +180,7 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
 
         def set_obj(inst):
             i = jnp.where(inst < 0, n_inst, inst)
-            col = inst_ref[:, pl.ds(i, 1)]  # (16,1)
+            col = fetch_col(inst_ref, i)  # (16,1)
             m = [col[k, 0] for k in range(12)]
             obj_ref[0] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
             obj_ref[1] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
@@ -211,7 +226,7 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
                 @pl.when(k < count)
                 def _():
                     tri = jnp.minimum(first + k, n_tri - 1)
-                    tc = tri_ref[:, pl.ds(tri, 1)]  # (16,1)
+                    tc = fetch_col(tri_ref, tri)  # (16,1)
                     v0x = tc[0, 0]
                     v0y = tc[1, 0]
                     v0z = tc[2, 0]
@@ -249,7 +264,7 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
 
             # ---- internal phase (masked) ----
             nsafe = jnp.maximum(node, 0)
-            wcol = wide_ref[:, pl.ds(nsafe, 1)]  # (16,1)
+            wcol = fetch_col(wide_ref, nsafe)  # (16,1)
 
             def slab(base):
                 mnx = wcol[base, 0]
@@ -282,8 +297,12 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
             l_any = l_any & is_int
             r_any = r_any & is_int
 
+            # Mosaic only bitcasts vectors: convert the whole column once,
+            # then extract scalars from the int view.
+            wcol_i = jax.lax.bitcast_convert_type(wcol, jnp.int32)
+
             def ibits(row):
-                return jax.lax.bitcast_convert_type(wcol[row, 0], jnp.int32)
+                return wcol_i[row, 0]
 
             def child_entry(col):
                 code = ibits(12 + col)
@@ -292,7 +311,7 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
                 leaf_child = code < 0
                 in_tlas = inst < 0
                 iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
-                tlas_entry = root_ref[0, pl.ds(iid, 1)][0]
+                tlas_entry = fetch_col(root_ref, iid)[0, 0]
                 blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
                 e_code = jnp.where(
                     leaf_child, jnp.where(in_tlas, tlas_entry, blas_entry), code

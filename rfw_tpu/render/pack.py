@@ -169,6 +169,7 @@ def pack_trace_scene(
     meshes: Sequence[Tuple[int, Mesh3D, Optional[BvhNodes]]],
     instances: Sequence[Tuple[int, np.ndarray]],
     deformed_positions: Optional[dict] = None,
+    built_blas_out: Optional[dict] = None,
 ) -> TraceScene:
     """Build a TraceScene.
 
@@ -176,6 +177,8 @@ def pack_trace_scene(
     instances: (mesh_slot, (I,4,4) world matrices).
     deformed_positions: {mesh_slot: (V,3)} skinned vertex override (BLAS is
     then rebuilt for those meshes).
+    built_blas_out: optional dict filled with {slot: BvhNodes} for every
+    BLAS built here — callers cache them to skip rebuilds next pack.
     """
     deformed_positions = deformed_positions or {}
 
@@ -202,6 +205,8 @@ def pack_trace_scene(
         if bvh is None or slot in deformed_positions:
             mn, mx = triangle_aabbs(v0, v0 + e1, v0 + e2)
             bvh = build_bvh_sah(mn, mx)
+            if built_blas_out is not None and slot not in deformed_positions:
+                built_blas_out[slot] = bvh
 
         # Rebase node child/leaf indices into global arenas.
         is_leaf = bvh.node_count > 0
@@ -332,4 +337,62 @@ def pack_trace_scene(
         vtx_normal=cat("normal", vtx_chunks, (0, 3), np.float32),
         vtx_uv=cat("uv", vtx_chunks, (0, 2), np.float32),
         vtx_tangent=cat("tangent", vtx_chunks, (0, 4), np.float32),
+    )
+
+
+def repack_instances(
+    base: TraceScene,
+    meshes_info: Sequence[Tuple[int, np.ndarray, np.ndarray]],
+    instances: Sequence[Tuple[int, np.ndarray]],
+) -> TraceScene:
+    """Instance/TLAS-only update: reuse all geometry arenas of `base`,
+    replacing instance matrices and rebuilding the TLAS (the per-frame path
+    for moving instances — reference gpu-rt rebuilds only the TLAS each
+    synchronize, lib.rs:1570-1581).
+
+    meshes_info: (slot, local_aabb_min, local_aabb_max) for every mesh;
+    instances must cover the same mesh slots as the base pack (per-slot
+    instance COUNTS may change only if the BLAS roots per instance are
+    recomputed — they are, from mesh slots).
+    """
+    info = {slot: (mn, mx) for slot, mn, mx in meshes_info}
+    # recover wide roots per mesh slot from the base pack
+    slot_root = {}
+    slot_wroot = {}
+    for i in range(base.inst_matrix.shape[0]):
+        m = int(base.inst_mesh[i])
+        slot_root[m] = int(base.blas_root[i])
+        slot_wroot[m] = int(base.blas_wide_root[i])
+
+    mats_list, mesh_list = [], []
+    for slot, mats in instances:
+        if slot not in slot_root or slot not in info:
+            continue
+        mats = np.asarray(mats, np.float32).reshape(-1, 4, 4)
+        mats_list.append(mats)
+        mesh_list.append(np.full(mats.shape[0], slot, np.int32))
+    if not mats_list:
+        return base
+    inst_matrix = np.concatenate(mats_list)
+    inst_mesh = np.concatenate(mesh_list)
+    inst_inv = np.linalg.inv(inst_matrix).astype(np.float32)
+    inst_normal = inverse_transpose3(inst_matrix)
+    blas_root = np.array([slot_root[int(m)] for m in inst_mesh], np.int32)
+    blas_wide_root = np.array([slot_wroot[int(m)] for m in inst_mesh], np.int32)
+
+    local_min = np.stack([info[int(m)][0] for m in inst_mesh])
+    local_max = np.stack([info[int(m)][1] for m in inst_mesh])
+    wb = aabb_transform(Aabb(local_min.astype(np.float32),
+                             local_max.astype(np.float32)), inst_matrix)
+    tlas = build_bvh_sah(wb.min, wb.max, max_leaf=1)
+    tlas_wf, tlas_wi, _ = build_wide_nodes(tlas, tlas=True)
+
+    return base._replace(
+        tlas_min=tlas.node_min, tlas_max=tlas.node_max,
+        tlas_left=tlas.node_left, tlas_right=tlas.node_right,
+        tlas_count=tlas.node_count, tlas_prim=tlas.prim_order,
+        tlas_wide_f=tlas_wf, tlas_wide_i=tlas_wi,
+        inst_matrix=inst_matrix, inst_inv=inst_inv,
+        inst_normal=inst_normal, inst_mesh=inst_mesh,
+        blas_root=blas_root, blas_wide_root=blas_wide_root,
     )

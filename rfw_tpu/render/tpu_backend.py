@@ -368,8 +368,10 @@ class TpuBackend:
             for slot, iv in self._instances.items()
             if iv.count > 0 and slot in self._meshes
         ]
-        scene = pack_trace_scene(meshes, instances, deformed_positions=deformed)
-        # cache undeformed BLAS for reuse (they were rebuilt inside pack)
+        scene = pack_trace_scene(
+            meshes, instances, deformed_positions=deformed,
+            built_blas_out=self._blas_cache,
+        )
         self._scene_dev = jax.device_put(scene)
         _LOG.info(
             "scene packed: %d tris, %d instances", scene.num_triangles,
