@@ -152,14 +152,23 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
             """Column `idx` of a transposed (rows, Npad) array: lane-dim
             dynamic slices must be 128-aligned in Mosaic, so load the
             aligned block and reduce out the wanted lane with a one-hot
-            mask (pure VPU work)."""
+            mask. The reduction runs in the INT domain — float rows 12..15
+            hold bitcast int32 child codes whose bit patterns are NaNs, and
+            a float sum would canonicalize (corrupt) them."""
             base = pl.multiple_of((idx // LANE) * LANE, LANE)
             block = ref[:, pl.ds(base, LANE)]  # (rows,128)
+            is_int = jnp.issubdtype(block.dtype, jnp.integer)
+            block_i = block if is_int else jax.lax.bitcast_convert_type(
+                block, jnp.int32
+            )
             onehot = lane_iota == (idx - base)
-            return jnp.sum(
-                jnp.where(onehot, block, jnp.zeros_like(block)),
+            col_i = jnp.sum(
+                jnp.where(onehot, block_i, jnp.zeros_like(block_i)),
                 axis=1, keepdims=True,
-            )  # (rows,1)
+            )  # (rows,1) exact bit patterns
+            return col_i if is_int else jax.lax.bitcast_convert_type(
+                col_i, jnp.float32
+            )
 
         wox = o_ref[0, 0]
         woy = o_ref[0, 1]
