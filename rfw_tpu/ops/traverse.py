@@ -41,6 +41,9 @@ SUB = 8
 LANE = 128
 STACK_DEPTH = 96
 MAX_LEAF = 4
+#: hard per-tile iteration cap: converts accidental infinite traversal into
+#: a terminating (wrong) result instead of a TPU watchdog kill
+KERNEL_MAX_ITERS = 1 << 19
 # scene arrays bigger than this fall back to the jnp packet path
 VMEM_SCENE_BUDGET = 10 * 1024 * 1024
 
@@ -52,8 +55,10 @@ class PallasScene(NamedTuple):
     with the record index in the lane dimension. A fetch is one dynamic
     lane-slice (16,1) + static sublane extracts."""
 
-    wide_t: jax.Array  # (16, Npad) f32: rows 0..11 child boxes, 12..15
-    #   bitcast int32 [l_code, r_code, l_count, r_count]
+    wide_t: jax.Array  # (16, Npad) f32: rows 0..11 child boxes (12..15 pad)
+    widei_t: jax.Array  # (8, Npad) i32: rows 0..3 [l_code, r_code, l_cnt, r_cnt]
+    #   (kept integer end-to-end: bitcast-as-float views are denormals that
+    #   TPU float relayouts flush to zero)
     tri_t: jax.Array  # (16, Tpad) f32: rows 0..8 = v0,e1,e2
     inst_t: jax.Array  # (16, Ipad+1) f32: rows 0..11 world->object; the
     #   last column is the identity (used for TLAS-space rays)
@@ -64,13 +69,22 @@ class PallasScene(NamedTuple):
 
     @property
     def vmem_bytes(self) -> int:
-        return 4 * (self.wide_t.size + self.tri_t.size + self.inst_t.size
-                    + self.root_t.size)
+        return 4 * (self.wide_t.size + self.widei_t.size + self.tri_t.size
+                    + self.inst_t.size + self.root_t.size)
+
+
+def _bucket(n: int, mult: int = 128) -> int:
+    """Pad lane counts to power-of-two buckets (>=128) so array shapes — and
+    therefore compiled kernels — are shared across scenes of similar size."""
+    c = mult
+    while c < n:
+        c *= 2
+    return c
 
 
 def _pad_lanes(a: jax.Array, mult: int = 128) -> jax.Array:
     n = a.shape[1]
-    pad = (-n) % mult
+    pad = _bucket(n, mult) - n
     if pad:
         a = jnp.concatenate([a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
     return a
@@ -87,10 +101,14 @@ def prepare_pallas_scene(scene) -> PallasScene:
         [jnp.asarray(scene.blas_wide_f), jnp.asarray(scene.tlas_wide_f)]
     ).astype(jnp.float32)
     wide_i = jnp.concatenate([jnp.asarray(scene.blas_wide_i), tlas_i]).astype(jnp.int32)
-    wide = jnp.concatenate(
-        [wide_f, jax.lax.bitcast_convert_type(wide_i, jnp.float32)], axis=1
-    )  # (N,16)
-    wide_t = _pad_lanes(wide.T)
+    wide16 = jnp.concatenate(
+        [wide_f, jnp.zeros((wide_f.shape[0], 4), jnp.float32)], axis=1
+    )
+    wide_t = _pad_lanes(wide16.T)
+    widei8 = jnp.concatenate(
+        [wide_i, jnp.zeros((wide_i.shape[0], 4), jnp.int32)], axis=1
+    )
+    widei_t = _pad_lanes(widei8.T)
 
     n_tri = int(scene.tri_v0.shape[0])
     if n_tri:
@@ -121,6 +139,7 @@ def prepare_pallas_scene(scene) -> PallasScene:
 
     return PallasScene(
         wide_t=wide_t,
+        widei_t=widei_t,
         tri_t=tri_t,
         inst_t=inst_t,
         root_t=root_t,
@@ -130,7 +149,7 @@ def prepare_pallas_scene(scene) -> PallasScene:
     )
 
 
-def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: bool):
+def _traverse_kernel_factory(any_hit: bool):
     """Straight-line predicated kernel over transposed scene columns.
 
     Per node visit: one dynamic lane-slice (16,1) column fetch + static
@@ -140,12 +159,16 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
     re-bases the tile's rays via one (16,1) inverse-matrix column."""
 
     def kernel(
-        wide_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM, transposed)
+        meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst(=ident col), 0]
+        wide_ref, widei_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM)
         o_ref, d_ref, tlim_ref,  # per-tile inputs
         t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-tile outputs
         obj_ref,  # VMEM scratch (9,8,128)
         stack_ref,  # SMEM scratch (STACK_DEPTH,2) i32
     ):
+        tlas_root = meta_ref[0, 0]
+        n_tri = meta_ref[0, 1]
+        n_inst = meta_ref[0, 2]
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
 
         def fetch_col(ref, idx):
@@ -204,7 +227,7 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
         set_obj(jnp.int32(-1))
 
         def body(carry):
-            node, inst, cached, sp, alive = carry
+            node, inst, cached, sp, alive, iters = carry
 
             # ---- pop when requested ----
             do_pop = node == -1
@@ -306,16 +329,14 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
             l_any = l_any & is_int
             r_any = r_any & is_int
 
-            # Mosaic only bitcasts vectors: convert the whole column once,
-            # then extract scalars from the int view.
-            wcol_i = jax.lax.bitcast_convert_type(wcol, jnp.int32)
+            wcol_i = fetch_col(widei_ref, nsafe)  # (8,1) int codes
 
             def ibits(row):
                 return wcol_i[row, 0]
 
             def child_entry(col):
-                code = ibits(12 + col)
-                cnt = ibits(14 + col)
+                code = ibits(col)
+                cnt = ibits(2 + col)
                 payload = -code - 1
                 leaf_child = code < 0
                 in_tlas = inst < 0
@@ -361,17 +382,17 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
             )
             if any_hit:
                 alive = jnp.any(prim_ref[0] < 0)
-            return node, inst, cached, sp, alive
+            return node, inst, cached, sp, alive, iters + 1
 
         def cond(carry):
-            node, _inst, _c, sp, alive = carry
-            more = (node != -1) | (sp > 0)
+            node, _inst, _c, sp, alive, iters = carry
+            more = ((node != -1) | (sp > 0)) & (iters < KERNEL_MAX_ITERS)
             return more & alive if any_hit else more
 
         jax.lax.while_loop(
             cond, body,
             (jnp.int32(tlas_root), jnp.int32(-1), jnp.int32(-2), jnp.int32(0),
-             jnp.bool_(True)),
+             jnp.bool_(True), jnp.int32(0)),
         )
 
     return kernel
@@ -379,15 +400,16 @@ def _traverse_kernel_factory(tlas_root: int, n_tri: int, n_inst: int, any_hit: b
 
 @functools.partial(
     jax.jit,
-    static_argnames=("tlas_root", "n_tri", "n_inst", "any_hit", "interpret"),
+    static_argnames=("any_hit", "interpret"),
 )
 def _run_arrays(
-    wide_t, tri_t, inst_t, root_t, o4, d4, tl3,
-    tlas_root: int, n_tri: int, n_inst: int, any_hit: bool,
+    meta, wide_t, widei_t, tri_t, inst_t, root_t, o4, d4, tl3,
+    any_hit: bool,
     interpret: bool = False,
 ):
     T = o4.shape[0]
-    kernel = _traverse_kernel_factory(tlas_root, n_tri, n_inst, any_hit)
+    kernel = _traverse_kernel_factory(any_hit)
+    meta_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     tile3 = pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -403,7 +425,7 @@ def _run_arrays(
     return pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[scene_spec] * 4 + [tile3, tile3, tile1],
+        in_specs=[meta_spec] + [scene_spec] * 5 + [tile3, tile3, tile1],
         out_specs=(tile1, tile1, tile1, tile1, tile1),
         out_shape=out_shapes,
         scratch_shapes=[
@@ -411,26 +433,26 @@ def _run_arrays(
             pltpu.SMEM((STACK_DEPTH, 2), jnp.int32),
         ],
         interpret=interpret,
-    )(wide_t, tri_t, inst_t, root_t, o4, d4, tl3)
+    )(meta, wide_t, widei_t, tri_t, inst_t, root_t, o4, d4, tl3)
 
 
-def _chunk_tiles(scene_bytes: int) -> int:
-    """Max tiles per pallas_call: the axon AOT compiler stack-allocates the
-    call's FULL inputs+outputs (+double buffering) in scoped VMEM (16MB).
-    Per tile: 7 input + 5 output (8,128)-planes = 48KB, ~2x buffered."""
-    budget = 12 * 1024 * 1024 - scene_bytes
-    per_tile = 2 * 12 * 4096
-    return max(8, min(128, budget // per_tile))
+#: fixed tiles per pallas_call: the axon AOT compiler stack-allocates a
+#: call's FULL inputs+outputs (~2x buffered, 96KB/tile) in 16MB scoped VMEM
+#: alongside the scene arrays; 48 tiles leaves ~11MB for the scene. Fixed
+#: (not scene-adaptive) so the compiled kernel is shared across scenes.
+CHUNK_TILES = 48
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):
     T = o4.shape[0]
-    CHUNK_TILES = _chunk_tiles(ps.vmem_bytes)
+    meta = jnp.asarray(
+        [[ps.tlas_root, ps.n_tri, ps.n_inst, 0]], jnp.int32
+    )
 
     def call(o4c, d4c, tl3c):
         return _run_arrays(
-            ps.wide_t, ps.tri_t, ps.inst_t, ps.root_t, o4c, d4c, tl3c,
-            tlas_root=ps.tlas_root, n_tri=ps.n_tri, n_inst=ps.n_inst,
+            meta, ps.wide_t, ps.widei_t, ps.tri_t, ps.inst_t, ps.root_t,
+            o4c, d4c, tl3c,
             any_hit=any_hit, interpret=interpret,
         )
 

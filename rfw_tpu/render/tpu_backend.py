@@ -49,7 +49,7 @@ from rfw_tpu.models.mesh3d import Mesh3D
 from rfw_tpu.render.atlas import TextureAtlas, atlas_to_device, pack_atlas
 from rfw_tpu.render.lights_pack import DeviceLights, pack_lights
 from rfw_tpu.render.overlay import composite_overlay, rasterize_2d
-from rfw_tpu.render.pack import TraceScene, pack_trace_scene
+from rfw_tpu.render.pack import TraceScene, pack_trace_scene, repack_instances
 from rfw_tpu.render.wavefront import RenderConfig, render_sample
 from rfw_tpu.render import film as film_mod
 from rfw_tpu.utils import log
@@ -122,6 +122,7 @@ class TpuBackend:
 
         # dirty flags
         self._geo_dirty = True
+        self._inst_dirty = False  # instance-only motion (fast repack path)
         self._mat_dirty = True
         self._tex_dirty = True
         self._light_dirty = True
@@ -129,6 +130,7 @@ class TpuBackend:
 
         # device state
         self._scene_dev: Optional[TraceScene] = None
+        self._scene_host: Optional[TraceScene] = None
         self._mats_dev: Optional[DeviceMaterials] = None
         self._atlas_dev: Optional[TextureAtlas] = None
         self._lights_dev: Optional[DeviceLights] = None
@@ -158,9 +160,13 @@ class TpuBackend:
 
     def set_3d_instances(self, changed: Sequence[Tuple[int, InstancesView3D]]) -> None:
         for i, v in changed:
+            known = i in self._instances
+            same_count = known and self._instances[i].count == v.count
             self._instances[i] = v
-        if changed:
-            self._geo_dirty = True
+            if same_count:
+                self._inst_dirty = True  # motion only -> TLAS/instance repack
+            else:
+                self._geo_dirty = True
 
     def set_2d_meshes(self, changed: Sequence[Tuple[int, MeshView2D]]) -> None:
         for i, v in changed:
@@ -215,7 +221,38 @@ class TpuBackend:
         if self._geo_dirty or skinned_dirty:
             self._rebuild_scene()
             self._geo_dirty = False
+            self._inst_dirty = False
             self._skin_dirty.clear()
+            self._reset_film()
+        elif self._inst_dirty and self._scene_host is not None:
+            # instance-only motion: rebuild TLAS + instance arrays, keep
+            # geometry arenas on device untouched (reference gpu-rt TLAS-only
+            # refit per synchronize)
+            import jax
+
+            meshes_info = [
+                (slot, self._meshes[slot].aabb_min, self._meshes[slot].aabb_max)
+                for slot in self._instances
+                if slot in self._meshes
+            ]
+            instances = [
+                (slot, iv.matrices)
+                for slot, iv in self._instances.items()
+                if iv.count > 0 and slot in self._meshes
+            ]
+            new_host = repack_instances(self._scene_host, meshes_info, instances)
+            changed = {
+                f: jax.device_put(getattr(new_host, f))
+                for f in (
+                    "tlas_min", "tlas_max", "tlas_left", "tlas_right",
+                    "tlas_count", "tlas_prim", "tlas_wide_f", "tlas_wide_i",
+                    "inst_matrix", "inst_inv", "inst_normal", "inst_mesh",
+                    "blas_root", "blas_wide_root",
+                )
+            }
+            self._scene_dev = self._scene_dev._replace(**changed)
+            self._scene_host = new_host
+            self._inst_dirty = False
             self._reset_film()
         if self._mat_dirty and self._materials is not None:
             self._mats_dev = self._jax.device_put(self._materials)
@@ -372,6 +409,7 @@ class TpuBackend:
             meshes, instances, deformed_positions=deformed,
             built_blas_out=self._blas_cache,
         )
+        self._scene_host = scene
         self._scene_dev = jax.device_put(scene)
         _LOG.info(
             "scene packed: %d tris, %d instances", scene.num_triangles,
