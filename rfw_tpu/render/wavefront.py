@@ -376,7 +376,9 @@ def render_sample(
             mode = "packet"
     inv_perm = None
     pixel_ids = None
+    tile_lanes = 0
     if mode == "pallas" and R % PALLAS_LANES == 0:
+        tile_lanes = PALLAS_LANES
         sw = _block_swizzle(width, height, PALLAS_LANES)
         if sw is not None:
             px, py, inv_perm = sw
@@ -395,6 +397,7 @@ def render_sample(
         if lanes == 0:
             mode = "lockstep"
         else:
+            tile_lanes = lanes
             sw = _block_swizzle(width, height, lanes)
             if sw is not None:
                 px, py, inv_perm = sw
@@ -516,6 +519,14 @@ def render_sample(
 
         # ---- NEE ---------------------------------------------------------
         u_l = jax.random.uniform(jax.random.fold_in(kd, 1), (R, 3))
+        if tile_lanes:
+            # one light per packet tile: shadow rays in a tile then share a
+            # destination, keeping the occlusion packets coherent (the pick
+            # probability is identical for every lane, so pdfs are unchanged)
+            u_pick = jnp.broadcast_to(
+                u_l[:, 0].reshape(-1, tile_lanes)[:, :1], (R // tile_lanes, tile_lanes)
+            ).reshape(R)
+            u_l = jnp.concatenate([u_pick[:, None], u_l[:, 1:]], axis=1)
         wi_l, dist_l, rad_over_pdf, is_delta, pdf_nee_sa = _sample_light(
             lights, pos, u_l
         )

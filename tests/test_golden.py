@@ -1,0 +1,71 @@
+"""Golden-image regression: fixed-seed Cornell render must stay within RMSE
+tolerance of the checked-in reference frame (BASELINE.json correctness bar:
+1e-3 RMSE for traversal parity; the golden here guards the full integrator
+pipeline against regressions — generate with REGEN_GOLDEN=1)."""
+
+import os
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "cornell_64.npy")
+
+
+def render_cornell(size=64, spp=8):
+    import sys
+
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from examples.cornell import build_cornell
+    from rfw_tpu.backend.lights import (
+        DirectionalLightsView, PointLightsView, SpotLightsView,
+    )
+    from rfw_tpu.render import pack_trace_scene
+    from rfw_tpu.render.pack import TraceScene
+    from rfw_tpu.render.atlas import atlas_to_device, pack_atlas
+    from rfw_tpu.render.lights_pack import DeviceLights, pack_lights
+    from rfw_tpu.render.wavefront import RenderConfig, render_sample
+    from rfw_tpu.scene.camera import Camera3D
+    from rfw_tpu.scene.lights import extract_area_lights
+
+    mesh, mats = build_cornell()
+    flags = mats.light_flags()
+    emissive = flags[mesh.tri_material]
+    radiance = np.stack([mats.get(int(m)).emission for m in mesh.tri_material])
+    area, light_id = extract_area_lights(
+        emissive, radiance, mesh.tri_vertices(),
+        np.eye(4, dtype=np.float32)[None], 0, np.array([0]),
+    )
+    mesh.tri_light[:] = light_id
+    scene = pack_trace_scene([(0, mesh, None)], [(0, np.eye(4, dtype=np.float32)[None])])
+    sd = TraceScene(*[jnp.asarray(x) for x in scene])
+    dmats = jax.device_put(mats.to_device())
+    atlas = atlas_to_device(pack_atlas([t for _, t in mats.textures]))
+    dl = pack_lights(PointLightsView.empty(), SpotLightsView.empty(),
+                     DirectionalLightsView.empty(), area)
+    dlights = DeviceLights(*[jnp.asarray(x) for x in dl])
+    cam = Camera3D(fov=40).look_at(np.array([0, 1.0, 3.4], np.float32),
+                                   np.array([0, 1.0, 0], np.float32))
+    view = jnp.asarray(cam.get_view(size, size).as_array())
+    cfg = RenderConfig(max_bounces=3, clamp=50.0)
+    acc = jnp.zeros((size * size, 3), jnp.float32)
+    key = jax.random.PRNGKey(99)
+    for s in range(spp):
+        r = render_sample(sd, dmats, atlas, dlights, view,
+                          jax.random.fold_in(key, s), size, size, cfg)
+        acc = acc + r.radiance
+    return np.asarray(acc / spp).reshape(size, size, 3)
+
+
+def test_cornell_golden():
+    img = render_cornell()
+    if os.environ.get("REGEN_GOLDEN") == "1" or not os.path.exists(GOLDEN):
+        np.save(GOLDEN, img)
+        pytest.skip("golden (re)generated")
+    ref = np.load(GOLDEN)
+    rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
+    # identical seeds + identical math => tiny tolerance; traversal-order
+    # churn shows up as fireflies, so also bound the mean drift
+    assert rmse < 2e-2, rmse
+    assert abs(img.mean() - ref.mean()) < 5e-3, (img.mean(), ref.mean())
