@@ -49,27 +49,26 @@ VMEM_SCENE_BUDGET = 10 * 1024 * 1024
 
 
 class PallasScene(NamedTuple):
-    """Transposed column layouts: VMEM tiles are (8,128), so an (N,12) array
-    would be lane-padded to (N,128) — 10x waste (pica's triangles alone
-    would inflate to 39MB). Instead each record is a COLUMN: (16, Npad)
-    with the record index in the lane dimension. A fetch is one dynamic
-    lane-slice (16,1) + static sublane extracts."""
+    """Transposed column layouts for the 8-wide supernode traversal.
 
-    wide_t: jax.Array  # (16, Npad) f32: rows 0..11 child boxes (12..15 pad)
-    widei_t: jax.Array  # (8, Npad) i32: rows 0..3 [l_code, r_code, l_cnt, r_cnt]
-    #   (kept integer end-to-end: bitcast-as-float views are denormals that
-    #   TPU float relayouts flush to zero)
+    VMEM tiles are (8,128): records live in the lane dimension so nothing
+    lane-pads. A supernode fetch is one aligned-block one-hot reduction of
+    the (48, Spad) box array + one of the (16, Spad) int array (8 child
+    codes + 8 leaf counts). Integer data stays integer end-to-end — bitcast
+    int-as-float views are denormals that TPU relayouts flush to zero."""
+
+    box8_t: jax.Array  # (48, Spad) f32: child k rows 6k..6k+5 = min3|max3
+    int8_t: jax.Array  # (16, Spad) i32: rows 0..7 codes, 8..15 counts
     tri_t: jax.Array  # (16, Tpad) f32: rows 0..8 = v0,e1,e2
-    inst_t: jax.Array  # (16, Ipad+1) f32: rows 0..11 world->object; the
-    #   last column is the identity (used for TLAS-space rays)
-    root_t: jax.Array  # (8, Ipad) i32: row 0 = blas wide root per instance
+    inst_t: jax.Array  # (16, Ipad+1) f32: world->object; last col = identity
+    root_t: jax.Array  # (8, Ipad) i32: row 0 = blas8 root per instance
     tlas_root: int
     n_tri: int
     n_inst: int
 
     @property
     def vmem_bytes(self) -> int:
-        return 4 * (self.wide_t.size + self.widei_t.size + self.tri_t.size
+        return 4 * (self.box8_t.size + self.int8_t.size + self.tri_t.size
                     + self.inst_t.size + self.root_t.size)
 
 
@@ -91,24 +90,21 @@ def _pad_lanes(a: jax.Array, mult: int = 128) -> jax.Array:
 
 
 def prepare_pallas_scene(scene) -> PallasScene:
-    """Build transposed kernel arrays from a TraceScene. Pure jnp: safe to
-    call on device arrays or inside jit (the integrator traces through it)."""
-    nb = int(scene.blas_wide_f.shape[0])
-    tlas_i = jnp.asarray(scene.tlas_wide_i)
-    codes = jnp.where(tlas_i[:, :2] >= 0, tlas_i[:, :2] + nb, tlas_i[:, :2])
-    tlas_i = jnp.concatenate([codes, tlas_i[:, 2:]], axis=1)
-    wide_f = jnp.concatenate(
-        [jnp.asarray(scene.blas_wide_f), jnp.asarray(scene.tlas_wide_f)]
+    """Build transposed 8-wide kernel arrays from a TraceScene. Pure jnp:
+    safe on device arrays or traced inside jit."""
+    nb8 = int(scene.blas8_box.shape[0])
+    t_code = jnp.asarray(scene.tlas8_code)
+    t_code = jnp.where(t_code >= 0, t_code + nb8, t_code)
+    box8 = jnp.concatenate(
+        [jnp.asarray(scene.blas8_box), jnp.asarray(scene.tlas8_box)]
     ).astype(jnp.float32)
-    wide_i = jnp.concatenate([jnp.asarray(scene.blas_wide_i), tlas_i]).astype(jnp.int32)
-    wide16 = jnp.concatenate(
-        [wide_f, jnp.zeros((wide_f.shape[0], 4), jnp.float32)], axis=1
-    )
-    wide_t = _pad_lanes(wide16.T)
-    widei8 = jnp.concatenate(
-        [wide_i, jnp.zeros((wide_i.shape[0], 4), jnp.int32)], axis=1
-    )
-    widei_t = _pad_lanes(widei8.T)
+    code8 = jnp.concatenate([jnp.asarray(scene.blas8_code), t_code]).astype(jnp.int32)
+    cnt8 = jnp.concatenate(
+        [jnp.asarray(scene.blas8_cnt), jnp.asarray(scene.tlas8_cnt)]
+    ).astype(jnp.int32)
+    int8 = jnp.concatenate([code8, cnt8], axis=1)  # (S,16)
+    box8_t = _pad_lanes(box8.T)
+    int8_t = _pad_lanes(int8.T)
 
     n_tri = int(scene.tri_v0.shape[0])
     if n_tri:
@@ -132,18 +128,18 @@ def prepare_pallas_scene(scene) -> PallasScene:
     inst_t = _pad_lanes(inv16.T)
     ident_col = inv12.shape[0] - 1
 
-    roots = (jnp.asarray(scene.blas_wide_root).astype(jnp.int32)
+    roots = (jnp.asarray(scene.blas8_root).astype(jnp.int32)
              if n_inst else jnp.zeros(1, jnp.int32))
     root8 = jnp.zeros((8, roots.shape[0]), jnp.int32).at[0].set(roots)
     root_t = _pad_lanes(root8)
 
     return PallasScene(
-        wide_t=wide_t,
-        widei_t=widei_t,
+        box8_t=box8_t,
+        int8_t=int8_t,
         tri_t=tri_t,
         inst_t=inst_t,
         root_t=root_t,
-        tlas_root=nb,
+        tlas_root=nb8,
         n_tri=n_tri,
         n_inst=ident_col,
     )
@@ -160,7 +156,7 @@ def _traverse_kernel_factory(any_hit: bool):
 
     def kernel(
         meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst(=ident col), 0]
-        wide_ref, widei_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM)
+        box8_ref, int8_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM)
         o_ref, d_ref, tlim_ref,  # per-tile inputs
         t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-tile outputs
         obj_ref,  # VMEM scratch (9,8,128)
@@ -294,17 +290,37 @@ def _traverse_kernel_factory(any_hit: bool):
                     u_ref[0] = jnp.where(ok, uq, u_ref[0])
                     v_ref[0] = jnp.where(ok, vq, v_ref[0])
 
-            # ---- internal phase (masked) ----
+            # ---- internal phase (8-wide, masked) ----
             nsafe = jnp.maximum(node, 0)
-            wcol = fetch_col(wide_ref, nsafe)  # (16,1)
+            bcol = fetch_col(box8_ref, nsafe)  # (48,1) f32
+            icol = fetch_col(int8_ref, nsafe)  # (16,1) i32
 
-            def slab(base):
-                mnx = wcol[base, 0]
-                mny = wcol[base + 1, 0]
-                mnz = wcol[base + 2, 0]
-                mxx = wcol[base + 3, 0]
-                mxy = wcol[base + 4, 0]
-                mxz = wcol[base + 5, 0]
+            in_tlas = inst < 0
+
+            def child_entry(code, cnt):
+                payload = -code - 1
+                leaf_child = code < 0
+                iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
+                tlas_entry = fetch_col(root_ref, iid)[0, 0]
+                blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
+                e_code = jnp.where(
+                    leaf_child, jnp.where(in_tlas, tlas_entry, blas_entry), code
+                )
+                e_inst = jnp.where(leaf_child & in_tlas, payload, inst)
+                return e_code, e_inst
+
+            # Visit the nearest hit child next; push the rest. Running
+            # nearest-selection keeps it one pass over the 8 children.
+            next_code = jnp.int32(-1)
+            next_inst = inst
+            best_tn = jnp.float32(jnp.inf)
+            for k in range(8):
+                mnx = bcol[6 * k + 0, 0]
+                mny = bcol[6 * k + 1, 0]
+                mnz = bcol[6 * k + 2, 0]
+                mxx = bcol[6 * k + 3, 0]
+                mxy = bcol[6 * k + 4, 0]
+                mxz = bcol[6 * k + 5, 0]
                 tx0 = (mnx - ox) * ix
                 tx1 = (mxx - ox) * ix
                 ty0 = (mny - oy) * iy
@@ -319,67 +335,32 @@ def _traverse_kernel_factory(any_hit: bool):
                     jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
                     jnp.maximum(tz0, tz1),
                 )
-                ok = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+                okl = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
                 if any_hit:
-                    ok = ok & (prim_ref[0] < 0)
-                return jnp.any(ok), jnp.min(jnp.where(ok, tn, jnp.inf))
+                    okl = okl & (prim_ref[0] < 0)
+                hitk = jnp.any(okl) & is_int
+                tnk = jnp.min(jnp.where(okl, tn, jnp.inf))
 
-            l_any, lt = slab(0)
-            r_any, rt = slab(6)
-            l_any = l_any & is_int
-            r_any = r_any & is_int
+                e_code, e_inst = child_entry(icol[k, 0], icol[8 + k, 0])
+                better = hitk & (tnk < best_tn)
+                push_code = jnp.where(better, next_code, e_code)
+                push_inst = jnp.where(better, next_inst, e_inst)
+                do_push = hitk & (jnp.logical_not(better) | (next_code != -1))
 
-            wcol_i = fetch_col(widei_ref, nsafe)  # (8,1) int codes
+                @pl.when(do_push)
+                def _():
+                    slot = jnp.minimum(sp, STACK_DEPTH - 1)
+                    stack_ref[slot, 0] = push_code
+                    stack_ref[slot, 1] = push_inst
 
-            def ibits(row):
-                return wcol_i[row, 0]
+                sp = jnp.where(do_push, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+                next_code = jnp.where(better, e_code, next_code)
+                next_inst = jnp.where(better, e_inst, next_inst)
+                best_tn = jnp.where(better, tnk, best_tn)
 
-            def child_entry(col):
-                code = ibits(col)
-                cnt = ibits(2 + col)
-                payload = -code - 1
-                leaf_child = code < 0
-                in_tlas = inst < 0
-                iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
-                tlas_entry = fetch_col(root_ref, iid)[0, 0]
-                blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
-                e_code = jnp.where(
-                    leaf_child, jnp.where(in_tlas, tlas_entry, blas_entry), code
-                )
-                e_inst = jnp.where(leaf_child & in_tlas, payload, inst)
-                return e_code, e_inst
+            node = jnp.where(is_int, next_code, jnp.int32(-1))
+            inst = jnp.where(is_int, next_inst, inst)
 
-            l_code, l_inst = child_entry(0)
-            r_code, r_inst = child_entry(1)
-
-            both = l_any & r_any
-            near_l = lt <= rt
-            near_code = jnp.where(near_l, l_code, r_code)
-            near_inst = jnp.where(near_l, l_inst, r_inst)
-            far_code = jnp.where(near_l, r_code, l_code)
-            far_inst = jnp.where(near_l, r_inst, l_inst)
-            one = l_any ^ r_any
-            one_code = jnp.where(l_any, l_code, r_code)
-            one_inst = jnp.where(l_any, l_inst, r_inst)
-
-            @pl.when(both)
-            def _():
-                slot = jnp.minimum(sp, STACK_DEPTH - 1)
-                stack_ref[slot, 0] = far_code
-                stack_ref[slot, 1] = far_inst
-
-            sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
-            node = jnp.where(
-                is_int,
-                jnp.where(both, near_code,
-                          jnp.where(one, one_code, jnp.int32(-1))),
-                jnp.int32(-1),
-            )
-            inst = jnp.where(
-                is_int,
-                jnp.where(both, near_inst, jnp.where(one, one_inst, inst)),
-                inst,
-            )
             if any_hit:
                 alive = jnp.any(prim_ref[0] < 0)
             return node, inst, cached, sp, alive, iters + 1
@@ -403,7 +384,7 @@ def _traverse_kernel_factory(any_hit: bool):
     static_argnames=("any_hit", "interpret"),
 )
 def _run_arrays(
-    meta, wide_t, widei_t, tri_t, inst_t, root_t, o4, d4, tl3,
+    meta, box8_t, int8_t, tri_t, inst_t, root_t, o4, d4, tl3,
     any_hit: bool,
     interpret: bool = False,
 ):
@@ -433,7 +414,7 @@ def _run_arrays(
             pltpu.SMEM((STACK_DEPTH, 2), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, wide_t, widei_t, tri_t, inst_t, root_t, o4, d4, tl3)
+    )(meta, box8_t, int8_t, tri_t, inst_t, root_t, o4, d4, tl3)
 
 
 #: fixed tiles per pallas_call: the axon AOT compiler stack-allocates a
@@ -451,7 +432,7 @@ def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):
 
     def call(o4c, d4c, tl3c):
         return _run_arrays(
-            meta, ps.wide_t, ps.widei_t, ps.tri_t, ps.inst_t, ps.root_t,
+            meta, ps.box8_t, ps.int8_t, ps.tri_t, ps.inst_t, ps.root_t,
             o4c, d4c, tl3c,
             any_hit=any_hit, interpret=interpret,
         )

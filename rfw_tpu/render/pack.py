@@ -66,6 +66,15 @@ class TraceScene(NamedTuple):
     blas_wide_i: np.ndarray
     blas_wide_root: np.ndarray  # (I,) wide root per instance
 
+    # 8-wide supernode mirrors (Pallas traversal): see build_wide8
+    tlas8_box: np.ndarray  # (St,48)
+    tlas8_code: np.ndarray  # (St,8)
+    tlas8_cnt: np.ndarray  # (St,8)
+    blas8_box: np.ndarray  # (Sb,48)
+    blas8_code: np.ndarray  # (Sb,8)
+    blas8_cnt: np.ndarray  # (Sb,8)
+    blas8_root: np.ndarray  # (I,) supernode root per instance
+
     # triangle arena
     tri_v0: np.ndarray  # (T,3)
     tri_e1: np.ndarray
@@ -189,6 +198,10 @@ def pack_trace_scene(
     vtx_chunks = []
     wide_f_chunks = []
     wide_i_chunks = []
+    wide8_box_chunks = []
+    wide8_code_chunks = []
+    wide8_cnt_chunks = []
+    wide8_offset = 0
     node_offset = 0
     tri_offset = 0
     vtx_offset = 0
@@ -243,14 +256,22 @@ def pack_trace_scene(
         wide_f_chunks.append(wf)
         wide_i_chunks.append(wi)
 
+        # 8-wide supernode mirror
+        b8, c8, n8 = build_wide8(bvh, tlas=False, leaf_base_offset=tri_offset)
+        c8 = np.where(c8 >= 0, c8 + wide8_offset, c8)
+        wide8_box_chunks.append(b8)
+        wide8_code_chunks.append(c8)
+        wide8_cnt_chunks.append(n8)
+
         pos_mn = pos.min(axis=0) if len(pos) else np.zeros(3, np.float32)
         pos_mx = pos.max(axis=0) if len(pos) else np.zeros(3, np.float32)
         mesh_info[slot] = (node_offset, pos_mn.astype(np.float32), pos_mx.astype(np.float32),
-                           wroot + wide_offset)
+                           wroot + wide_offset, wide8_offset)
         node_offset += bvh.num_nodes
         tri_offset += len(po)
         vtx_offset += pos.shape[0]
         wide_offset += wf.shape[0]
+        wide8_offset += b8.shape[0]
 
     def cat(key, chunks, default_shape, dtype):
         arrs = [c[key] for c in chunks]
@@ -296,6 +317,9 @@ def pack_trace_scene(
     blas_wide_root = np.array(
         [mesh_info[m][3] for m in inst_mesh], np.int32
     ) if n_inst else np.zeros(0, np.int32)
+    blas8_root = np.array(
+        [mesh_info[m][4] for m in inst_mesh], np.int32
+    ) if n_inst else np.zeros(0, np.int32)
 
     # world-space instance bounds for TLAS
     if n_inst:
@@ -305,10 +329,14 @@ def pack_trace_scene(
         tlas = build_bvh_sah(wb.min, wb.max, max_leaf=1)
         tlas_wf, tlas_wi, tlas_wroot = build_wide_nodes(tlas, tlas=True)
         assert tlas_wroot == 0
+        tlas8_box, tlas8_code, tlas8_cnt = build_wide8(tlas, tlas=True)
     else:
         tlas = build_bvh_sah(np.zeros((0, 3)), np.zeros((0, 3)))
         tlas_wf = np.zeros((1, 12), np.float32)
         tlas_wi = np.full((1, 4), -1, np.int32)
+        tlas8_box = np.full((1, 48), np.inf, np.float32)
+        tlas8_code = np.full((1, 8), -1, np.int32)
+        tlas8_cnt = np.zeros((1, 8), np.int32)
 
     return TraceScene(
         tlas_min=tlas.node_min, tlas_max=tlas.node_max,
@@ -324,6 +352,14 @@ def pack_trace_scene(
         blas_wide_i=(np.concatenate(wide_i_chunks) if wide_i_chunks
                      else np.full((1, 4), -1, np.int32)),
         blas_wide_root=blas_wide_root,
+        tlas8_box=tlas8_box, tlas8_code=tlas8_code, tlas8_cnt=tlas8_cnt,
+        blas8_box=(np.concatenate(wide8_box_chunks) if wide8_box_chunks
+                   else np.full((1, 48), np.inf, np.float32)),
+        blas8_code=(np.concatenate(wide8_code_chunks) if wide8_code_chunks
+                    else np.full((1, 8), -1, np.int32)),
+        blas8_cnt=(np.concatenate(wide8_cnt_chunks) if wide8_cnt_chunks
+                   else np.zeros((1, 8), np.int32)),
+        blas8_root=blas8_root,
         tri_v0=cat("v0", tri_chunks, (0, 3), np.float32),
         tri_e1=cat("e1", tri_chunks, (0, 3), np.float32),
         tri_e2=cat("e2", tri_chunks, (0, 3), np.float32),
@@ -386,13 +422,111 @@ def repack_instances(
                              local_max.astype(np.float32)), inst_matrix)
     tlas = build_bvh_sah(wb.min, wb.max, max_leaf=1)
     tlas_wf, tlas_wi, _ = build_wide_nodes(tlas, tlas=True)
+    tlas8_box, tlas8_code, tlas8_cnt = build_wide8(tlas, tlas=True)
+    slot_root8 = {}
+    for i in range(base.inst_matrix.shape[0]):
+        slot_root8[int(base.inst_mesh[i])] = int(base.blas8_root[i])
+    blas8_root = np.array([slot_root8[int(m)] for m in inst_mesh], np.int32)
 
     return base._replace(
         tlas_min=tlas.node_min, tlas_max=tlas.node_max,
         tlas_left=tlas.node_left, tlas_right=tlas.node_right,
         tlas_count=tlas.node_count, tlas_prim=tlas.prim_order,
         tlas_wide_f=tlas_wf, tlas_wide_i=tlas_wi,
+        tlas8_box=tlas8_box, tlas8_code=tlas8_code, tlas8_cnt=tlas8_cnt,
         inst_matrix=inst_matrix, inst_inv=inst_inv,
         inst_normal=inst_normal, inst_mesh=inst_mesh,
         blas_root=blas_root, blas_wide_root=blas_wide_root,
+        blas8_root=blas8_root,
     )
+
+
+def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
+    """Collapse the binary BVH into 8-wide super nodes (3 levels at a time)
+    for the Pallas traversal: ~3x fewer node visits per ray at ~4x the VPU
+    work per visit — a clear win when fetch/branch overhead per visit is
+    comparable to the vector math (measured on v5e).
+
+    Returns (box (S,48) f32, code (S,8) i32, cnt (S,8) i32):
+      child k occupies box[:, 6k:6k+6] = [min3 | max3];
+      code >= 0: child super-node id; code < 0: leaf, payload = -code-1
+        (TLAS: instance id; BLAS: first packed-triangle index, pre-offset);
+      unused children carry empty boxes (+inf/-inf) and are never visited.
+    """
+    from collections import deque
+
+    n_count = bvh.node_count
+    n_left = bvh.node_left
+    n_right = bvh.node_right
+
+    def leaf_payload(n: int) -> int:
+        if tlas:
+            return int(bvh.prim_order[n_left[n]])
+        return int(n_left[n]) + leaf_base_offset
+
+    # root is a leaf: single super node with one leaf child
+    if n_count[0] > 0:
+        box = np.full((1, 48), np.inf, np.float32)
+        box[0, 3:6] = -np.inf  # child 0 gets the real box below
+        for k in range(8):
+            box[0, 6 * k : 6 * k + 3] = np.inf
+            box[0, 6 * k + 3 : 6 * k + 6] = -np.inf
+        box[0, 0:3] = bvh.node_min[0]
+        box[0, 3:6] = bvh.node_max[0]
+        code = np.full((1, 8), -1, np.int32)
+        cnt = np.zeros((1, 8), np.int32)
+        code[0, 0] = -(leaf_payload(0) + 1)
+        cnt[0, 0] = int(n_count[0])
+        return box, code, cnt
+
+    super_of = {}
+    order = []
+    queue = deque()
+
+    def sid(b: int) -> int:
+        if b not in super_of:
+            super_of[b] = len(order)
+            order.append(b)
+            queue.append(b)
+        return super_of[b]
+
+    sid(0)
+    children = []
+    while queue:
+        b = queue.popleft()
+        entries = []
+        frontier = [(int(n_left[b]), 1), (int(n_right[b]), 1)]
+        while frontier:
+            n, dpt = frontier.pop()
+            if n_count[n] > 0:
+                entries.append(("leaf", n))
+            elif dpt >= 3:
+                entries.append(("int", n))
+            else:
+                frontier.append((int(n_left[n]), dpt + 1))
+                frontier.append((int(n_right[n]), dpt + 1))
+        children.append(entries)
+        for kind, n in entries:
+            if kind == "int":
+                sid(n)
+
+    S = len(order)
+    box = np.empty((S, 48), np.float32)
+    box[:, 0::6] = np.inf
+    box[:, 1::6] = np.inf
+    box[:, 2::6] = np.inf
+    box[:, 3::6] = -np.inf
+    box[:, 4::6] = -np.inf
+    box[:, 5::6] = -np.inf
+    code = np.full((S, 8), -1, np.int32)
+    cnt = np.zeros((S, 8), np.int32)
+    for si, entries in enumerate(children):
+        for k, (kind, n) in enumerate(entries):
+            box[si, 6 * k : 6 * k + 3] = bvh.node_min[n]
+            box[si, 6 * k + 3 : 6 * k + 6] = bvh.node_max[n]
+            if kind == "leaf":
+                code[si, k] = -(leaf_payload(n) + 1)
+                cnt[si, k] = int(n_count[n])
+            else:
+                code[si, k] = super_of[n]
+    return box, code, cnt
