@@ -61,7 +61,7 @@ class PallasScene(NamedTuple):
     int8_t: jax.Array  # (16, Spad) i32: rows 0..7 codes, 8..15 counts
     tri_t: jax.Array  # (16, Tpad) f32: rows 0..8 = v0,e1,e2
     inst_t: jax.Array  # (16, Ipad+1) f32: world->object; last col = identity
-    root_t: jax.Array  # (8, Ipad) i32: row 0 = blas8 root per instance
+    root_t: jax.Array  # (1, Ipad) i32 in SMEM: blas8 root per instance
     tlas_root: int
     n_tri: int
     n_inst: int
@@ -130,8 +130,7 @@ def prepare_pallas_scene(scene) -> PallasScene:
 
     roots = (jnp.asarray(scene.blas8_root).astype(jnp.int32)
              if n_inst else jnp.zeros(1, jnp.int32))
-    root8 = jnp.zeros((8, roots.shape[0]), jnp.int32).at[0].set(roots)
-    root_t = _pad_lanes(root8)
+    root_t = _pad_lanes(roots[None, :])  # (1, Ipad) — lives in SMEM
 
     return PallasScene(
         box8_t=box8_t,
@@ -291,6 +290,7 @@ def _traverse_kernel_factory(any_hit: bool):
                     v_ref[0] = jnp.where(ok, vq, v_ref[0])
 
             # ---- internal phase (8-wide, masked) ----
+            t_best = t_ref[0]  # reload: the leaf phase may have tightened it
             nsafe = jnp.maximum(node, 0)
             bcol = fetch_col(box8_ref, nsafe)  # (48,1) f32
             icol = fetch_col(int8_ref, nsafe)  # (16,1) i32
@@ -301,7 +301,7 @@ def _traverse_kernel_factory(any_hit: bool):
                 payload = -code - 1
                 leaf_child = code < 0
                 iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
-                tlas_entry = fetch_col(root_ref, iid)[0, 0]
+                tlas_entry = root_ref[0, iid]  # SMEM scalar read
                 blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
                 e_code = jnp.where(
                     leaf_child, jnp.where(in_tlas, tlas_entry, blas_entry), code
@@ -391,6 +391,7 @@ def _run_arrays(
     T = o4.shape[0]
     kernel = _traverse_kernel_factory(any_hit)
     meta_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     tile3 = pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
@@ -406,7 +407,8 @@ def _run_arrays(
     return pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[meta_spec] + [scene_spec] * 5 + [tile3, tile3, tile1],
+        in_specs=[meta_spec] + [scene_spec] * 4 + [smem_spec]
+        + [tile3, tile3, tile1],
         out_specs=(tile1, tile1, tile1, tile1, tile1),
         out_shape=out_shapes,
         scratch_shapes=[
