@@ -339,24 +339,19 @@ def _traverse_kernel_factory(any_hit: bool):
                 if any_hit:
                     okl = okl & (prim_ref[0] < 0)
                 hitk = jnp.any(okl) & is_int
-                tnk = jnp.min(jnp.where(okl, tn, jnp.inf))
 
                 e_code, e_inst = child_entry(icol[k, 0], icol[8 + k, 0])
-                better = hitk & (tnk < best_tn)
-                push_code = jnp.where(better, next_code, e_code)
-                push_inst = jnp.where(better, next_inst, e_inst)
-                do_push = hitk & (jnp.logical_not(better) | (next_code != -1))
+                do_push = hitk & (next_code != -1)
 
                 @pl.when(do_push)
                 def _():
                     slot = jnp.minimum(sp, STACK_DEPTH - 1)
-                    stack_ref[slot, 0] = push_code
-                    stack_ref[slot, 1] = push_inst
+                    stack_ref[slot, 0] = jnp.where(True, next_code, next_code)
+                    stack_ref[slot, 1] = next_inst
 
                 sp = jnp.where(do_push, jnp.minimum(sp + 1, STACK_DEPTH), sp)
-                next_code = jnp.where(better, e_code, next_code)
-                next_inst = jnp.where(better, e_inst, next_inst)
-                best_tn = jnp.where(better, tnk, best_tn)
+                next_code = jnp.where(hitk, e_code, next_code)
+                next_inst = jnp.where(hitk, e_inst, next_inst)
 
             node = jnp.where(is_int, next_code, jnp.int32(-1))
             inst = jnp.where(is_int, next_inst, inst)
