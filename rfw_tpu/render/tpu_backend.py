@@ -142,6 +142,16 @@ class TpuBackend:
         self._last_view: Optional[np.ndarray] = None
         self._sky_tex_id = -1
 
+        # observability (SURVEY §5: frame timers + Mrays/s counters)
+        from rfw_tpu.utils import Averager
+
+        self.stats = {
+            "sync_ms": Averager(100),
+            "render_ms": Averager(100),
+            "mrays_per_s": Averager(100),
+            "spp_total": 0,
+        }
+
     # ================= Backend contract =================
     def set_3d_meshes(self, changed: Sequence[Tuple[int, MeshView3D]]) -> None:
         for i, v in changed:
@@ -212,6 +222,9 @@ class TpuBackend:
             self._skin_dirty.add(i)
 
     def synchronize(self) -> None:
+        import time as _time
+
+        _t0 = _time.perf_counter()
         import jax.numpy as jnp
 
         # skinned meshes force geometry refresh when their skin updated
@@ -288,6 +301,7 @@ class TpuBackend:
             self._lights_dev = DeviceLights(*[jnp.asarray(x) for x in dl])
             self._light_dirty = False
             self._reset_film()
+        self.stats["sync_ms"].add((_time.perf_counter() - _t0) * 1e3)
 
     def render(
         self,
@@ -320,6 +334,9 @@ class TpuBackend:
             self._film = film_mod.new_film(self.width, self.height)
             self._spp = 0
 
+        import time as _time
+
+        _t_render0 = _time.perf_counter()
         cfg = RenderConfig(
             max_bounces=self.settings.max_bounces,
             clamp=self.settings.clamp,
@@ -341,8 +358,18 @@ class TpuBackend:
             )
             self._film = film_mod.add_sample(self._film, res.radiance)
             last = res
+        import time as _time
+
+        if last is not None:
+            jax.block_until_ready(self._film)
         self._spp += self.settings.samples_per_frame
         self._frame_index += 1
+        dt = _time.perf_counter() - _t_render0
+        self.stats["render_ms"].add(dt * 1e3)
+        rays = (self.width * self.height * self.settings.samples_per_frame
+                * 2 * (self.settings.max_bounces + 1))
+        self.stats["mrays_per_s"].add(rays / max(dt, 1e-9) / 1e6)
+        self.stats["spp_total"] = self._spp
 
         # AOV debug views (reference RenderMode -> G-buffer channels)
         if mode in (RenderMode.NORMAL, RenderMode.ALBEDO, RenderMode.GBUFFER,
