@@ -101,7 +101,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--height", type=int, default=1080)
-    ap.add_argument("--spp", type=int, default=4, help="timed samples")
+    ap.add_argument("--spp", type=int, default=8, help="timed samples")
     ap.add_argument("--bounces", type=int, default=1)
     ap.add_argument("--save", default=None, help="optional PNG output")
     args = ap.parse_args()

@@ -102,7 +102,10 @@ def pack_lights(
     if n == 0 or total <= 0:
         prob = np.ones(max(n, 1), np.float32) / max(n, 1)
     else:
-        prob = weights / total
+        # Defensive 50/50 blend with uniform: bounds the 1/pick_p firefly
+        # amplification when the power heuristic misjudges a light's actual
+        # contribution (e.g. a dim sun that nonetheless dominates shading).
+        prob = 0.5 * weights / total + 0.5 / n
     cdf = np.cumsum(prob).astype(np.float32)
     if len(cdf):
         cdf[-1] = 1.0

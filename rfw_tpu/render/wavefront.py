@@ -518,15 +518,10 @@ def render_sample(
         wo = disney.to_local(tan, bitan, ns, -st.ray_d)
 
         # ---- NEE ---------------------------------------------------------
+        # NOTE: per-lane light picks. A tile-shared pick keeps shadow packets
+        # maximally coherent (+1% here) but turns estimator variance into
+        # visible tile-shaped banding at low spp — not worth it.
         u_l = jax.random.uniform(jax.random.fold_in(kd, 1), (R, 3))
-        if tile_lanes:
-            # one light per packet tile: shadow rays in a tile then share a
-            # destination, keeping the occlusion packets coherent (the pick
-            # probability is identical for every lane, so pdfs are unchanged)
-            u_pick = jnp.broadcast_to(
-                u_l[:, 0].reshape(-1, tile_lanes)[:, :1], (R // tile_lanes, tile_lanes)
-            ).reshape(R)
-            u_l = jnp.concatenate([u_pick[:, None], u_l[:, 1:]], axis=1)
         wi_l, dist_l, rad_over_pdf, is_delta, pdf_nee_sa = _sample_light(
             lights, pos, u_l
         )
