@@ -13,7 +13,7 @@ import pytest
 GOLDEN = os.path.join(os.path.dirname(__file__), "golden", "cornell_64.npy")
 
 
-def render_cornell(size=64, spp=8):
+def render_cornell(size=64, spp=16):
     import sys
 
     sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
@@ -65,7 +65,8 @@ def test_cornell_golden():
         pytest.skip("golden (re)generated")
     ref = np.load(GOLDEN)
     rmse = float(np.sqrt(np.mean((img - ref) ** 2)))
-    # identical seeds + identical math => tiny tolerance; traversal-order
-    # churn shows up as fireflies, so also bound the mean drift
+    # identical seeds + identical math => tiny tolerance. NOTE: intentional
+    # estimator changes (sampling distributions) shift the noise realization;
+    # regenerate with REGEN_GOLDEN=1 when that is the cause.
     assert rmse < 2e-2, rmse
     assert abs(img.mean() - ref.mean()) < 5e-3, (img.mean(), ref.mean())
