@@ -68,6 +68,7 @@ class TpuSettings:
     exposure: float = 1.0
     tonemap: str = "aces"
     enable_skinning: bool = True
+    sampler: str = "sobol"  # "sobol" (low-discrepancy) | "random"
 
 
 def _mesh_from_view(v: MeshView3D) -> Mesh3D:
@@ -342,6 +343,7 @@ class TpuBackend:
             clamp=self.settings.clamp,
             sky_intensity=self.settings.sky_intensity,
             ao_aov=mode in (RenderMode.SSAO, RenderMode.FILTERED_SSAO),
+            sampler=self.settings.sampler,
         )
         view_dev = jnp.asarray(view_arr)
         key = jax.random.PRNGKey(42)
@@ -355,6 +357,7 @@ class TpuBackend:
                 self._scene_dev, self._mats_dev, self._atlas_dev, self._lights_dev,
                 view_dev, jax.random.fold_in(key, self._spp + s),
                 self.width, self.height, cfg, sky_tex=sky_tex,
+                sample_index=jnp.uint32(self._spp + s),
             )
             self._film = film_mod.add_sample(self._film, res.radiance)
             last = res

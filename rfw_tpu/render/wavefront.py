@@ -38,6 +38,7 @@ from rfw_tpu.render import disney
 from rfw_tpu.render.atlas import TextureAtlas, sample_bilinear
 from rfw_tpu.render.intersect import T_MAX, bvh_closest_hit, bvh_occluded
 from rfw_tpu.render.lights_pack import DeviceLights
+from rfw_tpu.render.sampler import sample_slot
 from rfw_tpu.render.packet import (
     packet_closest_hit,
     packet_occluded,
@@ -94,6 +95,8 @@ class RenderConfig:
     ao_radius: float = 0.5
     traversal: str = "auto"  # auto | pallas | packet | lockstep
     lanes: int = 256  # packet tile width (rays per shared stack)
+    sampler: str = "random"  # "random" (threefry) | "sobol" (Owen-scrambled;
+    #   needs sample_index passed to render_sample)
 
 
 class SampleResult(NamedTuple):
@@ -107,7 +110,8 @@ class SampleResult(NamedTuple):
 
 # ------------------------------------------------------------------ camera
 def camera_rays(
-    view: jax.Array, width: int, height: int, key: jax.Array, pixel_ids=None
+    view: jax.Array, width: int, height: int, key: jax.Array, pixel_ids=None,
+    jitter=None,
 ) -> Tuple[jax.Array, jax.Array]:
     """Primary rays from the flattened CameraView3D (24,) vector
     (reference CameraView3D::generate_lens_ray, rfw-backend/src/structs.rs:
@@ -127,13 +131,16 @@ def camera_rays(
         py = jnp.arange(n, dtype=jnp.int32) // width
     else:
         px, py = pixel_ids
-    k1, k2 = jax.random.split(key)
-    jit_uv = jax.random.uniform(k1, (n, 2))
+    if jitter is None:
+        k1, k2 = jax.random.split(key)
+        jit_uv = jax.random.uniform(k1, (n, 2))
+        lens_uv = jax.random.uniform(k2, (n, 2))
+    else:
+        jit_uv, lens_uv = jitter
     r = (px.astype(jnp.float32) + jit_uv[:, 0]) * inv_w
     s = (py.astype(jnp.float32) + jit_uv[:, 1]) * inv_h
 
     # thin-lens origin jitter on a disk
-    lens_uv = jax.random.uniform(k2, (n, 2))
     ang = 2.0 * PI * lens_uv[:, 0]
     rad = jnp.sqrt(lens_uv[:, 1]) * lens_size
     rn = right / jnp.maximum(jnp.linalg.norm(right), 1e-12)
@@ -354,6 +361,7 @@ def render_sample(
     height: int,
     config: RenderConfig = RenderConfig(),
     sky_tex: Optional[jax.Array] = None,  # (1,) i32 atlas texture id; <0/None = constant sky
+    sample_index: Optional[jax.Array] = None,  # () uint32 progressive index (sobol)
 ) -> SampleResult:
     """Trace one sample per pixel; returns radiance + first-hit AOVs."""
     R = width * height
@@ -416,7 +424,24 @@ def render_sample(
         def trace_occluded(o, d, tl):
             return bvh_occluded(scene, o, d, tl)
 
-    ray_o, ray_d = camera_rays(view, width, height, k_cam, pixel_ids)
+    use_sobol = config.sampler == "sobol" and sample_index is not None
+    if pixel_ids is not None:
+        pid = pixel_ids[1] * width + pixel_ids[0]
+    else:
+        pid = jnp.arange(R, dtype=jnp.int32)
+
+    def uniforms(slot, n, key_, count):
+        if use_sobol:
+            return sample_slot(sample_index, pid, slot, n)
+        return jax.random.uniform(key_, (count, n))
+
+    if use_sobol:
+        cam_uv = uniforms(0, 2, None, R)
+        lens_uv = uniforms(1, 2, None, R)
+        ray_o, ray_d = camera_rays(view, width, height, k_cam, pixel_ids,
+                                   jitter=(cam_uv, lens_uv))
+    else:
+        ray_o, ray_d = camera_rays(view, width, height, k_cam, pixel_ids)
 
     total_lights = (
         lights.n_point[0] + lights.n_spot[0] + lights.n_dir[0] + lights.n_area[0]
@@ -474,7 +499,7 @@ def render_sample(
         aov_pos = jnp.where(take_aov[:, None], pos, st.aov_pos)
         aov_ao = st.aov_ao
         if config.ao_aov:
-            u_ao = jax.random.uniform(jax.random.fold_in(kd, 7), (R, 3))
+            u_ao = uniforms(4 + depth * 3, 3, jax.random.fold_in(kd, 7), R)
             wi_ao = disney.to_world(
                 basis["tan"], basis["bitan"], basis["ns"],
                 disney._sample_cosine(u_ao[:, 0], u_ao[:, 1]),
@@ -521,7 +546,7 @@ def render_sample(
         # NOTE: per-lane light picks. A tile-shared pick keeps shadow packets
         # maximally coherent (+1% here) but turns estimator variance into
         # visible tile-shaped banding at low spp — not worth it.
-        u_l = jax.random.uniform(jax.random.fold_in(kd, 1), (R, 3))
+        u_l = uniforms(2 + depth * 3, 3, jax.random.fold_in(kd, 1), R)
         wi_l, dist_l, rad_over_pdf, is_delta, pdf_nee_sa = _sample_light(
             lights, pos, u_l
         )
@@ -541,7 +566,7 @@ def render_sample(
 
         # ---- BSDF bounce (skipped on the final iteration) ----------------
         not_last = depth < config.max_bounces
-        u_b = jax.random.uniform(jax.random.fold_in(kd, 2), (R, 3))
+        u_b = uniforms(3 + depth * 3, 3, jax.random.fold_in(kd, 2), R)
         wi_b, f_b, pdf_b = disney.disney_sample(params, wo, u_b)
         ok = alive & not_last & (pdf_b > 1e-9) & (wi_b[..., 2] > 1e-6)
         wi_world = disney.to_world(tan, bitan, ns, wi_b)
