@@ -39,6 +39,7 @@ from rfw_tpu.render.atlas import TextureAtlas, sample_bilinear
 from rfw_tpu.render.intersect import T_MAX, bvh_closest_hit, bvh_occluded
 from rfw_tpu.render.lights_pack import DeviceLights
 from rfw_tpu.render.sampler import sample_slot
+from rfw_tpu.accel.lbvh import morton_codes
 from rfw_tpu.render.packet import (
     packet_closest_hit,
     packet_occluded,
@@ -97,6 +98,9 @@ class RenderConfig:
     lanes: int = 256  # packet tile width (rays per shared stack)
     sampler: str = "random"  # "random" (threefry) | "sobol" (Owen-scrambled;
     #   needs sample_index passed to render_sample)
+    sort_secondary: bool = True  # re-tile rays each bounce by (direction
+    #   octant, origin morton): bounce rays regain packet coherence and dead
+    #   lanes collect into tiles that early-exit
 
 
 class SampleResult(NamedTuple):
@@ -385,6 +389,7 @@ def render_sample(
     inv_perm = None
     pixel_ids = None
     tile_lanes = 0
+    use_packet_tiles = mode in ("pallas", "packet")
     if mode == "pallas" and R % PALLAS_LANES == 0:
         tile_lanes = PALLAS_LANES
         sw = _block_swizzle(width, height, PALLAS_LANES)
@@ -447,13 +452,38 @@ def render_sample(
         lights.n_point[0] + lights.n_spot[0] + lights.n_dir[0] + lights.n_area[0]
     )
 
+    scene_mn = scene.tlas_min[0]
+    scene_mx = scene.tlas_max[0]
+
     def bounce(depth, st: _PathState) -> _PathState:
         kd = jax.random.fold_in(k_loop, depth)
         # dead lanes get t_limit 0: their slab tests fail immediately, so
         # tiles dominated by finished paths stop traversing (the masked-
         # wavefront answer to the reference's queue compaction)
         live_lim = jnp.where(st.alive, T_MAX, 0.0)
-        hit = trace_closest(st.ray_o, st.ray_d, live_lim)
+        if config.sort_secondary and use_packet_tiles:
+            # Re-tile by (direction octant, origin morton): secondary rays
+            # regain the spatial/directional coherence the packet stacks
+            # need; dead lanes sort together and their tiles finish
+            # immediately. Primary rays (depth 0) sort too — cheap and
+            # order-stable enough not to hurt their block coherence.
+            octant = (
+                (st.ray_d[:, 0] >= 0).astype(jnp.int32)
+                + 2 * (st.ray_d[:, 1] >= 0).astype(jnp.int32)
+                + 4 * (st.ray_d[:, 2] >= 0).astype(jnp.int32)
+            )
+            cell = morton_codes(st.ray_o, scene_mn, scene_mx).astype(jnp.int32)
+            key = jnp.where(
+                st.alive,
+                octant * (1 << 27) + (cell >> 5),
+                jnp.int32(1 << 30),
+            )
+            perm = jnp.argsort(key).astype(jnp.int32)
+            hs = trace_closest(st.ray_o[perm], st.ray_d[perm], live_lim[perm])
+            inv = jnp.argsort(perm).astype(jnp.int32)
+            hit = type(hs)(*(x[inv] for x in hs))
+        else:
+            hit = trace_closest(st.ray_o, st.ray_d, live_lim)
         found = (hit.prim >= 0) & st.alive
 
         # ---- miss: sky ---------------------------------------------------

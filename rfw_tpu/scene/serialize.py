@@ -7,7 +7,8 @@ as `.scenev1` (rfw/src/lib.rs:292-298).
 
 TPU rebuild: one compressed npz holding every SoA array + a JSON manifest —
 meshes, instance pools, materials, textures (base mip only; mips regen on
-load), lights, cameras, and optionally the progressive film accumulator
+load), lights, cameras, node graphs (TRS arrays, parents, skins, animation
+channels, instance wiring), and optionally the progressive film accumulator
 (so long renders resume mid-accumulation). Extension: `.scenev1.npz`.
 """
 
@@ -24,6 +25,17 @@ from rfw_tpu.scene.materials import Material, Texture
 from rfw_tpu.scene.scene import Scene
 
 EXTENSION = ".scenev1.npz"
+
+
+def _handles_with_slots(scene: "Scene", handles):
+    """Recover (mesh_slot, handle) pairs by identity of the owning list."""
+    out = []
+    for h in handles:
+        for slot, il in scene.instances_3d.items():
+            if h._list is il:
+                out.append((slot, h))
+                break
+    return out
 _MAT_FIELDS = (
     "metallic subsurface specular_f roughness specular_tint anisotropic sheen "
     "sheen_tint clearcoat clearcoat_gloss transmission eta custom0 custom1 "
@@ -89,6 +101,53 @@ def save_scene(scene: Scene, path: str, camera: Optional[Camera3D] = None,
     manifest["lights"]["directional"] = [{"slot": i} for i, _ in lights.directional]
     for i, l in lights.directional:
         arrays[f"dlight{i}"] = np.concatenate([l.direction, l.energy])
+
+    # node graphs (flattened SoA + animation channels + instance wiring)
+    manifest["graphs"] = []
+    for gi, g in scene.graph.storage:
+        key = f"g{gi}"
+        gm = {
+            "slot": gi,
+            "name": g.name,
+            "names": g.names,
+            "mesh_nodes": [[int(a), int(b)] for a, b in g.mesh_nodes],
+            "node_skin": {str(k): int(v) for k, v in g.node_skin.items()},
+            "scene_skin_ids": [int(x) for x in g.scene_skin_ids],
+            "skins": [
+                {"name": sk.name, "n_anim": 0} for sk in g.skins
+            ],
+            "animations": [
+                {
+                    "name": a.name,
+                    "channels": [
+                        {"node": int(c.node), "path": c.path,
+                         "interpolation": c.interpolation}
+                        for c in a.channels
+                    ],
+                }
+                for a in g.animations
+            ],
+            "instances": {
+                str(node): [[slot, h.index]
+                            for slot, h in _handles_with_slots(scene, hs)]
+                for node, hs in g.instance_handles.items()
+            },
+        }
+        manifest["graphs"].append(gm)
+        arrays[f"{key}_translation"] = g.translation
+        arrays[f"{key}_rotation"] = g.rotation
+        arrays[f"{key}_scale"] = g.scale
+        arrays[f"{key}_matrix_override"] = g.matrix_override
+        arrays[f"{key}_has_override"] = g.has_override
+        arrays[f"{key}_parent"] = g.parent
+        arrays[f"{key}_root_matrix"] = g.root_matrix
+        for si, sk in enumerate(g.skins):
+            arrays[f"{key}_skin{si}_joints"] = sk.joint_nodes
+            arrays[f"{key}_skin{si}_ibm"] = sk.inverse_bind
+        for ai, a in enumerate(g.animations):
+            for ci, c in enumerate(a.channels):
+                arrays[f"{key}_a{ai}c{ci}_times"] = c.times
+                arrays[f"{key}_a{ai}c{ci}_values"] = c.values
 
     if camera is not None:
         arrays["camera"] = np.concatenate([
@@ -176,6 +235,76 @@ def load_scene(path: str) -> Tuple[Scene, Optional[Camera3D], Optional[np.ndarra
     for e in manifest["lights"]["directional"]:
         v = data[f"dlight{e['slot']}"]
         scene.lights.directional.overwrite(e["slot"], DirectionalLight(v[:3], v[3:6]))
+
+    # node graphs
+    from rfw_tpu.scene.descriptor import (
+        AnimationDescriptor, AnimChannelDescriptor, NodeDescriptor,
+        SceneDescriptor, SkinDescriptor,
+    )
+    from rfw_tpu.scene.graph import NodeGraph
+    from rfw_tpu.scene.instances import InstanceHandle3D
+
+    for gm in manifest.get("graphs", []):
+        gi = gm["slot"]
+        key = f"g{gi}"
+        parent = data[f"{key}_parent"]
+        n = parent.shape[0]
+        nodes = []
+        for i in range(n):
+            nd = NodeDescriptor(name=gm["names"][i] if i < len(gm["names"]) else "")
+            nd.translation = data[f"{key}_translation"][i]
+            nd.rotation = data[f"{key}_rotation"][i]
+            nd.scale = data[f"{key}_scale"][i]
+            if data[f"{key}_has_override"][i]:
+                nd.matrix = data[f"{key}_matrix_override"][i]
+            nodes.append(nd)
+        for i in range(n):
+            p = int(parent[i])
+            if p >= 0:
+                nodes[p].children.append(i)
+        skins = [
+            SkinDescriptor(
+                name=sm["name"],
+                joint_nodes=data[f"{key}_skin{si}_joints"].tolist(),
+                inverse_bind_matrices=data[f"{key}_skin{si}_ibm"],
+            )
+            for si, sm in enumerate(gm["skins"])
+        ]
+        anims = []
+        for ai, am in enumerate(gm["animations"]):
+            chans = [
+                AnimChannelDescriptor(
+                    node=cm["node"], path=cm["path"],
+                    times=data[f"{key}_a{ai}c{ci}_times"],
+                    values=data[f"{key}_a{ai}c{ci}_values"],
+                    interpolation=cm["interpolation"],
+                )
+                for ci, cm in enumerate(am["channels"])
+            ]
+            anims.append(AnimationDescriptor(name=am["name"], channels=chans))
+        desc = SceneDescriptor(
+            name=gm["name"], nodes=nodes,
+            roots=[i for i in range(n) if parent[i] < 0],
+            skins=skins, animations=anims,
+        )
+        g = NodeGraph(desc, {})
+        g.mesh_nodes = [(a, b) for a, b in gm["mesh_nodes"]]
+        g.node_skin = {int(k): v for k, v in gm["node_skin"].items()}
+        g.scene_skin_ids = list(gm["scene_skin_ids"])
+        g.root_matrix = data[f"{key}_root_matrix"]
+        for node_str, pairs in gm["instances"].items():
+            hs = []
+            for slot, idx in pairs:
+                il = scene.instances_3d.get(slot)
+                if il is not None:
+                    hs.append(InstanceHandle3D(il, idx))
+            g.instance_handles[int(node_str)] = hs
+        scene.graph.storage.overwrite(gi, g)
+        # skins storage entries
+        from rfw_tpu.backend.structs import SkinView
+
+        for sk, sid in zip(g.skins, g.scene_skin_ids):
+            scene.skins.overwrite(sid, SkinView(joint_matrices=sk.joint_matrices))
 
     camera = None
     if "camera" in data:

@@ -53,3 +53,32 @@ def test_roundtrip(tmp_path):
     s2.synchronize(be)
     names = [c[0] for c in be.calls]
     assert "set_3d_meshes" in names and "set_3d_instances" in names
+
+
+def test_graph_roundtrip(tmp_path):
+    """Skinned graph + animation survives snapshot/resume and keeps animating."""
+    scene = Scene()
+    handle = scene.add_3d(scene.load(
+        "/root/reference/assets/models/CesiumMan/CesiumMan.gltf"))
+    scene.synchronize_graph()
+    path = str(tmp_path / "graphsnap")
+    save_scene(scene, path)
+
+    s2, _, _, _ = load_scene(path)
+    assert len(s2.graph.storage) == 1
+    g2 = next(g for _, g in s2.graph.storage)
+    assert g2.num_nodes == handle.graph.num_nodes
+    assert len(g2.animations) == 1
+    assert len(g2.skins) == 1
+    np.testing.assert_allclose(
+        g2.skins[0].inverse_bind, handle.graph.skins[0].inverse_bind)
+    # animation still drives instances after reload
+    s2.set_animations_time(0.0)
+    s2.synchronize_graph()
+    jm0 = g2.skins[0].joint_matrices.copy()
+    s2.set_animations_time(0.8)
+    s2.synchronize_graph()
+    assert not np.allclose(jm0, g2.skins[0].joint_matrices, atol=1e-5)
+    # instance wiring restored: node matrices propagate into instance pools
+    total = sum(len(il) for il in s2.instances_3d.values())
+    assert total == 1
