@@ -98,9 +98,10 @@ class RenderConfig:
     lanes: int = 256  # packet tile width (rays per shared stack)
     sampler: str = "random"  # "random" (threefry) | "sobol" (Owen-scrambled;
     #   needs sample_index passed to render_sample)
-    sort_secondary: bool = True  # re-tile rays each bounce by (direction
-    #   octant, origin morton): bounce rays regain packet coherence and dead
-    #   lanes collect into tiles that early-exit
+    sort_secondary: bool = False  # re-tile rays each bounce by (direction
+    #   octant, origin morton). Wins for deep bounces / many-bounce GI;
+    #   measured NET NEGATIVE at 1 bounce on v5e (sort+gathers ~4% > the
+    #   coherence gain), so off by default
 
 
 class SampleResult(NamedTuple):
