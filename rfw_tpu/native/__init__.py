@@ -51,6 +51,11 @@ def _load() -> Optional[ctypes.CDLL]:
     ]
     lib.rfw_skin_positions.restype = None
     lib.rfw_skin_positions.argtypes = [ctypes.c_int, f32p, i32p, f32p, f32p, f32p]
+    lib.rfw_build_wide8.restype = ctypes.c_int
+    lib.rfw_build_wide8.argtypes = [
+        ctypes.c_int, f32p, f32p, i32p, i32p, i32p, i32p,
+        ctypes.c_int, ctypes.c_int, f32p, i32p, i32p,
+    ]
     _LIB = lib
     return _LIB
 
@@ -104,6 +109,28 @@ def refit_bvh_native(bvh, aabb_min: np.ndarray, aabb_max: np.ndarray) -> bool:
         np.ascontiguousarray(aabb_max, np.float32),
     )
     return True
+
+
+def build_wide8_native(bvh, tlas: bool, leaf_base_offset: int = 0):
+    """Native 8-wide supernode collapse; returns (box, code, cnt) or None."""
+    lib = _load()
+    if lib is None:
+        return None
+    n = bvh.num_nodes
+    box = np.empty((n, 48), np.float32)
+    code = np.empty((n, 8), np.int32)
+    cnt = np.empty((n, 8), np.int32)
+    s = lib.rfw_build_wide8(
+        n,
+        np.ascontiguousarray(bvh.node_min, np.float32),
+        np.ascontiguousarray(bvh.node_max, np.float32),
+        np.ascontiguousarray(bvh.node_left, np.int32),
+        np.ascontiguousarray(bvh.node_right, np.int32),
+        np.ascontiguousarray(bvh.node_count, np.int32),
+        np.ascontiguousarray(bvh.prim_order, np.int32),
+        int(tlas), leaf_base_offset, box, code, cnt,
+    )
+    return box[:s].copy(), code[:s].copy(), cnt[:s].copy()
 
 
 def skin_positions_native(

@@ -19,6 +19,8 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <array>
+#include <utility>
 #include <vector>
 
 namespace {
@@ -276,3 +278,95 @@ void rfw_skin_positions(int n_verts, const float *positions,
 }
 
 }  // extern "C"
+
+// 8-wide supernode collapse (mirror of rfw_tpu.render.pack.build_wide8):
+// per-frame hot path for skinned-mesh BLAS rebuilds. Same child encoding.
+extern "C" int rfw_build_wide8(
+    int n_nodes, const float *node_min, const float *node_max,
+    const int32_t *node_left, const int32_t *node_right,
+    const int32_t *node_count, const int32_t *prim_order, int tlas,
+    int leaf_base_offset,
+    // outputs sized for worst case n_nodes supers:
+    float *box,   // (S,48)
+    int32_t *code,  // (S,8)
+    int32_t *cnt)   // (S,8)
+{
+  auto leaf_payload = [&](int n) -> int32_t {
+    if (tlas) return prim_order[node_left[n]];
+    return node_left[n] + leaf_base_offset;
+  };
+
+  auto empty_fill = [&](int si) {
+    for (int k = 0; k < 8; k++) {
+      for (int a = 0; a < 3; a++) {
+        box[si * 48 + 6 * k + a] = FLT_MAX;
+        box[si * 48 + 6 * k + 3 + a] = -FLT_MAX;
+      }
+      code[si * 8 + k] = -1;
+      cnt[si * 8 + k] = 0;
+    }
+  };
+
+  if (node_count[0] > 0) {  // root is a leaf
+    empty_fill(0);
+    for (int a = 0; a < 3; a++) {
+      box[0 + a] = node_min[a];
+      box[3 + a] = node_max[a];
+    }
+    code[0] = -(leaf_payload(0) + 1);
+    cnt[0] = node_count[0];
+    return 1;
+  }
+
+  std::vector<int32_t> super_of(n_nodes, -1);
+  std::vector<int32_t> order;
+  order.reserve(n_nodes / 4 + 1);
+  std::vector<int32_t> queue;
+  queue.reserve(n_nodes / 4 + 1);
+
+  auto sid = [&](int b) -> int32_t {
+    if (super_of[b] < 0) {
+      super_of[b] = (int32_t)order.size();
+      order.push_back(b);
+      queue.push_back(b);
+    }
+    return super_of[b];
+  };
+  sid(0);
+
+  struct Frame { int32_t n, dpt; };
+  std::vector<std::pair<int32_t, std::array<int32_t, 8>>> pending;
+
+  size_t qi = 0;
+  while (qi < queue.size()) {
+    int b = queue[qi++];
+    int si = super_of[b];
+    empty_fill(si);
+    Frame frontier[16];
+    int fp = 0;
+    frontier[fp++] = {node_left[b], 1};
+    frontier[fp++] = {node_right[b], 1};
+    int k = 0;
+    while (fp > 0) {
+      Frame f = frontier[--fp];
+      if (node_count[f.n] > 0 || f.dpt >= 3) {
+        for (int a = 0; a < 3; a++) {
+          box[si * 48 + 6 * k + a] = node_min[3 * f.n + a];
+          box[si * 48 + 6 * k + 3 + a] = node_max[3 * f.n + a];
+        }
+        if (node_count[f.n] > 0) {
+          code[si * 8 + k] = -(leaf_payload(f.n) + 1);
+          cnt[si * 8 + k] = node_count[f.n];
+        } else {
+          code[si * 8 + k] = sid(f.n);
+          cnt[si * 8 + k] = 0;
+        }
+        k++;
+      } else {
+        frontier[fp++] = {node_left[f.n], (int32_t)(f.dpt + 1)};
+        frontier[fp++] = {node_right[f.n], (int32_t)(f.dpt + 1)};
+      }
+    }
+  }
+  return (int)order.size();
+}

@@ -452,7 +452,19 @@ def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
       code >= 0: child super-node id; code < 0: leaf, payload = -code-1
         (TLAS: instance id; BLAS: first packed-triangle index, pre-offset);
       unused children carry empty boxes (+inf/-inf) and are never visited.
+
+    Uses the C++ collapse (rfw_tpu.native, per-frame hot for skinned BLAS
+    rebuilds) when available; this Python path is the reference fallback.
     """
+    import os as _os
+
+    if _os.environ.get("RFW_NO_NATIVE") != "1":
+        from rfw_tpu import native
+
+        built = native.build_wide8_native(bvh, tlas, leaf_base_offset)
+        if built is not None:
+            return built
+
     from collections import deque
 
     n_count = bvh.node_count
