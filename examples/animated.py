@@ -91,6 +91,14 @@ def main(argv=None):
 
     if not args.no_pica:
         pica = scene.add_3d(scene.load(f"{ASSETS}/pica/scene.gltf"))
+        # center the room under the demo content (pica world bounds are
+        # roughly [-37,-1,-32]..[27,19,18]): shift to origin, floor at y=0,
+        # scale to ~18 units across
+        k = 18.0 / 64.0
+        pica.set_root_matrix(compose_trs(
+            np.array([4.8 * k * 10 / 10, 1.17 * k, 7.0 * k], np.float32) * 0
+            + np.array([-(-36.92 + 27.37) / 2 * k, 1.17 * k, -(-32.19 + 18.17) / 2 * k], np.float32),
+            quat_identity(), np.full(3, k, np.float32)))
 
     # lights (reference: 3 rotating spots + 1 directional)
     scene.add_directional_light((0.35, -1.0, 0.25), (2.2, 2.1, 1.9))

@@ -162,6 +162,28 @@ def build_wide_nodes(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
     return wf, wi, root_wide
 
 
+def _cap_rows(n: int, mult: int = 256) -> int:
+    """Power-of-two row capacity (>= mult): keeps packed-arena shapes — and
+    therefore every downstream jit/Mosaic compile — stable while dynamic
+    content (skinned BLAS rebuilds, instance churn) fluctuates under the
+    cap. The reference's wgpu arenas are capacity-padded for the same
+    reason (backends/wgpu/src/list.rs update_ranges)."""
+    c = mult
+    while c < n:
+        c *= 2
+    return c
+
+
+def _pad_rows(a: np.ndarray, mult: int = 256, fill=0) -> np.ndarray:
+    n = a.shape[0]
+    pad = _cap_rows(n, mult) - n
+    if pad == 0:
+        return a
+    return np.concatenate(
+        [a, np.full((pad,) + a.shape[1:], fill, a.dtype)], axis=0
+    )
+
+
 def _tri_lod_factor(mesh: Mesh3D, po: np.ndarray) -> np.ndarray:
     """Per-triangle sqrt(uv_area / world_area): multiplied by the ray
     footprint to pick a mip level (reference objects_3d/mod.rs:355-358)."""
@@ -338,41 +360,55 @@ def pack_trace_scene(
         tlas8_code = np.full((1, 8), -1, np.int32)
         tlas8_cnt = np.zeros((1, 8), np.int32)
 
+    P = _pad_rows
+    blas8_box_arr = (np.concatenate(wide8_box_chunks) if wide8_box_chunks
+                     else np.full((1, 48), np.inf, np.float32))
+    # pad unused wide8 children with never-hit boxes so padded supernodes
+    # are inert even if ever referenced
+    blas8_box_pad = _cap_rows(blas8_box_arr.shape[0]) - blas8_box_arr.shape[0]
+    if blas8_box_pad:
+        empty = np.full((blas8_box_pad, 48), np.inf, np.float32)
+        empty[:, 3::6] = -np.inf
+        empty[:, 4::6] = -np.inf
+        empty[:, 5::6] = -np.inf
+        blas8_box_arr = np.concatenate([blas8_box_arr, empty])
+
     return TraceScene(
-        tlas_min=tlas.node_min, tlas_max=tlas.node_max,
-        tlas_left=tlas.node_left, tlas_right=tlas.node_right,
-        tlas_count=tlas.node_count, tlas_prim=tlas.prim_order,
-        inst_matrix=inst_matrix, inst_inv=inst_inv,
-        inst_normal=inst_normal, inst_mesh=inst_mesh,
-        blas_min=blas_min, blas_max=blas_max, blas_left=blas_left,
-        blas_right=blas_right, blas_count=blas_count, blas_root=blas_root,
-        tlas_wide_f=tlas_wf, tlas_wide_i=tlas_wi,
-        blas_wide_f=(np.concatenate(wide_f_chunks) if wide_f_chunks
-                     else np.zeros((1, 12), np.float32)),
-        blas_wide_i=(np.concatenate(wide_i_chunks) if wide_i_chunks
-                     else np.full((1, 4), -1, np.int32)),
-        blas_wide_root=blas_wide_root,
-        tlas8_box=tlas8_box, tlas8_code=tlas8_code, tlas8_cnt=tlas8_cnt,
-        blas8_box=(np.concatenate(wide8_box_chunks) if wide8_box_chunks
-                   else np.full((1, 48), np.inf, np.float32)),
-        blas8_code=(np.concatenate(wide8_code_chunks) if wide8_code_chunks
-                    else np.full((1, 8), -1, np.int32)),
-        blas8_cnt=(np.concatenate(wide8_cnt_chunks) if wide8_cnt_chunks
-                   else np.zeros((1, 8), np.int32)),
-        blas8_root=blas8_root,
-        tri_v0=cat("v0", tri_chunks, (0, 3), np.float32),
-        tri_e1=cat("e1", tri_chunks, (0, 3), np.float32),
-        tri_e2=cat("e2", tri_chunks, (0, 3), np.float32),
-        tri_i0=cat("i0", tri_chunks, (0,), np.int32),
-        tri_i1=cat("i1", tri_chunks, (0,), np.int32),
-        tri_i2=cat("i2", tri_chunks, (0,), np.int32),
-        tri_mat=cat("mat", tri_chunks, (0,), np.int32),
-        tri_light=cat("light", tri_chunks, (0,), np.int32),
-        tri_mesh=cat("mesh", tri_chunks, (0,), np.int32),
-        tri_lodf=cat("lodf", tri_chunks, (0,), np.float32),
-        vtx_normal=cat("normal", vtx_chunks, (0, 3), np.float32),
-        vtx_uv=cat("uv", vtx_chunks, (0, 2), np.float32),
-        vtx_tangent=cat("tangent", vtx_chunks, (0, 4), np.float32),
+        tlas_min=P(tlas.node_min), tlas_max=P(tlas.node_max),
+        tlas_left=P(tlas.node_left), tlas_right=P(tlas.node_right),
+        tlas_count=P(tlas.node_count), tlas_prim=P(tlas.prim_order),
+        inst_matrix=P(inst_matrix), inst_inv=P(inst_inv),
+        inst_normal=P(inst_normal), inst_mesh=P(inst_mesh, fill=-1),
+        blas_min=P(blas_min), blas_max=P(blas_max), blas_left=P(blas_left),
+        blas_right=P(blas_right), blas_count=P(blas_count),
+        blas_root=P(blas_root),
+        tlas_wide_f=P(tlas_wf), tlas_wide_i=P(tlas_wi, fill=-1),
+        blas_wide_f=P(np.concatenate(wide_f_chunks) if wide_f_chunks
+                      else np.zeros((1, 12), np.float32)),
+        blas_wide_i=P(np.concatenate(wide_i_chunks) if wide_i_chunks
+                      else np.full((1, 4), -1, np.int32), fill=-1),
+        blas_wide_root=P(blas_wide_root),
+        tlas8_box=P(tlas8_box), tlas8_code=P(tlas8_code, fill=-1),
+        tlas8_cnt=P(tlas8_cnt),
+        blas8_box=blas8_box_arr,
+        blas8_code=P(np.concatenate(wide8_code_chunks) if wide8_code_chunks
+                     else np.full((1, 8), -1, np.int32), fill=-1),
+        blas8_cnt=P(np.concatenate(wide8_cnt_chunks) if wide8_cnt_chunks
+                    else np.zeros((1, 8), np.int32)),
+        blas8_root=P(blas8_root),
+        tri_v0=P(cat("v0", tri_chunks, (0, 3), np.float32)),
+        tri_e1=P(cat("e1", tri_chunks, (0, 3), np.float32)),
+        tri_e2=P(cat("e2", tri_chunks, (0, 3), np.float32)),
+        tri_i0=P(cat("i0", tri_chunks, (0,), np.int32)),
+        tri_i1=P(cat("i1", tri_chunks, (0,), np.int32)),
+        tri_i2=P(cat("i2", tri_chunks, (0,), np.int32)),
+        tri_mat=P(cat("mat", tri_chunks, (0,), np.int32)),
+        tri_light=P(cat("light", tri_chunks, (0,), np.int32), fill=-1),
+        tri_mesh=P(cat("mesh", tri_chunks, (0,), np.int32)),
+        tri_lodf=P(cat("lodf", tri_chunks, (0,), np.float32)),
+        vtx_normal=P(cat("normal", vtx_chunks, (0, 3), np.float32)),
+        vtx_uv=P(cat("uv", vtx_chunks, (0, 2), np.float32)),
+        vtx_tangent=P(cat("tangent", vtx_chunks, (0, 4), np.float32)),
     )
 
 
@@ -392,11 +428,14 @@ def repack_instances(
     recomputed — they are, from mesh slots).
     """
     info = {slot: (mn, mx) for slot, mn, mx in meshes_info}
-    # recover wide roots per mesh slot from the base pack
+    # recover wide roots per mesh slot from the base pack (skip capacity
+    # padding rows, marked inst_mesh == -1)
     slot_root = {}
     slot_wroot = {}
     for i in range(base.inst_matrix.shape[0]):
         m = int(base.inst_mesh[i])
+        if m < 0:
+            continue
         slot_root[m] = int(base.blas_root[i])
         slot_wroot[m] = int(base.blas_wide_root[i])
 
@@ -425,19 +464,23 @@ def repack_instances(
     tlas8_box, tlas8_code, tlas8_cnt = build_wide8(tlas, tlas=True)
     slot_root8 = {}
     for i in range(base.inst_matrix.shape[0]):
-        slot_root8[int(base.inst_mesh[i])] = int(base.blas8_root[i])
+        m = int(base.inst_mesh[i])
+        if m >= 0:
+            slot_root8[m] = int(base.blas8_root[i])
     blas8_root = np.array([slot_root8[int(m)] for m in inst_mesh], np.int32)
 
+    P = _pad_rows
     return base._replace(
-        tlas_min=tlas.node_min, tlas_max=tlas.node_max,
-        tlas_left=tlas.node_left, tlas_right=tlas.node_right,
-        tlas_count=tlas.node_count, tlas_prim=tlas.prim_order,
-        tlas_wide_f=tlas_wf, tlas_wide_i=tlas_wi,
-        tlas8_box=tlas8_box, tlas8_code=tlas8_code, tlas8_cnt=tlas8_cnt,
-        inst_matrix=inst_matrix, inst_inv=inst_inv,
-        inst_normal=inst_normal, inst_mesh=inst_mesh,
-        blas_root=blas_root, blas_wide_root=blas_wide_root,
-        blas8_root=blas8_root,
+        tlas_min=P(tlas.node_min), tlas_max=P(tlas.node_max),
+        tlas_left=P(tlas.node_left), tlas_right=P(tlas.node_right),
+        tlas_count=P(tlas.node_count), tlas_prim=P(tlas.prim_order),
+        tlas_wide_f=P(tlas_wf), tlas_wide_i=P(tlas_wi, fill=-1),
+        tlas8_box=P(tlas8_box), tlas8_code=P(tlas8_code, fill=-1),
+        tlas8_cnt=P(tlas8_cnt),
+        inst_matrix=P(inst_matrix), inst_inv=P(inst_inv),
+        inst_normal=P(inst_normal), inst_mesh=P(inst_mesh, fill=-1),
+        blas_root=P(blas_root), blas_wide_root=P(blas_wide_root),
+        blas8_root=P(blas8_root),
     )
 
 
