@@ -95,10 +95,9 @@ def main(argv=None):
         # roughly [-37,-1,-32]..[27,19,18]): shift to origin, floor at y=0,
         # scale to ~18 units across
         k = 18.0 / 64.0
-        pica.set_root_matrix(compose_trs(
-            np.array([4.8 * k * 10 / 10, 1.17 * k, 7.0 * k], np.float32) * 0
-            + np.array([-(-36.92 + 27.37) / 2 * k, 1.17 * k, -(-32.19 + 18.17) / 2 * k], np.float32),
-            quat_identity(), np.full(3, k, np.float32)))
+        center_xz = np.array([(-36.92 + 27.37) / 2, 0.0, (-32.19 + 18.17) / 2])
+        t = np.array([-center_xz[0] * k, 1.17 * k, -center_xz[2] * k], np.float32)
+        pica.set_root_matrix(compose_trs(t, quat_identity(), np.full(3, k, np.float32)))
 
     # lights (reference: 3 rotating spots + 1 directional)
     scene.add_directional_light((0.35, -1.0, 0.25), (2.2, 2.1, 1.9))
