@@ -439,8 +439,24 @@ class TpuBackend:
             meshes, instances, deformed_positions=deformed,
             built_blas_out=self._blas_cache,
         )
+        # equality-gated upload: a skinned rebuild leaves most arenas
+        # byte-identical (uvs/normals/tangents/materials/static segments);
+        # re-upload only fields that actually changed (the tunnel transfer
+        # dominates the per-frame sync cost)
+        if self._scene_host is not None and self._scene_dev is not None:
+            fields = {}
+            for f in scene._fields:
+                new = getattr(scene, f)
+                old = getattr(self._scene_host, f)
+                if (old.shape == new.shape and old.dtype == new.dtype
+                        and np.array_equal(old, new)):
+                    fields[f] = getattr(self._scene_dev, f)
+                else:
+                    fields[f] = jax.device_put(new)
+            self._scene_dev = TraceScene(**fields)
+        else:
+            self._scene_dev = jax.device_put(scene)
         self._scene_host = scene
-        self._scene_dev = jax.device_put(scene)
         _LOG.info(
             "scene packed: %d tris, %d instances", scene.num_triangles,
             scene.num_instances,
