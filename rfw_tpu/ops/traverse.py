@@ -45,7 +45,8 @@ MAX_LEAF = 4
 #: a terminating (wrong) result instead of a TPU watchdog kill
 KERNEL_MAX_ITERS = 1 << 19
 # scene arrays bigger than this fall back to the jnp packet path
-VMEM_SCENE_BUDGET = 10 * 1024 * 1024
+# (16MB scoped vmem - ~4MB chunk in/out buffers - margin)
+VMEM_SCENE_BUDGET = int(11.5 * 1024 * 1024)
 
 
 class PallasScene(NamedTuple):
@@ -418,7 +419,7 @@ def _run_arrays(
 #: call's FULL inputs+outputs (~2x buffered, 96KB/tile) in 16MB scoped VMEM
 #: alongside the scene arrays; 48 tiles leaves ~11MB for the scene. Fixed
 #: (not scene-adaptive) so the compiled kernel is shared across scenes.
-CHUNK_TILES = 48
+CHUNK_TILES = 40
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):

@@ -375,10 +375,12 @@ def render_sample(
     # traversal backend selection: the Pallas per-tile kernel is fastest but
     # needs the whole scene VMEM-resident and ray counts in 1024-lane tiles;
     # jnp packet is the portable fallback; lockstep is the oracle tier.
-    # transposed-layout VMEM footprint: 16 rows x 4B per node/tri/inst column
-    scene_bytes = 64 * (
-        scene.blas_wide_f.shape[0] + scene.tlas_wide_f.shape[0]
-        + scene.tri_v0.shape[0] + scene.inst_matrix.shape[0]
+    # actual Pallas footprint (wide8 layout): box8 (48 rows) + int8 (16) per
+    # supernode column, tri (16 rows) per triangle, inst (16 rows)
+    scene_bytes = (
+        (48 + 16) * 4 * (scene.blas8_box.shape[0] + scene.tlas8_box.shape[0])
+        + 64 * scene.tri_v0.shape[0]
+        + 64 * scene.inst_matrix.shape[0]
     )
     mode = config.traversal
     if mode == "auto":
