@@ -20,5 +20,14 @@ Layer map (mirrors reference SURVEY.md §1, re-architected TPU-first):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+from rfw_tpu.utils import log as _log
+
+if "RFW_LOG" in _os.environ:
+    # honour RFW_LOG even in scripts that never build an app Instance
+    # (reference initialises env_logger at startup, rfw/src/lib.rs:108)
+    _log.init()
+
 from rfw_tpu.utils.collections import FlaggedStorage, TrackedStorage
 from rfw_tpu.utils.timing import Timer, Averager

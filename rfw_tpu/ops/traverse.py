@@ -73,21 +73,32 @@ class PallasScene(NamedTuple):
                     + self.inst_t.size + self.root_t.size)
 
 
-def _bucket(n: int, mult: int = 128) -> int:
-    """Pad lane counts to power-of-two buckets (>=128) so array shapes — and
-    therefore compiled kernels — are shared across scenes of similar size."""
-    c = mult
-    while c < n:
-        c *= 2
-    return c
+def _bucket(n: int, mult: int = 2048) -> int:
+    """Pad lane counts to 2048-lane steps: coarse enough that dynamic
+    rebuilds (stable row capacities from pack) share compiled kernels,
+    fine enough not to waste the 16MB scoped-VMEM budget (pow2 buckets
+    wasted up to 45% on big triangle arenas)."""
+    return max(mult, -(-n // mult) * mult)
 
 
-def _pad_lanes(a: jax.Array, mult: int = 128) -> jax.Array:
+def _pad_lanes(a: jax.Array, mult: int = 2048) -> jax.Array:
     n = a.shape[1]
     pad = _bucket(n, mult) - n
     if pad:
         a = jnp.concatenate([a, jnp.zeros((a.shape[0], pad), a.dtype)], axis=1)
     return a
+
+
+def pallas_scene_bytes(scene) -> int:
+    """Exact byte footprint `prepare_pallas_scene` will produce for this
+    TraceScene (all arrays f32/i32). Used by traversal auto-selection; must
+    track the padding in `_pad_lanes`/`_bucket` exactly, or selection can
+    pick a scene the kernel can't fit in scoped VMEM."""
+    supers = _bucket(int(scene.blas8_box.shape[0]) + int(scene.tlas8_box.shape[0]))
+    tris = _bucket(max(int(scene.tri_v0.shape[0]), 1))
+    insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
+    roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
+    return 4 * ((48 + 16) * supers + 16 * tris + 16 * insts + roots)
 
 
 def prepare_pallas_scene(scene) -> PallasScene:
@@ -415,11 +426,12 @@ def _run_arrays(
     )(meta, box8_t, int8_t, tri_t, inst_t, root_t, o4, d4, tl3)
 
 
-#: fixed tiles per pallas_call: the axon AOT compiler stack-allocates a
-#: call's FULL inputs+outputs (~2x buffered, 96KB/tile) in 16MB scoped VMEM
-#: alongside the scene arrays; 48 tiles leaves ~11MB for the scene. Fixed
-#: (not scene-adaptive) so the compiled kernel is shared across scenes.
-CHUNK_TILES = 40
+#: fixed tiles per pallas_call: the axon AOT compiler stack-allocates the
+#: call's full inputs+outputs in 16MB scoped VMEM alongside the scene
+#: arrays — measured ~250KB per tile (buffering included). 16 tiles (4MB)
+#: + an 11.5MB scene budget keeps the worst case ~15.5MB. Fixed (not
+#: scene-adaptive) so the compiled kernel is shared across scenes.
+CHUNK_TILES = 16
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):

@@ -162,21 +162,24 @@ def build_wide_nodes(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
     return wf, wi, root_wide
 
 
-def _cap_rows(n: int, mult: int = 256) -> int:
+def _cap_rows(n: int, mult: int = 256, linear: bool = False) -> int:
     """Power-of-two row capacity (>= mult): keeps packed-arena shapes — and
     therefore every downstream jit/Mosaic compile — stable while dynamic
     content (skinned BLAS rebuilds, instance churn) fluctuates under the
     cap. The reference's wgpu arenas are capacity-padded for the same
     reason (backends/wgpu/src/list.rs update_ranges)."""
+    if linear:
+        return max(mult, -(-n // mult) * mult)
     c = mult
     while c < n:
         c *= 2
     return c
 
 
-def _pad_rows(a: np.ndarray, mult: int = 256, fill=0) -> np.ndarray:
+def _pad_rows(a: np.ndarray, mult: int = 256, fill=0,
+              linear: bool = False) -> np.ndarray:
     n = a.shape[0]
-    pad = _cap_rows(n, mult) - n
+    pad = _cap_rows(n, mult, linear) - n
     if pad == 0:
         return a
     return np.concatenate(
@@ -396,19 +399,22 @@ def pack_trace_scene(
         blas8_cnt=P(np.concatenate(wide8_cnt_chunks) if wide8_cnt_chunks
                     else np.zeros((1, 8), np.int32)),
         blas8_root=P(blas8_root),
-        tri_v0=P(cat("v0", tri_chunks, (0, 3), np.float32)),
-        tri_e1=P(cat("e1", tri_chunks, (0, 3), np.float32)),
-        tri_e2=P(cat("e2", tri_chunks, (0, 3), np.float32)),
-        tri_i0=P(cat("i0", tri_chunks, (0,), np.int32)),
-        tri_i1=P(cat("i1", tri_chunks, (0,), np.int32)),
-        tri_i2=P(cat("i2", tri_chunks, (0,), np.int32)),
-        tri_mat=P(cat("mat", tri_chunks, (0,), np.int32)),
-        tri_light=P(cat("light", tri_chunks, (0,), np.int32), fill=-1),
-        tri_mesh=P(cat("mesh", tri_chunks, (0,), np.int32)),
-        tri_lodf=P(cat("lodf", tri_chunks, (0,), np.float32)),
-        vtx_normal=P(cat("normal", vtx_chunks, (0, 3), np.float32)),
-        vtx_uv=P(cat("uv", vtx_chunks, (0, 2), np.float32)),
-        vtx_tangent=P(cat("tangent", vtx_chunks, (0, 4), np.float32)),
+        tri_v0=P(cat("v0", tri_chunks, (0, 3), np.float32), 8192, linear=True),
+        tri_e1=P(cat("e1", tri_chunks, (0, 3), np.float32), 8192, linear=True),
+        tri_e2=P(cat("e2", tri_chunks, (0, 3), np.float32), 8192, linear=True),
+        tri_i0=P(cat("i0", tri_chunks, (0,), np.int32), 8192, linear=True),
+        tri_i1=P(cat("i1", tri_chunks, (0,), np.int32), 8192, linear=True),
+        tri_i2=P(cat("i2", tri_chunks, (0,), np.int32), 8192, linear=True),
+        tri_mat=P(cat("mat", tri_chunks, (0,), np.int32), 8192, linear=True),
+        tri_light=P(cat("light", tri_chunks, (0,), np.int32), 8192, fill=-1,
+                    linear=True),
+        tri_mesh=P(cat("mesh", tri_chunks, (0,), np.int32), 8192, linear=True),
+        tri_lodf=P(cat("lodf", tri_chunks, (0,), np.float32), 8192, linear=True),
+        vtx_normal=P(cat("normal", vtx_chunks, (0, 3), np.float32), 8192,
+                     linear=True),
+        vtx_uv=P(cat("uv", vtx_chunks, (0, 2), np.float32), 8192, linear=True),
+        vtx_tangent=P(cat("tangent", vtx_chunks, (0, 4), np.float32), 8192,
+                      linear=True),
     )
 
 

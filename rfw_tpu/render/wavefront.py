@@ -50,6 +50,7 @@ from rfw_tpu.ops.traverse import (
     VMEM_SCENE_BUDGET,
     pallas_closest_hit,
     pallas_occluded,
+    pallas_scene_bytes,
     prepare_pallas_scene,
 )
 
@@ -375,13 +376,7 @@ def render_sample(
     # traversal backend selection: the Pallas per-tile kernel is fastest but
     # needs the whole scene VMEM-resident and ray counts in 1024-lane tiles;
     # jnp packet is the portable fallback; lockstep is the oracle tier.
-    # actual Pallas footprint (wide8 layout): box8 (48 rows) + int8 (16) per
-    # supernode column, tri (16 rows) per triangle, inst (16 rows)
-    scene_bytes = (
-        (48 + 16) * 4 * (scene.blas8_box.shape[0] + scene.tlas8_box.shape[0])
-        + 64 * scene.tri_v0.shape[0]
-        + 64 * scene.inst_matrix.shape[0]
-    )
+    scene_bytes = pallas_scene_bytes(scene)
     mode = config.traversal
     if mode == "auto":
         on_tpu = jax.default_backend() != "cpu"
@@ -389,6 +384,11 @@ def render_sample(
             mode = "pallas"
         else:
             mode = "packet"
+    import logging as _logging
+
+    _logging.getLogger("rfw_tpu.render").info(
+        "traversal=%s scene_bytes=%.1fMB R=%d", mode, scene_bytes / 1e6, R
+    )
     inv_perm = None
     pixel_ids = None
     tile_lanes = 0
