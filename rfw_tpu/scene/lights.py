@@ -33,6 +33,21 @@ class PointLight:
     position: np.ndarray
     energy: np.ndarray  # rgb radiant intensity
 
+    def cube_matrices(self, near: float = 0.1, far: float = 100.0) -> np.ndarray:
+        """Six 90-degree view-projections (+X -X +Y -Y +Z -Z) for omni shadow
+        rendering (reference PointLight cube matrices, rfw-backend/src/
+        lights.rs:137-180). Returns (6, 4, 4) f32."""
+        p = self.position.astype(np.float32)
+        proj = perspective_rh(np.pi / 2.0, 1.0, near, far)
+        dirs = np.array(
+            [[1, 0, 0], [-1, 0, 0], [0, 1, 0], [0, -1, 0], [0, 0, 1], [0, 0, -1]],
+            np.float32,
+        )
+        mats = [
+            (proj @ look_at_rh(p, p + d, _up_for(d))).astype(np.float32) for d in dirs
+        ]
+        return np.stack(mats)
+
 
 @dataclass
 class SpotLight:
@@ -72,6 +87,29 @@ class DirectionalLight:
         view = look_at_rh(eye, center, _up_for(d))
         proj = orthographic_rh(-radius, radius, -radius, radius, 0.01, 4.0 * radius)
         return (proj @ view).astype(np.float32)
+
+
+def area_light_shadow_matrix(
+    position: np.ndarray, normal: np.ndarray, near: float = 0.1, far: float = 100.0
+) -> np.ndarray:
+    """150-degree perspective along the emitter normal (reference area-light
+    pm, rfw-scene/src/lights/mod.rs area impl)."""
+    p = position.astype(np.float32)
+    n = normalize(normal.astype(np.float32))
+    proj = perspective_rh(float(np.deg2rad(150.0)), 1.0, near, far)
+    view = look_at_rh(p, p + n, _up_for(n))
+    return (proj @ view).astype(np.float32)
+
+
+def pack_light_info(pm: np.ndarray, position: np.ndarray, rng: float) -> np.ndarray:
+    """256-byte-aligned LightInfo {pm: mat4, pos: vec3, range: f32, pad}
+    (reference LightInfo, rfw-scene/src/lights/mod.rs:8-279 and its
+    size/alignment test :280-287). Returns a (64,) f32 block (256 bytes)."""
+    out = np.zeros(64, np.float32)
+    out[:16] = np.asarray(pm, np.float32).reshape(16)
+    out[16:19] = np.asarray(position, np.float32).reshape(3)
+    out[19] = np.float32(rng)
+    return out
 
 
 def _up_for(direction: np.ndarray) -> np.ndarray:

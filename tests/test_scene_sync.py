@@ -153,3 +153,64 @@ class TestLevelOrderPropagation:
 
         rec(0, np.eye(4, dtype=np.float32))
         np.testing.assert_allclose(g.combined, expected, atol=1e-4)
+
+
+def test_light_shadow_projections():
+    """Per-light-type shadow matrices + LightInfo packing (reference
+    rfw-scene/src/lights/mod.rs:8-287, rfw-backend/src/lights.rs:137-180)."""
+    import numpy as np
+
+    from rfw_tpu.scene.lights import (
+        DirectionalLight,
+        PointLight,
+        SpotLight,
+        area_light_shadow_matrix,
+        pack_light_info,
+    )
+
+    def project(pm, p):
+        h = pm @ np.array([p[0], p[1], p[2], 1.0], np.float32)
+        return h[:3] / h[3]
+
+    # point: each cube face sees a point straight down its axis at ndc center
+    pl = PointLight(np.array([1.0, 2.0, 3.0], np.float32), np.ones(3, np.float32))
+    cubes = pl.cube_matrices(near=0.1, far=50.0)
+    assert cubes.shape == (6, 4, 4)
+    dirs = np.array([[1, 0, 0], [-1, 0, 0], [0, 1, 0],
+                     [0, -1, 0], [0, 0, 1], [0, 0, -1]], np.float32)
+    for pm, d in zip(cubes, dirs):
+        ndc = project(pm, pl.position + 5.0 * d)
+        assert abs(ndc[0]) < 1e-4 and abs(ndc[1]) < 1e-4
+        assert 0.0 <= ndc[2] <= 1.0 or -1.0 <= ndc[2] <= 1.0
+
+    # spot: a point on the axis lands at ndc center; a point on the outer
+    # cone boundary lands at |ndc| ~ 1 in one axis
+    sl = SpotLight(np.zeros(3, np.float32), np.array([0, 0, -1], np.float32),
+                   np.ones(3, np.float32), inner_angle=20.0, outer_angle=30.0)
+    pm = sl.shadow_matrix()
+    ndc = project(pm, np.array([0, 0, -10], np.float32))
+    assert np.linalg.norm(ndc[:2]) < 1e-4
+    edge = np.array([10 * np.tan(np.deg2rad(30.0)), 0, -10], np.float32)
+    assert abs(abs(project(pm, edge)[0]) - 1.0) < 1e-3
+
+    # directional: every corner of the scene AABB stays inside ndc
+    dl = DirectionalLight(np.array([0.3, -1.0, 0.2], np.float32),
+                          np.ones(3, np.float32))
+    lo, hi = np.array([-2, 0, -3], np.float32), np.array([4, 5, 1], np.float32)
+    pm = dl.shadow_matrix(lo, hi)
+    for c in range(8):
+        p = np.where([c & 1, c & 2, c & 4], hi, lo).astype(np.float32)
+        ndc = project(pm, p)
+        assert np.all(np.abs(ndc[:2]) <= 1.0 + 1e-4)
+
+    # area: 150-degree frustum sees points well off-axis in front
+    pm = area_light_shadow_matrix(np.zeros(3, np.float32),
+                                  np.array([0, 1, 0], np.float32))
+    ndc = project(pm, np.array([3.0, 1.0, 0.0], np.float32))
+    assert np.all(np.isfinite(ndc)) and abs(ndc[0]) < 1.0
+
+    # LightInfo: 256-byte block, fields in place
+    info = pack_light_info(pm, np.array([1, 2, 3], np.float32), 42.0)
+    assert info.nbytes == 256
+    np.testing.assert_allclose(info[:16].reshape(4, 4), pm)
+    np.testing.assert_allclose(info[16:20], [1, 2, 3, 42])
