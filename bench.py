@@ -128,7 +128,10 @@ def main():
             sdev, dmats, atlas, dlights, view, jax.random.fold_in(key, s + 1), W, H, cfg
         )
         film = add_sample(film, r.radiance)
-    jax.block_until_ready(film)
+    # NOTE: jax.block_until_ready does NOT reliably block over the axon
+    # TPU tunnel (returns before device execution completes) — force a
+    # device->host copy so dt measures real compute, not dispatch
+    film = np.asarray(film)
     dt = time.perf_counter() - t0
 
     # rays per sample: closest+shadow at each of (bounces+1) path vertices
@@ -138,7 +141,7 @@ def main():
     if args.save:
         from PIL import Image
 
-        frame = np.asarray(tonemap(film, jnp.float32(args.spp), W, H))
+        frame = np.asarray(tonemap(jnp.asarray(film), jnp.float32(args.spp), W, H))
         Image.fromarray(frame).save(args.save)
 
     print(json.dumps({

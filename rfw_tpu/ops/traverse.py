@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 
-LANES = 1024  # (8,128) — one VPU-native tile per grid program
-SUB = 8
+LANES = 512  # (4,128) — half a VPU tile: less shared-stack divergence
+SUB = LANES // 128
 LANE = 128
 STACK_DEPTH = 96
 MAX_LEAF = 4
@@ -431,7 +431,7 @@ def _run_arrays(
 #: arrays — measured ~250KB per tile (buffering included). 16 tiles (4MB)
 #: + an 11.5MB scene budget keeps the worst case ~15.5MB. Fixed (not
 #: scene-adaptive) so the compiled kernel is shared across scenes.
-CHUNK_TILES = 16
+CHUNK_TILES = 32
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):

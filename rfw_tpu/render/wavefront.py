@@ -399,7 +399,11 @@ def render_sample(
         if sw is not None:
             px, py, inv_perm = sw
             pixel_ids = (px, py)
-        pps = prepare_pallas_scene(scene)
+        # barrier: the prepared arrays are (rows, lanes) transposes of the
+        # scene arenas; without it XLA may rematerialize the transposes
+        # inside every traversal chunk step when render_sample is embedded
+        # in a larger jit (observed 95x slowdown)
+        pps = jax.lax.optimization_barrier(prepare_pallas_scene(scene))
 
         def trace_closest(o, d, tl):
             return pallas_closest_hit(pps, o, d, tl)
