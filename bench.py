@@ -104,6 +104,7 @@ def main():
     ap.add_argument("--spp", type=int, default=8, help="timed samples")
     ap.add_argument("--bounces", type=int, default=1)
     ap.add_argument("--save", default=None, help="optional PNG output")
+    ap.add_argument("--sort", action="store_true", help="sort secondary rays")
     args = ap.parse_args()
 
     import jax
@@ -114,7 +115,8 @@ def main():
 
     W, H = args.width, args.height
     sdev, dmats, atlas, dlights, view = build_scene(W, H)
-    cfg = RenderConfig(max_bounces=args.bounces, clamp=20.0, sky_intensity=0.35)
+    cfg = RenderConfig(max_bounces=args.bounces, clamp=20.0, sky_intensity=0.35,
+                       sort_secondary=args.sort)
     key = jax.random.PRNGKey(11)
 
     # warm-up / compile

@@ -3,22 +3,33 @@
 The jnp packet traversal (render.packet) advances ALL tiles in lockstep
 through one XLA while_loop: every iteration costs the full ray front, so
 wall time scales with the *worst* tile's node-visit count. This kernel
-gives every tile its own in-VMEM traversal loop:
+gives every tile its own in-VMEM traversal loop, and — the key TPU
+insight — runs NSTREAM independent sub-tile walks *interleaved* inside
+one program:
 
-  * grid = (num_tiles,); one program owns 1024 rays shaped (8,128) — the
-    native VPU tile;
-  * the whole scene (wide BVH arena + triangles + instance inverses) sits
-    in VMEM (fits for scenes up to ~100k triangles; bigger scenes fall
-    back to the jnp path until the HBM-streaming variant lands);
-  * the scalar core walks the tree (pop/push on an SMEM stack, dynamic
-    row reads of node/triangle data) while the VPU runs 1024-lane slab and
-    Moller-Trumbore tests — the TPU equivalent of the reference's
-    stackful per-warp traversal (gpu-rt intersection.glsl:106-167);
-  * two-level TLAS->BLAS: entering an instance re-bases the tile's rays
-    into object space once (12 scalar loads + 6 fused broadcast FMAs),
-    cached in VMEM scratch until the instance changes.
+  * a dynamic VMEM fetch is latency-bound (~1.5us measured, independent
+    of row count, one fetch in flight per dependent chain). Interleaving
+    K independent walks overlaps their fetches: measured 1460/693/345/183
+    ns-per-fetch at K=1/2/4/8. NSTREAM=4 sub-tiles of (2,128) rays walk
+    the tree concurrently in one scalar program;
+  * smaller (256-ray) sub-tiles also shrink the per-tile stack *union*
+    (a shared-stack tile visits the union of its rays' node sets, so
+    divergent rays blow up visit counts) — interleaving buys latency
+    hiding AND coherence at once;
+  * the whole scene sits in VMEM as ONE i32 array (box floats bitcast;
+    integer bit patterns must never transit float relayouts — TPU
+    flushes denormals), so each node visit is a single latency-bound
+    fetch instead of two;
+  * box/triangle values feed the VPU via (1,1) vector slices broadcast
+    against the ray tiles — no scalar-unit extracts on the hot path;
+    only child codes/counts (stack control flow) round-trip to scalars;
+  * two-level TLAS->BLAS: entering an instance re-bases a sub-tile's
+    rays into object space once, cached in VMEM scratch per stream.
 
-Same node-code encoding as render.packet:
+The TPU equivalent of the reference's stackful per-warp traversal
+(gpu-rt intersection.glsl:106-167).
+
+Node-code encoding (same as render.packet):
     code >= 0  internal wide node;  code == -1 pop;
     code <= -2 triangle leaf (v = -code-2; first = v>>3, count = v&7).
 """
@@ -36,12 +47,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 
-LANES = 512  # (4,128) — half a VPU tile: less shared-stack divergence
-SUB = LANES // 128
 LANE = 128
+NSTREAM = 4  # interleaved independent walks per program (latency hiding)
+SSUB = 2  # sublanes per stream: each walk owns a (2,128) = 256-ray sub-tile
+SUB = NSTREAM * SSUB
+LANES = SUB * LANE  # rays per grid program (1024)
 STACK_DEPTH = 96
 MAX_LEAF = 4
-#: hard per-tile iteration cap: converts accidental infinite traversal into
+#: hard per-walk iteration cap: converts accidental infinite traversal into
 #: a terminating (wrong) result instead of a TPU watchdog kill
 KERNEL_MAX_ITERS = 1 << 19
 # scene arrays bigger than this fall back to the jnp packet path
@@ -54,12 +67,12 @@ class PallasScene(NamedTuple):
 
     VMEM tiles are (8,128): records live in the lane dimension so nothing
     lane-pads. A supernode fetch is one aligned-block one-hot reduction of
-    the (48, Spad) box array + one of the (16, Spad) int array (8 child
-    codes + 8 leaf counts). Integer data stays integer end-to-end — bitcast
-    int-as-float views are denormals that TPU relayouts flush to zero."""
+    the merged (64, Spad) i32 array. Box coordinates are f32 bit patterns
+    stored as i32 (the reduction runs in the INT domain: child-code bit
+    patterns are NaNs/denormals that float relayouts would canonicalize)."""
 
-    box8_t: jax.Array  # (48, Spad) f32: child k rows 6k..6k+5 = min3|max3
-    int8_t: jax.Array  # (16, Spad) i32: rows 0..7 codes, 8..15 counts
+    scene_t: jax.Array  # (64, Spad) i32: rows 0..47 box f32 bits (child k
+    #   rows 6k..6k+5 = min3|max3), rows 48..55 child codes, 56..63 counts
     tri_t: jax.Array  # (16, Tpad) f32: rows 0..8 = v0,e1,e2
     inst_t: jax.Array  # (16, Ipad+1) f32: world->object; last col = identity
     root_t: jax.Array  # (1, Ipad) i32 in SMEM: blas8 root per instance
@@ -69,7 +82,7 @@ class PallasScene(NamedTuple):
 
     @property
     def vmem_bytes(self) -> int:
-        return 4 * (self.box8_t.size + self.int8_t.size + self.tri_t.size
+        return 4 * (self.scene_t.size + self.tri_t.size
                     + self.inst_t.size + self.root_t.size)
 
 
@@ -98,7 +111,7 @@ def pallas_scene_bytes(scene) -> int:
     tris = _bucket(max(int(scene.tri_v0.shape[0]), 1))
     insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
     roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
-    return 4 * ((48 + 16) * supers + 16 * tris + 16 * insts + roots)
+    return 4 * (64 * supers + 16 * tris + 16 * insts + roots)
 
 
 def prepare_pallas_scene(scene) -> PallasScene:
@@ -114,9 +127,9 @@ def prepare_pallas_scene(scene) -> PallasScene:
     cnt8 = jnp.concatenate(
         [jnp.asarray(scene.blas8_cnt), jnp.asarray(scene.tlas8_cnt)]
     ).astype(jnp.int32)
-    int8 = jnp.concatenate([code8, cnt8], axis=1)  # (S,16)
-    box8_t = _pad_lanes(box8.T)
-    int8_t = _pad_lanes(int8.T)
+    box_bits = jax.lax.bitcast_convert_type(box8, jnp.int32)  # (S,48)
+    merged = jnp.concatenate([box_bits, code8, cnt8], axis=1)  # (S,64) i32
+    scene_t = _pad_lanes(merged.T)
 
     n_tri = int(scene.tri_v0.shape[0])
     if n_tri:
@@ -145,8 +158,7 @@ def prepare_pallas_scene(scene) -> PallasScene:
     root_t = _pad_lanes(roots[None, :])  # (1, Ipad) — lives in SMEM
 
     return PallasScene(
-        box8_t=box8_t,
-        int8_t=int8_t,
+        scene_t=scene_t,
         tri_t=tri_t,
         inst_t=inst_t,
         root_t=root_t,
@@ -156,22 +168,32 @@ def prepare_pallas_scene(scene) -> PallasScene:
     )
 
 
-def _traverse_kernel_factory(any_hit: bool):
-    """Straight-line predicated kernel over transposed scene columns.
+class _Walk(NamedTuple):
+    """Per-stream traversal state carried through the while loop."""
 
-    Per node visit: one dynamic lane-slice (16,1) column fetch + static
-    sublane extracts (int fields bitcast from f32 rows 12..15), two 1024-
-    lane slab tests; leaves run up to MAX_LEAF Moller-Trumbore column
-    fetches. The scalar core owns the SMEM stack; an instance switch
-    re-bases the tile's rays via one (16,1) inverse-matrix column."""
+    node: jax.Array
+    inst: jax.Array
+    cached: jax.Array
+    sp: jax.Array
+    done: jax.Array
+
+
+def _traverse_kernel_factory(any_hit: bool):
+    """NSTREAM interleaved predicated walks over transposed scene columns.
+
+    Each while iteration advances every live stream one node visit. Loads
+    for all streams are issued back-to-back (program order) before their
+    uses, so the ~1.5us dynamic-fetch latency overlaps across streams.
+    Leaf triangle fetches interleave the same way (per-slot j, all
+    streams' loads issue together)."""
 
     def kernel(
         meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst(=ident col), 0]
-        box8_ref, int8_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM)
+        scene_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM/SMEM)
         o_ref, d_ref, tlim_ref,  # per-tile inputs
         t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-tile outputs
-        obj_ref,  # VMEM scratch (9,8,128)
-        stack_ref,  # SMEM scratch (STACK_DEPTH,2) i32
+        obj_ref,  # VMEM scratch (9, SUB, LANE): object-space rays per stream
+        stack_ref,  # SMEM scratch (NSTREAM, STACK_DEPTH, 2) i32
     ):
         tlas_root = meta_ref[0, 0]
         n_tri = meta_ref[0, 1]
@@ -182,9 +204,7 @@ def _traverse_kernel_factory(any_hit: bool):
             """Column `idx` of a transposed (rows, Npad) array: lane-dim
             dynamic slices must be 128-aligned in Mosaic, so load the
             aligned block and reduce out the wanted lane with a one-hot
-            mask. The reduction runs in the INT domain — float rows 12..15
-            hold bitcast int32 child codes whose bit patterns are NaNs, and
-            a float sum would canonicalize (corrupt) them."""
+            mask (int domain — bit-exact)."""
             base = pl.multiple_of((idx // LANE) * LANE, LANE)
             block = ref[:, pl.ds(base, LANE)]  # (rows,128)
             is_int = jnp.issubdtype(block.dtype, jnp.integer)
@@ -200,12 +220,9 @@ def _traverse_kernel_factory(any_hit: bool):
                 col_i, jnp.float32
             )
 
-        wox = o_ref[0, 0]
-        woy = o_ref[0, 1]
-        woz = o_ref[0, 2]
-        wdx = d_ref[0, 0]
-        wdy = d_ref[0, 1]
-        wdz = d_ref[0, 2]
+        def srows(ref, k):
+            """Stream k's (SSUB, LANE) sub-tile of a (..., SUB, LANE) ref."""
+            return ref[0, ..., k * SSUB:(k + 1) * SSUB, :]
 
         t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
         prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
@@ -217,70 +234,104 @@ def _traverse_kernel_factory(any_hit: bool):
             return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
                                    jnp.where(x < 0, -1e-20, 1e-20), x)
 
-        def set_obj(inst):
+        def set_obj(k, inst):
+            """Re-base stream k's rays into instance object space."""
             i = jnp.where(inst < 0, n_inst, inst)
             col = fetch_col(inst_ref, i)  # (16,1)
-            m = [col[k, 0] for k in range(12)]
-            obj_ref[0] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
-            obj_ref[1] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
-            obj_ref[2] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
-            obj_ref[3] = m[0] * wdx + m[1] * wdy + m[2] * wdz
-            obj_ref[4] = m[4] * wdx + m[5] * wdy + m[6] * wdz
-            obj_ref[5] = m[8] * wdx + m[9] * wdy + m[10] * wdz
-            obj_ref[6] = safe_inv(obj_ref[3])
-            obj_ref[7] = safe_inv(obj_ref[4])
-            obj_ref[8] = safe_inv(obj_ref[5])
+            m = [col[r, 0] for r in range(12)]
+            sl = slice(k * SSUB, (k + 1) * SSUB)
+            wox = o_ref[0, 0, sl, :]
+            woy = o_ref[0, 1, sl, :]
+            woz = o_ref[0, 2, sl, :]
+            wdx = d_ref[0, 0, sl, :]
+            wdy = d_ref[0, 1, sl, :]
+            wdz = d_ref[0, 2, sl, :]
+            obj_ref[0, sl, :] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+            obj_ref[1, sl, :] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+            obj_ref[2, sl, :] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+            dx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+            dy = m[4] * wdx + m[5] * wdy + m[6] * wdz
+            dz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+            obj_ref[3, sl, :] = dx
+            obj_ref[4, sl, :] = dy
+            obj_ref[5, sl, :] = dz
+            obj_ref[6, sl, :] = safe_inv(dx)
+            obj_ref[7, sl, :] = safe_inv(dy)
+            obj_ref[8, sl, :] = safe_inv(dz)
 
-        set_obj(jnp.int32(-1))
+        for k in range(NSTREAM):
+            set_obj(k, jnp.int32(-1))
 
         def body(carry):
-            node, inst, cached, sp, alive, iters = carry
+            walks, iters = carry
+            new_walks = []
 
-            # ---- pop when requested ----
-            do_pop = node == -1
-            sp = jnp.where(do_pop, sp - 1, sp)
-            spc = jnp.maximum(sp, 0)
-            node = jnp.where(do_pop, stack_ref[spc, 0], node)
-            inst = jnp.where(do_pop, stack_ref[spc, 1], inst)
+            # ---- phase 1 (all streams): pop, instance switch, issue the
+            # node fetch. Loads are emitted back-to-back so they overlap.
+            popped = []
+            for k in range(NSTREAM):
+                w = walks[k]
+                do_pop = (w.node == -1) & ~w.done
+                sp = jnp.where(do_pop, w.sp - 1, w.sp)
+                spc = jnp.maximum(sp, 0)
+                node = jnp.where(do_pop, stack_ref[k, spc, 0], w.node)
+                inst = jnp.where(do_pop, stack_ref[k, spc, 1], w.inst)
 
-            @pl.when(inst != cached)
-            def _():
-                set_obj(inst)
+                @pl.when((inst != w.cached) & ~w.done)
+                def _(k=k, inst=inst):
+                    set_obj(k, inst)
 
-            cached = inst
-            ox, oy, oz = obj_ref[0], obj_ref[1], obj_ref[2]
-            dx, dy, dz = obj_ref[3], obj_ref[4], obj_ref[5]
-            ix, iy, iz = obj_ref[6], obj_ref[7], obj_ref[8]
-            t_best = t_ref[0]
+                popped.append(w._replace(node=node, inst=inst, cached=inst,
+                                         sp=sp))
 
-            is_leaf = node <= -2
-            is_int = node >= 0
+            cols = [
+                fetch_col(scene_ref, jnp.maximum(popped[k].node, 0))
+                for k in range(NSTREAM)
+            ]
 
-            # ---- leaf phase (masked; runs every iteration) ----
-            lv = jnp.maximum(-node - 2, 0)
-            first = lv >> 3
-            count = jnp.where(is_leaf, lv & 7, 0)
+            # ---- phase 2: leaf intersection, slot-major so the MAX_LEAF
+            # triangle fetches of all streams interleave.
+            firsts, counts = [], []
+            for k in range(NSTREAM):
+                w = popped[k]
+                lv = jnp.maximum(-w.node - 2, 0)
+                is_leaf = (w.node <= -2) & ~w.done
+                firsts.append(lv >> 3)
+                counts.append(jnp.where(is_leaf, lv & 7, 0))
 
-            for k in range(MAX_LEAF):
-                @pl.when(k < count)
-                def _():
-                    tri = jnp.minimum(first + k, n_tri - 1)
-                    tc = fetch_col(tri_ref, tri)  # (16,1)
-                    v0x = tc[0, 0]
-                    v0y = tc[1, 0]
-                    v0z = tc[2, 0]
-                    e1x = tc[3, 0]
-                    e1y = tc[4, 0]
-                    e1z = tc[5, 0]
-                    e2x = tc[6, 0]
-                    e2y = tc[7, 0]
-                    e2z = tc[8, 0]
+            for j in range(MAX_LEAF):
+                tcs = [
+                    fetch_col(
+                        tri_ref,
+                        jnp.minimum(
+                            jnp.where(j < counts[k], firsts[k] + j, 0),
+                            jnp.maximum(n_tri - 1, 0),
+                        ),
+                    )
+                    for k in range(NSTREAM)
+                ]
+                for k in range(NSTREAM):
+                    w = popped[k]
+                    tc = tcs[k]
+                    sl = slice(k * SSUB, (k + 1) * SSUB)
+                    ox = obj_ref[0, sl, :]
+                    oy = obj_ref[1, sl, :]
+                    oz = obj_ref[2, sl, :]
+                    dx = obj_ref[3, sl, :]
+                    dy = obj_ref[4, sl, :]
+                    dz = obj_ref[5, sl, :]
+                    # (1,1) slices broadcast in the vector domain — no
+                    # scalar-unit extracts on the hot path
+                    v0x, v0y, v0z = tc[0:1, 0:1], tc[1:2, 0:1], tc[2:3, 0:1]
+                    e1x, e1y, e1z = tc[3:4, 0:1], tc[4:5, 0:1], tc[5:6, 0:1]
+                    e2x, e2y, e2z = tc[6:7, 0:1], tc[7:8, 0:1], tc[8:9, 0:1]
                     px = dy * e2z - dz * e2y
                     py = dz * e2x - dx * e2z
                     pz = dx * e2y - dy * e2x
                     det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(jnp.abs(det) > 1e-12,
-                                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+                    inv_det = jnp.where(
+                        jnp.abs(det) > 1e-12,
+                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
                     tvx = ox - v0x
                     tvy = oy - v0y
                     tvz = oz - v0z
@@ -290,98 +341,119 @@ def _traverse_kernel_factory(any_hit: bool):
                     qz = tvx * e1y - tvy * e1x
                     vq = (dx * qx + dy * qy + dz * qz) * inv_det
                     tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                    tcur = t_ref[0, sl, :]
                     ok = (
-                        (jnp.abs(det) > 1e-12)
+                        (j < counts[k])
+                        & (jnp.abs(det) > 1e-12)
                         & (uq >= -1e-7) & (vq >= -1e-7) & (uq + vq <= 1 + 1e-7)
-                        & (tq > T_MIN) & (tq < t_ref[0])
+                        & (tq > T_MIN) & (tq < tcur)
                     )
-                    t_ref[0] = jnp.where(ok, tq, t_ref[0])
-                    prim_ref[0] = jnp.where(ok, tri, prim_ref[0])
-                    iout_ref[0] = jnp.where(ok, inst, iout_ref[0])
-                    u_ref[0] = jnp.where(ok, uq, u_ref[0])
-                    v_ref[0] = jnp.where(ok, vq, v_ref[0])
+                    tri_id = jnp.minimum(firsts[k] + j, n_tri - 1)
+                    t_ref[0, sl, :] = jnp.where(ok, tq, tcur)
+                    prim_ref[0, sl, :] = jnp.where(ok, tri_id, prim_ref[0, sl, :])
+                    iout_ref[0, sl, :] = jnp.where(ok, w.inst, iout_ref[0, sl, :])
+                    u_ref[0, sl, :] = jnp.where(ok, uq, u_ref[0, sl, :])
+                    v_ref[0, sl, :] = jnp.where(ok, vq, v_ref[0, sl, :])
 
-            # ---- internal phase (8-wide, masked) ----
-            t_best = t_ref[0]  # reload: the leaf phase may have tightened it
-            nsafe = jnp.maximum(node, 0)
-            bcol = fetch_col(box8_ref, nsafe)  # (48,1) f32
-            icol = fetch_col(int8_ref, nsafe)  # (16,1) i32
+            # ---- phase 3: 8-wide internal test + nearest-first push.
+            for k in range(NSTREAM):
+                w = popped[k]
+                col = cols[k]
+                boxf = jax.lax.bitcast_convert_type(col[0:48], jnp.float32)
+                sl = slice(k * SSUB, (k + 1) * SSUB)
+                ox = obj_ref[0, sl, :]
+                oy = obj_ref[1, sl, :]
+                oz = obj_ref[2, sl, :]
+                ix = obj_ref[6, sl, :]
+                iy = obj_ref[7, sl, :]
+                iz = obj_ref[8, sl, :]
+                t_best = t_ref[0, sl, :]
+                dead = prim_ref[0, sl, :] >= 0 if any_hit else None
 
-            in_tlas = inst < 0
+                is_int = (w.node >= 0) & ~w.done
+                in_tlas = w.inst < 0
 
-            def child_entry(code, cnt):
-                payload = -code - 1
-                leaf_child = code < 0
-                iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
-                tlas_entry = root_ref[0, iid]  # SMEM scalar read
-                blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
-                e_code = jnp.where(
-                    leaf_child, jnp.where(in_tlas, tlas_entry, blas_entry), code
-                )
-                e_inst = jnp.where(leaf_child & in_tlas, payload, inst)
-                return e_code, e_inst
+                def child_entry(code, cnt, w=w, in_tlas=in_tlas):
+                    payload = -code - 1
+                    leaf_child = code < 0
+                    iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
+                    tlas_entry = root_ref[0, iid]  # SMEM scalar read
+                    blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
+                    e_code = jnp.where(
+                        leaf_child,
+                        jnp.where(in_tlas, tlas_entry, blas_entry), code)
+                    e_inst = jnp.where(leaf_child & in_tlas, payload, w.inst)
+                    return e_code, e_inst
 
-            # Visit the nearest hit child next; push the rest. Running
-            # nearest-selection keeps it one pass over the 8 children.
-            next_code = jnp.int32(-1)
-            next_inst = inst
-            best_tn = jnp.float32(jnp.inf)
-            for k in range(8):
-                mnx = bcol[6 * k + 0, 0]
-                mny = bcol[6 * k + 1, 0]
-                mnz = bcol[6 * k + 2, 0]
-                mxx = bcol[6 * k + 3, 0]
-                mxy = bcol[6 * k + 4, 0]
-                mxz = bcol[6 * k + 5, 0]
-                tx0 = (mnx - ox) * ix
-                tx1 = (mxx - ox) * ix
-                ty0 = (mny - oy) * iy
-                ty1 = (mxy - oy) * iy
-                tz0 = (mnz - oz) * iz
-                tz1 = (mxz - oz) * iz
-                tn = jnp.maximum(
-                    jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                    jnp.minimum(tz0, tz1),
-                )
-                tf = jnp.minimum(
-                    jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                    jnp.maximum(tz0, tz1),
-                )
-                okl = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+                next_code = jnp.int32(-1)
+                next_inst = w.inst
+                sp = w.sp
+                for c in range(8):
+                    mnx = boxf[6 * c + 0:6 * c + 1, 0:1]
+                    mny = boxf[6 * c + 1:6 * c + 2, 0:1]
+                    mnz = boxf[6 * c + 2:6 * c + 3, 0:1]
+                    mxx = boxf[6 * c + 3:6 * c + 4, 0:1]
+                    mxy = boxf[6 * c + 4:6 * c + 5, 0:1]
+                    mxz = boxf[6 * c + 5:6 * c + 6, 0:1]
+                    tx0 = (mnx - ox) * ix
+                    tx1 = (mxx - ox) * ix
+                    ty0 = (mny - oy) * iy
+                    ty1 = (mxy - oy) * iy
+                    tz0 = (mnz - oz) * iz
+                    tz1 = (mxz - oz) * iz
+                    tn = jnp.maximum(
+                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                        jnp.minimum(tz0, tz1),
+                    )
+                    tf = jnp.minimum(
+                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                        jnp.maximum(tz0, tz1),
+                    )
+                    okl = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+                    if any_hit:
+                        okl = okl & ~dead
+                    hitk = jnp.any(okl) & is_int
+
+                    e_code, e_inst = child_entry(col[48 + c, 0], col[56 + c, 0])
+                    do_push = hitk & (next_code != -1)
+
+                    @pl.when(do_push)
+                    def _(k=k, sp=sp, next_code=next_code, next_inst=next_inst):
+                        slot = jnp.minimum(sp, STACK_DEPTH - 1)
+                        stack_ref[k, slot, 0] = next_code
+                        stack_ref[k, slot, 1] = next_inst
+
+                    sp = jnp.where(do_push, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+                    next_code = jnp.where(hitk, e_code, next_code)
+                    next_inst = jnp.where(hitk, e_inst, next_inst)
+
+                was_int = w.node >= 0
+                node = jnp.where(was_int & ~w.done, next_code, jnp.int32(-1))
+                inst = jnp.where(was_int & ~w.done, next_inst, w.inst)
+
+                exhausted = (node == -1) & (sp <= 0)
+                done = w.done | exhausted
                 if any_hit:
-                    okl = okl & (prim_ref[0] < 0)
-                hitk = jnp.any(okl) & is_int
+                    done = done | jnp.all(prim_ref[0, sl, :] >= 0)
+                new_walks.append(w._replace(node=node, inst=inst, sp=sp,
+                                            done=done))
 
-                e_code, e_inst = child_entry(icol[k, 0], icol[8 + k, 0])
-                do_push = hitk & (next_code != -1)
-
-                @pl.when(do_push)
-                def _():
-                    slot = jnp.minimum(sp, STACK_DEPTH - 1)
-                    stack_ref[slot, 0] = jnp.where(True, next_code, next_code)
-                    stack_ref[slot, 1] = next_inst
-
-                sp = jnp.where(do_push, jnp.minimum(sp + 1, STACK_DEPTH), sp)
-                next_code = jnp.where(hitk, e_code, next_code)
-                next_inst = jnp.where(hitk, e_inst, next_inst)
-
-            node = jnp.where(is_int, next_code, jnp.int32(-1))
-            inst = jnp.where(is_int, next_inst, inst)
-
-            if any_hit:
-                alive = jnp.any(prim_ref[0] < 0)
-            return node, inst, cached, sp, alive, iters + 1
+            return tuple(new_walks), iters + 1
 
         def cond(carry):
-            node, _inst, _c, sp, alive, iters = carry
-            more = ((node != -1) | (sp > 0)) & (iters < KERNEL_MAX_ITERS)
-            return more & alive if any_hit else more
+            walks, iters = carry
+            live = walks[0].done & walks[1].done
+            for k in range(2, NSTREAM):
+                live = live & walks[k].done
+            return (~live) & (iters < KERNEL_MAX_ITERS)
 
-        jax.lax.while_loop(
-            cond, body,
-            (jnp.int32(tlas_root), jnp.int32(-1), jnp.int32(-2), jnp.int32(0),
-             jnp.bool_(True), jnp.int32(0)),
+        init = tuple(
+            _Walk(node=jnp.int32(tlas_root), inst=jnp.int32(-1),
+                  cached=jnp.int32(-1), sp=jnp.int32(0),
+                  done=jnp.bool_(False))
+            for _ in range(NSTREAM)
         )
+        jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
 
     return kernel
 
@@ -391,7 +463,7 @@ def _traverse_kernel_factory(any_hit: bool):
     static_argnames=("any_hit", "interpret"),
 )
 def _run_arrays(
-    meta, box8_t, int8_t, tri_t, inst_t, root_t, o4, d4, tl3,
+    meta, scene_t, tri_t, inst_t, root_t, o4, d4, tl3,
     any_hit: bool,
     interpret: bool = False,
 ):
@@ -414,16 +486,16 @@ def _run_arrays(
     return pl.pallas_call(
         kernel,
         grid=(T,),
-        in_specs=[meta_spec] + [scene_spec] * 4 + [smem_spec]
+        in_specs=[meta_spec] + [scene_spec] * 3 + [smem_spec]
         + [tile3, tile3, tile1],
         out_specs=(tile1, tile1, tile1, tile1, tile1),
         out_shape=out_shapes,
         scratch_shapes=[
             pltpu.VMEM((9, SUB, LANE), jnp.float32),
-            pltpu.SMEM((STACK_DEPTH, 2), jnp.int32),
+            pltpu.SMEM((NSTREAM, STACK_DEPTH, 2), jnp.int32),
         ],
         interpret=interpret,
-    )(meta, box8_t, int8_t, tri_t, inst_t, root_t, o4, d4, tl3)
+    )(meta, scene_t, tri_t, inst_t, root_t, o4, d4, tl3)
 
 
 #: fixed tiles per pallas_call: the axon AOT compiler stack-allocates the
@@ -431,7 +503,7 @@ def _run_arrays(
 #: arrays — measured ~250KB per tile (buffering included). 16 tiles (4MB)
 #: + an 11.5MB scene budget keeps the worst case ~15.5MB. Fixed (not
 #: scene-adaptive) so the compiled kernel is shared across scenes.
-CHUNK_TILES = 32
+CHUNK_TILES = 16
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):
@@ -442,7 +514,7 @@ def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):
 
     def call(o4c, d4c, tl3c):
         return _run_arrays(
-            meta, ps.box8_t, ps.int8_t, ps.tri_t, ps.inst_t, ps.root_t,
+            meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t,
             o4c, d4c, tl3c,
             any_hit=any_hit, interpret=interpret,
         )

@@ -99,10 +99,11 @@ class RenderConfig:
     lanes: int = 256  # packet tile width (rays per shared stack)
     sampler: str = "random"  # "random" (threefry) | "sobol" (Owen-scrambled;
     #   needs sample_index passed to render_sample)
-    sort_secondary: bool = False  # re-tile rays each bounce by (direction
-    #   octant, origin morton). Wins for deep bounces / many-bounce GI;
-    #   measured NET NEGATIVE at 1 bounce on v5e (sort+gathers ~4% > the
-    #   coherence gain), so off by default
+    sort_secondary: bool = True  # re-tile rays each bounce by (direction
+    #   octant, origin morton): secondary rays regain the coherence packet
+    #   tiles need. Honest (materialized) timing shows ~2x end-to-end at
+    #   1 bounce on v5e; an earlier "net negative" reading was a dispatch
+    #   -timing artifact (block_until_ready does not block on this tunnel)
 
 
 class SampleResult(NamedTuple):
