@@ -299,61 +299,69 @@ def _traverse_kernel_factory(any_hit: bool):
                 firsts.append(lv >> 3)
                 counts.append(jnp.where(is_leaf, lv & 7, 0))
 
+            max_count = counts[0]
+            for k in range(1, NSTREAM):
+                max_count = jnp.maximum(max_count, counts[k])
+
             for j in range(MAX_LEAF):
+              # skip the whole slot when no stream's leaf reaches it —
+              # internal-only iterations then issue no triangle fetches
+              @pl.when(max_count > j)
+              def _(j=j):
                 tcs = [
-                    fetch_col(
-                        tri_ref,
-                        jnp.minimum(
-                            jnp.where(j < counts[k], firsts[k] + j, 0),
-                            jnp.maximum(n_tri - 1, 0),
-                        ),
-                    )
-                    for k in range(NSTREAM)
+                      fetch_col(
+                          tri_ref,
+                          jnp.minimum(
+                              jnp.where(j < counts[k], firsts[k] + j, 0),
+                              jnp.maximum(n_tri - 1, 0),
+                          ),
+                      )
+                      for k in range(NSTREAM)
                 ]
                 for k in range(NSTREAM):
-                    w = popped[k]
-                    tc = tcs[k]
-                    sl = slice(k * SSUB, (k + 1) * SSUB)
-                    ox = obj_ref[0, sl, :]
-                    oy = obj_ref[1, sl, :]
-                    oz = obj_ref[2, sl, :]
-                    dx = obj_ref[3, sl, :]
-                    dy = obj_ref[4, sl, :]
-                    dz = obj_ref[5, sl, :]
-                    # (1,1) slices broadcast in the vector domain — no
-                    # scalar-unit extracts on the hot path
-                    v0x, v0y, v0z = tc[0:1, 0:1], tc[1:2, 0:1], tc[2:3, 0:1]
-                    e1x, e1y, e1z = tc[3:4, 0:1], tc[4:5, 0:1], tc[5:6, 0:1]
-                    e2x, e2y, e2z = tc[6:7, 0:1], tc[7:8, 0:1], tc[8:9, 0:1]
-                    px = dy * e2z - dz * e2y
-                    py = dz * e2x - dx * e2z
-                    pz = dx * e2y - dy * e2x
-                    det = e1x * px + e1y * py + e1z * pz
-                    inv_det = jnp.where(
-                        jnp.abs(det) > 1e-12,
-                        1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-                    tvx = ox - v0x
-                    tvy = oy - v0y
-                    tvz = oz - v0z
-                    uq = (tvx * px + tvy * py + tvz * pz) * inv_det
-                    qx = tvy * e1z - tvz * e1y
-                    qy = tvz * e1x - tvx * e1z
-                    qz = tvx * e1y - tvy * e1x
-                    vq = (dx * qx + dy * qy + dz * qz) * inv_det
-                    tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                    tcur = t_ref[0, sl, :]
-                    ok = (
-                        (j < counts[k])
-                        & (jnp.abs(det) > 1e-12)
-                        & (uq >= -1e-7) & (vq >= -1e-7) & (uq + vq <= 1 + 1e-7)
-                        & (tq > T_MIN) & (tq < tcur)
-                    )
-                    tri_id = jnp.minimum(firsts[k] + j, n_tri - 1)
-                    t_ref[0, sl, :] = jnp.where(ok, tq, tcur)
-                    prim_ref[0, sl, :] = jnp.where(ok, tri_id, prim_ref[0, sl, :])
-                    iout_ref[0, sl, :] = jnp.where(ok, w.inst, iout_ref[0, sl, :])
-                    u_ref[0, sl, :] = jnp.where(ok, uq, u_ref[0, sl, :])
-                    v_ref[0, sl, :] = jnp.where(ok, vq, v_ref[0, sl, :])
+                      w = popped[k]
+                      tc = tcs[k]
+                      sl = slice(k * SSUB, (k + 1) * SSUB)
+                      ox = obj_ref[0, sl, :]
+                      oy = obj_ref[1, sl, :]
+                      oz = obj_ref[2, sl, :]
+                      dx = obj_ref[3, sl, :]
+                      dy = obj_ref[4, sl, :]
+                      dz = obj_ref[5, sl, :]
+                      # (1,1) slices broadcast in the vector domain — no
+                      # scalar-unit extracts on the hot path
+                      v0x, v0y, v0z = tc[0:1, 0:1], tc[1:2, 0:1], tc[2:3, 0:1]
+                      e1x, e1y, e1z = tc[3:4, 0:1], tc[4:5, 0:1], tc[5:6, 0:1]
+                      e2x, e2y, e2z = tc[6:7, 0:1], tc[7:8, 0:1], tc[8:9, 0:1]
+                      px = dy * e2z - dz * e2y
+                      py = dz * e2x - dx * e2z
+                      pz = dx * e2y - dy * e2x
+                      det = e1x * px + e1y * py + e1z * pz
+                      inv_det = jnp.where(
+                          jnp.abs(det) > 1e-12,
+                          1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+                      tvx = ox - v0x
+                      tvy = oy - v0y
+                      tvz = oz - v0z
+                      uq = (tvx * px + tvy * py + tvz * pz) * inv_det
+                      qx = tvy * e1z - tvz * e1y
+                      qy = tvz * e1x - tvx * e1z
+                      qz = tvx * e1y - tvy * e1x
+                      vq = (dx * qx + dy * qy + dz * qz) * inv_det
+                      tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                      tcur = t_ref[0, sl, :]
+                      ok = (
+                          (j < counts[k])
+                          & (jnp.abs(det) > 1e-12)
+                          & (uq >= -1e-7) & (vq >= -1e-7) & (uq + vq <= 1 + 1e-7)
+                          & (tq > T_MIN) & (tq < tcur)
+                      )
+                      tri_id = jnp.minimum(firsts[k] + j, n_tri - 1)
+                      t_ref[0, sl, :] = jnp.where(ok, tq, tcur)
+                      prim_ref[0, sl, :] = jnp.where(ok, tri_id, prim_ref[0, sl, :])
+                      iout_ref[0, sl, :] = jnp.where(ok, w.inst, iout_ref[0, sl, :])
+                      u_ref[0, sl, :] = jnp.where(ok, uq, u_ref[0, sl, :])
+                      v_ref[0, sl, :] = jnp.where(ok, vq, v_ref[0, sl, :])
 
             # ---- phase 3: 8-wide internal test + nearest-first push.
             for k in range(NSTREAM):
