@@ -25,7 +25,7 @@ from typing import Tuple
 import numpy as np
 
 N_BINS = 16
-MAX_LEAF = 4
+MAX_LEAF = 8
 TRAVERSAL_COST = 1.0
 INTERSECT_COST = 1.0
 

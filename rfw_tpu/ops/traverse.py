@@ -31,7 +31,8 @@ The TPU equivalent of the reference's stackful per-warp traversal
 
 Node-code encoding (same as render.packet):
     code >= 0  internal wide node;  code == -1 pop;
-    code <= -2 triangle leaf (v = -code-2; first = v>>3, count = v&7).
+    code <= -2 triangle leaf (v = -code-2; first = v>>3 [8-aligned],
+    count = (v&7)+1).
 """
 
 from __future__ import annotations
@@ -53,7 +54,7 @@ SSUB = 2  # sublanes per stream: each walk owns a (2,128) = 256-ray sub-tile
 SUB = NSTREAM * SSUB
 LANES = SUB * LANE  # rays per grid program (1024)
 STACK_DEPTH = 96
-MAX_LEAF = 4
+MAX_LEAF = 8  # leaf capacity (8-aligned blocks; count-1 in 3 bits)
 #: hard per-walk iteration cap: converts accidental infinite traversal into
 #: a terminating (wrong) result instead of a TPU watchdog kill
 KERNEL_MAX_ITERS = 1 << 19
@@ -73,7 +74,9 @@ class PallasScene(NamedTuple):
 
     scene_t: jax.Array  # (64, Spad) i32: rows 0..47 box f32 bits (child k
     #   rows 6k..6k+5 = min3|max3), rows 48..55 child codes, 56..63 counts
-    tri_t: jax.Array  # (16, Tpad) f32: rows 0..8 = v0,e1,e2
+    tri_t: jax.Array  # (128, Bpad) f32 block-major: column b holds the 8
+    #   triangles of leaf block b, 16 floats each (rows 16j..16j+8 =
+    #   v0,e1,e2 of triangle 8b+j) — one leaf = ONE column fetch
     inst_t: jax.Array  # (16, Ipad+1) f32: world->object; last col = identity
     root_t: jax.Array  # (1, Ipad) i32 in SMEM: blas8 root per instance
     tlas_root: int
@@ -108,10 +111,10 @@ def pallas_scene_bytes(scene) -> int:
     track the padding in `_pad_lanes`/`_bucket` exactly, or selection can
     pick a scene the kernel can't fit in scoped VMEM."""
     supers = _bucket(int(scene.blas8_box.shape[0]) + int(scene.tlas8_box.shape[0]))
-    tris = _bucket(max(int(scene.tri_v0.shape[0]), 1))
+    blocks = _bucket(max(-(-int(scene.tri_v0.shape[0]) // 8), 1), 256)
     insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
     roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
-    return 4 * (64 * supers + 16 * tris + 16 * insts + roots)
+    return 4 * (64 * supers + 128 * blocks + 16 * insts + roots)
 
 
 def prepare_pallas_scene(scene) -> PallasScene:
@@ -138,9 +141,14 @@ def prepare_pallas_scene(scene) -> PallasScene:
              jnp.asarray(scene.tri_e2)], axis=1
         ).astype(jnp.float32)
     else:
-        tri = jnp.zeros((1, 9), jnp.float32)
+        tri = jnp.zeros((8, 9), jnp.float32)
+    rows = tri.shape[0]
+    pad8 = -(-rows // 8) * 8 - rows  # pack 8-aligns; defensive for others
+    if pad8:
+        tri = jnp.concatenate([tri, jnp.zeros((pad8, 9), jnp.float32)])
     tri16 = jnp.concatenate([tri, jnp.zeros((tri.shape[0], 7), jnp.float32)], axis=1)
-    tri_t = _pad_lanes(tri16.T)
+    # block-major: row b of (B,128) = leaf block b's 8 triangles x 16 floats
+    tri_t = _pad_lanes(tri16.reshape(-1, 128).T, mult=256)
 
     n_inst = int(scene.inst_matrix.shape[0])
     if n_inst:
@@ -289,79 +297,90 @@ def _traverse_kernel_factory(any_hit: bool):
                 for k in range(NSTREAM)
             ]
 
-            # ---- phase 2: leaf intersection, slot-major so the MAX_LEAF
-            # triangle fetches of all streams interleave.
+            # ---- phase 2: leaf intersection. Leaves are 8-aligned in the
+            # block-major triangle arena, so each stream's whole leaf is
+            # ONE column fetch; the up-to-8 Moller-Trumbore tests then run
+            # on static sublane slices of that column (vector ops only).
             firsts, counts = [], []
             for k in range(NSTREAM):
                 w = popped[k]
                 lv = jnp.maximum(-w.node - 2, 0)
                 is_leaf = (w.node <= -2) & ~w.done
                 firsts.append(lv >> 3)
-                counts.append(jnp.where(is_leaf, lv & 7, 0))
+                counts.append(jnp.where(is_leaf, (lv & 7) + 1, 0))
 
             max_count = counts[0]
             for k in range(1, NSTREAM):
                 max_count = jnp.maximum(max_count, counts[k])
 
-            for j in range(MAX_LEAF):
-              # skip the whole slot when no stream's leaf reaches it —
-              # internal-only iterations then issue no triangle fetches
-              @pl.when(max_count > j)
-              def _(j=j):
-                tcs = [
-                      fetch_col(
-                          tri_ref,
-                          jnp.minimum(
-                              jnp.where(j < counts[k], firsts[k] + j, 0),
-                              jnp.maximum(n_tri - 1, 0),
-                          ),
-                      )
-                      for k in range(NSTREAM)
+            n_blk = jnp.maximum((n_tri + 7) // 8 - 1, 0)
+
+            @pl.when(max_count > 0)
+            def _():
+                tcols = [
+                    fetch_col(
+                        tri_ref,
+                        jnp.minimum(
+                            jnp.where(counts[k] > 0, firsts[k] >> 3, 0), n_blk
+                        ),
+                    )
+                    for k in range(NSTREAM)
                 ]
-                for k in range(NSTREAM):
-                      w = popped[k]
-                      tc = tcs[k]
-                      sl = slice(k * SSUB, (k + 1) * SSUB)
-                      ox = obj_ref[0, sl, :]
-                      oy = obj_ref[1, sl, :]
-                      oz = obj_ref[2, sl, :]
-                      dx = obj_ref[3, sl, :]
-                      dy = obj_ref[4, sl, :]
-                      dz = obj_ref[5, sl, :]
-                      # (1,1) slices broadcast in the vector domain — no
-                      # scalar-unit extracts on the hot path
-                      v0x, v0y, v0z = tc[0:1, 0:1], tc[1:2, 0:1], tc[2:3, 0:1]
-                      e1x, e1y, e1z = tc[3:4, 0:1], tc[4:5, 0:1], tc[5:6, 0:1]
-                      e2x, e2y, e2z = tc[6:7, 0:1], tc[7:8, 0:1], tc[8:9, 0:1]
-                      px = dy * e2z - dz * e2y
-                      py = dz * e2x - dx * e2z
-                      pz = dx * e2y - dy * e2x
-                      det = e1x * px + e1y * py + e1z * pz
-                      inv_det = jnp.where(
-                          jnp.abs(det) > 1e-12,
-                          1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-                      tvx = ox - v0x
-                      tvy = oy - v0y
-                      tvz = oz - v0z
-                      uq = (tvx * px + tvy * py + tvz * pz) * inv_det
-                      qx = tvy * e1z - tvz * e1y
-                      qy = tvz * e1x - tvx * e1z
-                      qz = tvx * e1y - tvy * e1x
-                      vq = (dx * qx + dy * qy + dz * qz) * inv_det
-                      tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                      tcur = t_ref[0, sl, :]
-                      ok = (
-                          (j < counts[k])
-                          & (jnp.abs(det) > 1e-12)
-                          & (uq >= -1e-7) & (vq >= -1e-7) & (uq + vq <= 1 + 1e-7)
-                          & (tq > T_MIN) & (tq < tcur)
-                      )
-                      tri_id = jnp.minimum(firsts[k] + j, n_tri - 1)
-                      t_ref[0, sl, :] = jnp.where(ok, tq, tcur)
-                      prim_ref[0, sl, :] = jnp.where(ok, tri_id, prim_ref[0, sl, :])
-                      iout_ref[0, sl, :] = jnp.where(ok, w.inst, iout_ref[0, sl, :])
-                      u_ref[0, sl, :] = jnp.where(ok, uq, u_ref[0, sl, :])
-                      v_ref[0, sl, :] = jnp.where(ok, vq, v_ref[0, sl, :])
+                for j in range(8):
+                    for k in range(NSTREAM):
+                        w = popped[k]
+                        tc = tcols[k]
+                        sl = slice(k * SSUB, (k + 1) * SSUB)
+                        ox = obj_ref[0, sl, :]
+                        oy = obj_ref[1, sl, :]
+                        oz = obj_ref[2, sl, :]
+                        dx = obj_ref[3, sl, :]
+                        dy = obj_ref[4, sl, :]
+                        dz = obj_ref[5, sl, :]
+                        # (1,1) slices broadcast in the vector domain — no
+                        # scalar-unit extracts on the hot path
+                        r = 16 * j
+                        v0x, v0y, v0z = (tc[r + 0:r + 1, 0:1],
+                                         tc[r + 1:r + 2, 0:1],
+                                         tc[r + 2:r + 3, 0:1])
+                        e1x, e1y, e1z = (tc[r + 3:r + 4, 0:1],
+                                         tc[r + 4:r + 5, 0:1],
+                                         tc[r + 5:r + 6, 0:1])
+                        e2x, e2y, e2z = (tc[r + 6:r + 7, 0:1],
+                                         tc[r + 7:r + 8, 0:1],
+                                         tc[r + 8:r + 9, 0:1])
+                        px = dy * e2z - dz * e2y
+                        py = dz * e2x - dx * e2z
+                        pz = dx * e2y - dy * e2x
+                        det = e1x * px + e1y * py + e1z * pz
+                        inv_det = jnp.where(
+                            jnp.abs(det) > 1e-12,
+                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+                        tvx = ox - v0x
+                        tvy = oy - v0y
+                        tvz = oz - v0z
+                        uq = (tvx * px + tvy * py + tvz * pz) * inv_det
+                        qx = tvy * e1z - tvz * e1y
+                        qy = tvz * e1x - tvx * e1z
+                        qz = tvx * e1y - tvy * e1x
+                        vq = (dx * qx + dy * qy + dz * qz) * inv_det
+                        tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
+                        tcur = t_ref[0, sl, :]
+                        ok = (
+                            (j < counts[k])
+                            & (jnp.abs(det) > 1e-12)
+                            & (uq >= -1e-7) & (vq >= -1e-7)
+                            & (uq + vq <= 1 + 1e-7)
+                            & (tq > T_MIN) & (tq < tcur)
+                        )
+                        tri_id = jnp.minimum(firsts[k] + j, n_tri - 1)
+                        t_ref[0, sl, :] = jnp.where(ok, tq, tcur)
+                        prim_ref[0, sl, :] = jnp.where(
+                            ok, tri_id, prim_ref[0, sl, :])
+                        iout_ref[0, sl, :] = jnp.where(
+                            ok, w.inst, iout_ref[0, sl, :])
+                        u_ref[0, sl, :] = jnp.where(ok, uq, u_ref[0, sl, :])
+                        v_ref[0, sl, :] = jnp.where(ok, vq, v_ref[0, sl, :])
 
             # ---- phase 3: 8-wide internal test + nearest-first push.
             for k in range(NSTREAM):
@@ -386,7 +405,7 @@ def _traverse_kernel_factory(any_hit: bool):
                     leaf_child = code < 0
                     iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
                     tlas_entry = root_ref[0, iid]  # SMEM scalar read
-                    blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
+                    blas_entry = -(payload * 8 + jnp.minimum(cnt - 1, 7)) - 2
                     e_code = jnp.where(
                         leaf_child,
                         jnp.where(in_tlas, tlas_entry, blas_entry), code)

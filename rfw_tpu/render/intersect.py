@@ -35,7 +35,7 @@ EPSILON = 1e-4
 T_MIN = 1e-5
 T_MAX = 1e26
 STACK_DEPTH = 64
-MAX_LEAF = 4  # must match accel.bvh_cpu.MAX_LEAF
+MAX_LEAF = 8  # must match accel.bvh_cpu.MAX_LEAF
 
 
 # --------------------------------------------------------------------- oracle

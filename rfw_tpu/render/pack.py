@@ -199,6 +199,48 @@ def _tri_lod_factor(mesh: Mesh3D, po: np.ndarray) -> np.ndarray:
     return np.sqrt(uv_area / np.maximum(w_area, 1e-12)).astype(np.float32)
 
 
+def _align_leaf_tris(bvh: BvhNodes, n_tris: int):
+    """8-align every leaf's first-triangle offset by inserting gaps in the
+    reordered triangle arena, so the Pallas kernel can fetch a whole leaf
+    as ONE (128,1) column of the block-major triangle layout (8 tris x 16
+    floats per block). Returns (aligned_bvh, gather, new_size): `gather`
+    maps padded arena position -> reordered-arena position (-1 = filler;
+    fillers are degenerate triangles that can never be hit). new_size is a
+    multiple of 8."""
+    is_leaf = bvh.node_count > 0
+    leaves = np.nonzero(is_leaf)[0]
+    order = leaves[np.argsort(bvh.node_left[leaves], kind="stable")]
+    new_left = bvh.node_left.copy()
+    cursor = 0
+    spans = []
+    for li in order:
+        first = int(bvh.node_left[li])
+        count = int(bvh.node_count[li])
+        aligned = -(-cursor // 8) * 8
+        new_left[li] = aligned
+        spans.append((aligned, first, count))
+        cursor = aligned + count
+    new_size = max(-(-cursor // 8) * 8, 8) if n_tris else 0
+    gather = np.full(new_size, -1, np.int64)
+    for aligned, first, count in spans:
+        gather[aligned:aligned + count] = np.arange(first, first + count)
+    aligned_bvh = BvhNodes(
+        node_min=bvh.node_min, node_max=bvh.node_max,
+        node_left=new_left.astype(np.int32), node_right=bvh.node_right,
+        node_count=bvh.node_count, prim_order=bvh.prim_order,
+    )
+    return aligned_bvh, gather, new_size
+
+
+def _pad_gather(ordered: np.ndarray, gather: np.ndarray, fill=0):
+    """Scatter a leaf-ordered per-triangle array into the 8-aligned arena."""
+    out = np.full((gather.shape[0],) + ordered.shape[1:], fill, ordered.dtype)
+    valid = gather >= 0
+    if ordered.shape[0]:
+        out[valid] = ordered[gather[valid]]
+    return out
+
+
 def pack_trace_scene(
     meshes: Sequence[Tuple[int, Mesh3D, Optional[BvhNodes]]],
     instances: Sequence[Tuple[int, np.ndarray]],
@@ -246,6 +288,10 @@ def pack_trace_scene(
             if built_blas_out is not None and slot not in deformed_positions:
                 built_blas_out[slot] = bvh
 
+        # 8-align leaf triangle ranges (the Pallas kernel fetches a leaf as
+        # one block-major column; see _align_leaf_tris)
+        bvh, gather, _padded = _align_leaf_tris(bvh, len(i0))
+
         # Rebase node child/leaf indices into global arenas.
         is_leaf = bvh.node_count > 0
         left = np.where(is_leaf, bvh.node_left + tri_offset, bvh.node_left + node_offset)
@@ -255,19 +301,21 @@ def pack_trace_scene(
                      right.astype(np.int32), bvh.node_count, bvh.prim_order)
         )
 
-        # Triangle arena in *BVH leaf order* (prim_order applied) so leaves
-        # are contiguous and no extra indirection is needed at trace time.
+        # Triangle arena in *BVH leaf order* (prim_order applied, leaf gaps
+        # filled with degenerate triangles) so leaves are contiguous and no
+        # extra indirection is needed at trace time.
         po = bvh.prim_order.astype(np.int64)
         tri_chunks.append(
             dict(
-                v0=v0[po], e1=e1[po], e2=e2[po],
-                i0=(i0[po] + vtx_offset).astype(np.int32),
-                i1=(i1[po] + vtx_offset).astype(np.int32),
-                i2=(i2[po] + vtx_offset).astype(np.int32),
-                mat=mesh.tri_material[po],
-                light=mesh.tri_light[po],
-                mesh=np.full(len(po), slot, np.int32),
-                lodf=_tri_lod_factor(mesh, po),
+                v0=_pad_gather(v0[po], gather), e1=_pad_gather(e1[po], gather),
+                e2=_pad_gather(e2[po], gather),
+                i0=_pad_gather((i0[po] + vtx_offset).astype(np.int32), gather),
+                i1=_pad_gather((i1[po] + vtx_offset).astype(np.int32), gather),
+                i2=_pad_gather((i2[po] + vtx_offset).astype(np.int32), gather),
+                mat=_pad_gather(mesh.tri_material[po], gather),
+                light=_pad_gather(mesh.tri_light[po], gather, fill=-1),
+                mesh=np.full(gather.shape[0], slot, np.int32),
+                lodf=_pad_gather(_tri_lod_factor(mesh, po), gather),
             )
         )
         vtx_chunks.append(
@@ -293,7 +341,7 @@ def pack_trace_scene(
         mesh_info[slot] = (node_offset, pos_mn.astype(np.float32), pos_mx.astype(np.float32),
                            wroot + wide_offset, wide8_offset)
         node_offset += bvh.num_nodes
-        tri_offset += len(po)
+        tri_offset += gather.shape[0]  # 8-aligned padded arena size
         vtx_offset += pos.shape[0]
         wide_offset += wf.shape[0]
         wide8_offset += b8.shape[0]

@@ -27,7 +27,7 @@ rfw_tpu.render.wavefront swizzle) and secondary rays inherit the layout.
 Node-code encoding inside the loop (int32 per tile):
     code >= 0   internal node in the unified wide arena (BLAS ++ TLAS)
     code == -1  "pop"
-    code <= -2  BLAS triangle leaf: v = -code-2; first = v >> 3, count = v & 7
+    code <= -2  BLAS triangle leaf: v = -code-2; first = v >> 3, count = (v & 7) + 1
 """
 
 from __future__ import annotations
@@ -155,8 +155,8 @@ def _traverse(ps: PacketScene, ray_o, ray_d, t_limit, any_hit: bool):
         is_leaf = active & (node <= -2)
         lv = jnp.maximum(-node - 2, 0)
         first = lv >> 3
-        count = lv & 7
-        for k in range(4):
+        count = jnp.where(is_leaf, (lv & 7) + 1, 0)
+        for k in range(8):
             tri = jnp.minimum(first + k, max(ps.n_tri - 1, 0))
             row = ps.tri9[tri]  # (T,9)
             v0 = row[:, None, 0:3]
@@ -207,7 +207,7 @@ def _traverse(ps: PacketScene, ray_o, ray_d, t_limit, any_hit: bool):
             iid = jnp.clip(payload, 0, max(ps.n_inst - 1, 0))
             tlas_entry = ps.blas_wide_root[iid]
             # BLAS leaf -> encoded triangle leaf code
-            blas_entry = -(payload * 8 + jnp.minimum(cnt, 7)) - 2
+            blas_entry = -(payload * 8 + jnp.minimum(cnt - 1, 7)) - 2
             e_code = jnp.where(
                 c_leaf,
                 jnp.where(in_tlas, tlas_entry, blas_entry),
