@@ -129,3 +129,44 @@ class TestBvhBuild:
 def scene_dev(scene: TraceScene) -> TraceScene:
     """numpy pytree -> jnp pytree."""
     return TraceScene(*[jnp.asarray(x) for x in scene])
+
+
+def test_align_leaf_tris_invariants():
+    """Every leaf 8-aligned, ranges disjoint, every source triangle mapped
+    exactly once, fillers degenerate (pack._align_leaf_tris)."""
+    import numpy as np
+
+    from rfw_tpu.accel.bvh_cpu import build_bvh_sah, triangle_aabbs
+    from rfw_tpu.models import sphere
+    from rfw_tpu.render.pack import _align_leaf_tris, _pad_gather
+
+    m = sphere(quality=3)
+    idx = m.indices.reshape(-1, 3)
+    v0 = m.positions[idx[:, 0]]
+    v1 = m.positions[idx[:, 1]]
+    v2 = m.positions[idx[:, 2]]
+    mn, mx = triangle_aabbs(v0, v1, v2)
+    bvh = build_bvh_sah(mn, mx)
+    n = len(idx)
+    aligned, gather, new_size = _align_leaf_tris(bvh, n)
+
+    assert new_size % 8 == 0 and gather.shape[0] == new_size
+    leaves = np.nonzero(aligned.node_count > 0)[0]
+    seen = np.zeros(new_size, bool)
+    for li in leaves:
+        first = int(aligned.node_left[li])
+        count = int(aligned.node_count[li])
+        assert first % 8 == 0, "leaf first must be 8-aligned"
+        assert 1 <= count <= 8
+        assert not seen[first:first + count].any(), "leaf ranges overlap"
+        seen[first:first + count] = True
+        assert (gather[first:first + count] >= 0).all()
+    # every source triangle appears exactly once
+    valid = gather[gather >= 0]
+    assert len(valid) == n and len(np.unique(valid)) == n
+    # fillers scatter to the fill value (input is the leaf-ordered array)
+    po = bvh.prim_order.astype(np.int64)
+    padded = _pad_gather(v0[po].astype(np.float32), gather)
+    assert np.all(padded[gather < 0] == 0)
+    # non-fillers carry the reordered data
+    np.testing.assert_array_equal(padded[gather >= 0], v0[po][valid])
