@@ -78,9 +78,12 @@ def build_bvh_sah(
         if built is not None:
             return built
     if n == 0:
+        # inverted (unhittable) box: the zero-filled encoding made an
+        # internal node whose children are itself at a point box — a ray
+        # through the origin would cycle forever in the lockstep walk
         return BvhNodes(
-            node_min=np.zeros((1, 3), np.float32),
-            node_max=np.zeros((1, 3), np.float32),
+            node_min=np.full((1, 3), np.inf, np.float32),
+            node_max=np.full((1, 3), -np.inf, np.float32),
             node_left=np.zeros(1, np.int32),
             node_right=np.zeros(1, np.int32),
             node_count=np.zeros(1, np.int32),

@@ -158,6 +158,9 @@ class TextureView:
     """
 
     mips: List[np.ndarray]  # [(H,W,4) u8, (H/2,W/2,4) u8, ...]
+    #: color data (albedo/emissive) stored gamma-encoded; False for linear
+    #: data (normal maps, metallic-roughness) which must NOT be sRGB-decoded
+    srgb: bool = True
 
     @property
     def width(self) -> int:

@@ -103,9 +103,13 @@ class _Gltf:
         if stride == itemsize:
             out = np.frombuffer(buf, dtype, count * ncomp, offset).reshape(count, ncomp)
         else:
-            raw = np.frombuffer(
-                buf, np.uint8, count * stride, offset
-            ).reshape(count, stride)[:, : itemsize]
+            # glTF only guarantees stride*(count-1) + itemsize bytes — a view
+            # ending exactly at the last element must not over-read
+            nbytes = stride * (count - 1) + itemsize
+            flat = np.frombuffer(buf, np.uint8, nbytes, offset)
+            raw = np.lib.stride_tricks.as_strided(
+                flat, shape=(count, itemsize), strides=(stride, 1)
+            )
             out = raw.copy().view(dtype).reshape(count, ncomp)
         return out
 
@@ -139,20 +143,38 @@ class _Gltf:
             return np.asarray(im.convert("RGBA"))
 
 
+def _srgb_texture_set(g: _Gltf) -> set:
+    """glTF texture indices holding gamma-encoded color data. Per the glTF
+    spec only baseColor and emissive are sRGB; normal / metallic-roughness /
+    occlusion maps are linear and must not be gamma-decoded at sample time."""
+    srgb: set = set()
+    for gm in g.json.get("materials", []):
+        pbr = gm.get("pbrMetallicRoughness", {})
+        if "baseColorTexture" in pbr:
+            srgb.add(pbr["baseColorTexture"]["index"])
+        if "emissiveTexture" in gm:
+            srgb.add(gm["emissiveTexture"]["index"])
+    return srgb
+
+
 def _load_textures(g: _Gltf, materials: Materials) -> List[int]:
-    """texture index -> Materials texture id. srgb-ness fixed up per use."""
+    """texture index -> Materials texture id, srgb classified per use."""
+    srgb_set = _srgb_texture_set(g)
     out = []
     for ti, tex in enumerate(g.json.get("textures", [])):
         src = tex.get("source")
         if src is None:
             out.append(-1)
             continue
+        srgb = ti in srgb_set
         p = g.image_path(src)
         if p and os.path.exists(p):
-            out.append(materials.load_texture(p))
+            out.append(materials.load_texture(p, srgb=srgb))
         else:
             try:
-                out.append(materials.push_texture(Texture.from_array(g.image_array(src))))
+                out.append(materials.push_texture(
+                    Texture.from_array(g.image_array(src), srgb=srgb)
+                ))
             except Exception as e:  # missing/broken image -> no texture
                 _LOG.warning("texture %d failed: %s", ti, e)
                 out.append(-1)

@@ -79,22 +79,13 @@ def render_sample_sharded(
 
     ray_sharding = NamedSharding(mesh, P(axis))
 
-    # out_shardings: per-ray outputs sharded on the film axis
-    shardings = dict(
-        radiance=ray_sharding, albedo=ray_sharding, normal=ray_sharding,
-        depth=ray_sharding, position=ray_sharding,
-    )
+    # Ray generation happens inside render_sample from iota; every output is
+    # per-ray, so a single out_shardings entry (a pytree prefix) forces the
+    # pixel axis to shard over the film mesh *inside* the compiled program —
+    # not as an after-the-fact constraint on already-materialized outputs.
     fn = jax.jit(
-        functools.partial(render_sample, width=width, height=height, config=config)
+        functools.partial(render_sample, width=width, height=height, config=config),
+        out_shardings=ray_sharding,
     )
-    # Ray generation happens inside render_sample from iota — constrain the
-    # outputs so XLA shards the pixel axis across the film mesh.
     with mesh:
-        res = fn(scene_r, mats_r, atlas_r, lights_r, view_r, key_r)
-        res = jax.tree_util.tree_map(
-            lambda a: jax.lax.with_sharding_constraint(
-                a, ray_sharding
-            ) if a.ndim >= 1 and a.shape[0] == width * height else a,
-            res,
-        )
-    return res
+        return fn(scene_r, mats_r, atlas_r, lights_r, view_r, key_r)

@@ -36,6 +36,8 @@ T_MIN = 1e-5
 T_MAX = 1e26
 STACK_DEPTH = 64
 MAX_LEAF = 8  # must match accel.bvh_cpu.MAX_LEAF
+MAX_ITERS = 1 << 20  # lockstep safety cap (mirrors packet.MAX_ITERS): a
+#   malformed BVH must yield a wrong-but-bounded result, not a hang
 
 
 # --------------------------------------------------------------------- oracle
@@ -145,6 +147,7 @@ def _traversal(scene, ray_o, ray_d, t_limit, any_hit: bool):
         u: jax.Array
         v: jax.Array
         done: jax.Array  # (R,) bool
+        iters: jax.Array  # () i32 safety counter
 
     def obj_ray(inst):
         """Current-space ray for each lane (world if inst < 0)."""
@@ -156,7 +159,7 @@ def _traversal(scene, ray_o, ray_d, t_limit, any_hit: bool):
         return jnp.where(in_tlas, ray_o, o), jnp.where(in_tlas, ray_d, d)
 
     def cond(s: State):
-        return jnp.any(~s.done)
+        return jnp.any(~s.done) & (s.iters < MAX_ITERS)
 
     def body(s: State):
         rows = jnp.arange(R)
@@ -266,6 +269,7 @@ def _traversal(scene, ray_o, ray_d, t_limit, any_hit: bool):
             stack_inst=stack_inst,
             t=t_best, prim=p_best, hit_inst=i_best, u=u_best, v=v_best,
             done=done,
+            iters=s.iters + 1,
         )
 
     init = State(
@@ -280,6 +284,7 @@ def _traversal(scene, ray_o, ray_d, t_limit, any_hit: bool):
         u=jnp.zeros(R, f32),
         v=jnp.zeros(R, f32),
         done=jnp.zeros(R, bool) if scene.inst_matrix.shape[0] else jnp.ones(R, bool),
+        iters=jnp.zeros((), i32),
     )
     final = jax.lax.while_loop(cond, body, init)
     return Hit(final.t, final.prim, final.hit_inst, final.u, final.v)

@@ -54,6 +54,11 @@ class DeviceLights(NamedTuple):
     pick_cdf: np.ndarray  # (Lpad,) f32 inclusive cdf, 1-terminated
     pick_prob: np.ndarray  # (Lpad,) f32 probability per light
     area_pick_prob: np.ndarray  # (A,) f32 — slice of pick_prob for area lights
+    # scalars for reconstructing an emitter's pick probability at shade time
+    # (instance-exact: the hit's world area is known there; a tri_light-keyed
+    # gather would return instance 0's probability for every instance)
+    pick_w_total: np.ndarray  # (1,) f32 sum of all selection weights
+    pick_n: np.ndarray  # (1,) f32 total light count (for the uniform blend)
 
     @property
     def total(self) -> int:
@@ -142,4 +147,6 @@ def pack_lights(
         pick_cdf=cdf_p,
         pick_prob=prob_p,
         area_pick_prob=area_prob,
+        pick_w_total=np.array([total], np.float32),
+        pick_n=np.array([float(n)], np.float32),
     )

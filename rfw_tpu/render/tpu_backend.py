@@ -260,8 +260,9 @@ class TpuBackend:
                 for f in (
                     "tlas_min", "tlas_max", "tlas_left", "tlas_right",
                     "tlas_count", "tlas_prim", "tlas_wide_f", "tlas_wide_i",
+                    "tlas8_box", "tlas8_code", "tlas8_cnt",
                     "inst_matrix", "inst_inv", "inst_normal", "inst_mesh",
-                    "blas_root", "blas_wide_root",
+                    "blas_root", "blas_wide_root", "blas8_root",
                 )
             }
             self._scene_dev = self._scene_dev._replace(**changed)
@@ -287,10 +288,14 @@ class TpuBackend:
                     self.mips = mips
                     self.srgb = srgb
 
-            packed = [None if t is None else _T(t.mips) for t in tex_list]
+            packed = [
+                None if t is None else _T(t.mips, getattr(t, "srgb", True))
+                for t in tex_list
+            ]
             if self._skybox is not None:
                 self._sky_tex_id = len(packed)
-                packed.append(_T(self._skybox.mips))
+                packed.append(_T(self._skybox.mips,
+                                 getattr(self._skybox, "srgb", True)))
             else:
                 self._sky_tex_id = -1
             atlas = pack_atlas(packed)
@@ -361,18 +366,8 @@ class TpuBackend:
             )
             self._film = film_mod.add_sample(self._film, res.radiance)
             last = res
-        import time as _time
-
-        if last is not None:
-            jax.block_until_ready(self._film)
         self._spp += self.settings.samples_per_frame
         self._frame_index += 1
-        dt = _time.perf_counter() - _t_render0
-        self.stats["render_ms"].add(dt * 1e3)
-        rays = (self.width * self.height * self.settings.samples_per_frame
-                * 2 * (self.settings.max_bounces + 1))
-        self.stats["mrays_per_s"].add(rays / max(dt, 1e-9) / 1e6)
-        self.stats["spp_total"] = self._spp
 
         # AOV debug views (reference RenderMode -> G-buffer channels)
         if mode in (RenderMode.NORMAL, RenderMode.ALBEDO, RenderMode.GBUFFER,
@@ -386,6 +381,16 @@ class TpuBackend:
                     exposure=self.settings.exposure, mode=self.settings.tonemap,
                 )
             )
+
+        # honest timing: block_until_ready does NOT block over the axon
+        # tunnel (CLAUDE.md) — the np.asarray in the frame conversion above
+        # is the only real device sync, so the clock stops here
+        dt = _time.perf_counter() - _t_render0
+        self.stats["render_ms"].add(dt * 1e3)
+        rays = (self.width * self.height * self.settings.samples_per_frame
+                * 2 * (self.settings.max_bounces + 1))
+        self.stats["mrays_per_s"].add(rays / max(dt, 1e-9) / 1e6)
+        self.stats["spp_total"] = self._spp
 
         # 2D overlay
         if self._meshes_2d and view_2d is not None:

@@ -284,6 +284,9 @@ def _fetch_material(
     is_emissive = jnp.max(color[:, :3], axis=-1) > 1.0
     emis_tex = sample_bilinear(atlas, tex[:, 3], uv_interp, lod)
     emission = jnp.where(is_emissive[:, None], color[:, :3] * emis_tex[:, :3], 0.0)
+    # untextured emission — must match what area-light extraction registered
+    # (scene/lights.py radiance_per_tri) so the reconstructed pick pdf agrees
+    emission_base = jnp.where(is_emissive[:, None], color[:, :3], 0.0)
 
     p = disney.MatParams(
         base_color=base_color,
@@ -298,7 +301,7 @@ def _fetch_material(
         subsurface=params[:, 1],
         anisotropic=params[:, 5],
     )
-    return p, emission, n_ts
+    return p, emission, n_ts, emission_base
 
 
 # -------------------------------------------------------------- integrator
@@ -535,7 +538,7 @@ def render_sample(
         spread = view[16]
         footprint = hit.t * spread * lod_f * 1024.0
         lod = jnp.log2(jnp.maximum(footprint, 1e-6))
-        params, emission, n_ts = _fetch_material(
+        params, emission, n_ts, emission_base = _fetch_material(
             mats, atlas, scene, jnp.maximum(hit.prim, 0), basis["uv"], lod
         )
         ns = (
@@ -569,10 +572,20 @@ def render_sample(
         # sole strategy and gets full weight.
         is_emitter = jnp.max(emission, axis=-1) > 0.0
         cos_hit = jnp.abs(jnp.sum(basis["ng"] * st.ray_d, -1))
-        hit_light = scene.tri_light[jnp.maximum(hit.prim, 0)]
-        hit_pick_p = lights.area_pick_prob[
-            jnp.clip(hit_light, 0, lights.area_pick_prob.shape[0] - 1)
-        ]
+        # Reconstruct the hit emitter's pick probability from its actual
+        # world-space power weight (lum(radiance) * area * pi, the same
+        # formula pack_lights uses). Instance-exact: world_area is the hit
+        # instance's transformed triangle area, whereas a tri_light-keyed
+        # gather would return instance 0's probability for every instance.
+        lum_hit = (0.2126 * emission_base[:, 0] + 0.7152 * emission_base[:, 1]
+                   + 0.0722 * emission_base[:, 2])
+        w_hit = lum_hit * basis["world_area"] * PI
+        n_l = jnp.maximum(lights.pick_n[0], 1.0)
+        hit_pick_p = jnp.where(
+            lights.pick_w_total[0] > 0,
+            0.5 * w_hit / jnp.maximum(lights.pick_w_total[0], 1e-12) + 0.5 / n_l,
+            1.0 / n_l,
+        )
         pdf_nee_this = (hit.t * hit.t) / jnp.maximum(
             cos_hit * basis["world_area"], 1e-8
         ) * hit_pick_p

@@ -122,7 +122,7 @@ class Texture:
         return self.mips[0].shape[0]
 
     def view(self) -> TextureView:
-        return TextureView(mips=self.mips)
+        return TextureView(mips=self.mips, srgb=self.srgb)
 
     def merge_metallic_roughness(self, other: Optional["Texture"]) -> "Texture":
         """Combine metallic (B) and roughness (G) maps into one texture,
@@ -256,6 +256,17 @@ class Materials:
         out = np.zeros(cap, bool)
         for i, m in self.materials:
             out[i] = m.is_emissive
+        return out
+
+    def emission_table(self) -> np.ndarray:
+        """(cap,3) emitted radiance per slot (zeros for non-emitters) — lets
+        area-light extraction gather per-triangle radiance in one indexed
+        read instead of a python loop per emissive triangle."""
+        cap = self.materials.capacity
+        out = np.zeros((cap, 3), np.float32)
+        for i, m in self.materials:
+            if m.is_emissive:
+                out[i] = m.emission
         return out
 
     def to_device(self) -> DeviceMaterials:

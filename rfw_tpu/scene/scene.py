@@ -58,6 +58,8 @@ class Scene:
         self.lights = Lights()
         self._instances_changed = True
         self._lights_rebuilt = False
+        # per-mesh area-light chunks, reused when a mesh didn't change
+        self._area_cache: Dict[int, object] = {}
 
     # ================= loading =================
     def load(self, path: str) -> Union[MeshDescriptor, SceneDescriptor]:
@@ -115,6 +117,7 @@ class Scene:
     def remove_3d_object(self, mesh_id: int) -> None:
         self.meshes_3d.erase(mesh_id)
         self.instances_3d.pop(mesh_id, None)
+        self._area_cache.pop(mesh_id, None)
 
     # ================= 2D objects =================
     def add_2d_object(self, mesh: Mesh2D) -> int:
@@ -177,38 +180,55 @@ class Scene:
         self.graph.set_animations_time(t)
 
     # ================= area lights =================
-    def update_lights(self) -> None:
+    def update_lights(self, changed_slots: Optional[set] = None) -> None:
         """Extract per-triangle area lights from emissive materials
-        (reference update_lights, lib.rs:575-648): scans every mesh whose
+        (reference update_lights, lib.rs:575-648): scans meshes whose
         materials have light_flags set, instantiates one AreaLight per
-        emissive triangle per active instance, back-writes tri light ids."""
+        emissive triangle per active instance, back-writes tri light ids.
+
+        `changed_slots`: re-extract only these mesh slots; cached per-mesh
+        chunks are reused for the rest (a 10k-instance scene where one mesh
+        moves re-extracts one mesh, not all). tri_light back-writes are
+        per-mesh ranks — the integrator only tests `tri_light >= 0`; the
+        emissive-hit MIS pdf is reconstructed at shade time from the hit's
+        own world area (render/wavefront.py), so ids need no global base."""
         flags = self.materials.light_flags()
+        emis_table = self.materials.emission_table()
         from rfw_tpu.backend.lights import AreaLightsView
 
-        chunks = []
-        base = 0
+        live_slots = set()
         for slot, mesh in self.meshes_3d:
+            live_slots.add(slot)
+            if changed_slots is not None and slot not in changed_slots:
+                continue
+            self._area_cache.pop(slot, None)
             il = self.instances_3d.get(slot)
             if il is None or len(il) == 0 or mesh.num_triangles == 0:
                 continue
             valid = mesh.tri_material < len(flags)
-            emissive = np.where(valid, flags[np.minimum(mesh.tri_material, len(flags) - 1)], False)
+            tm = np.minimum(mesh.tri_material, len(flags) - 1)
+            emissive = np.where(valid, flags[tm], False)
             if not emissive.any():
+                if (mesh.tri_light >= 0).any():
+                    mesh.tri_light[:] = -1
+                    self.meshes_3d.touch(slot)
                 continue
-            radiance = np.zeros((mesh.num_triangles, 3), np.float32)
-            for r in np.nonzero(emissive)[0]:
-                radiance[r] = self.materials.get(int(mesh.tri_material[r])).emission
+            radiance = np.where((valid & emissive)[:, None], emis_table[tm], 0.0)
             lights, light_id = extract_area_lights(
-                emissive, radiance, mesh.tri_vertices(),
+                emissive, radiance.astype(np.float32), mesh.tri_vertices(),
                 il.active_matrices(), slot,
                 np.nonzero(il.active)[0].astype(np.int32),
             )
-            # global light ids: offset by running base
-            mesh.tri_light[:] = np.where(light_id >= 0, light_id + base, -1)
-            self.meshes_3d.touch(slot)
-            base += lights.count
-            chunks.append(lights)
+            if not np.array_equal(light_id, mesh.tri_light):
+                mesh.tri_light[:] = light_id
+                self.meshes_3d.touch(slot)
+            if lights.count:
+                self._area_cache[slot] = lights
 
+        for stale in [s for s in self._area_cache if s not in live_slots]:
+            del self._area_cache[stale]
+
+        chunks = [self._area_cache[s] for s in sorted(self._area_cache)]
         if chunks:
             self.lights.area = AreaLightsView(
                 *[np.concatenate([getattr(c, f) for c in chunks]) for f in AreaLightsView.__dataclass_fields__]
@@ -232,7 +252,15 @@ class Scene:
         if mats_changed or self._instances_changed:
             emissive_exists = self.materials.light_flags().any()
             if emissive_exists or self.lights.area.count:
-                self.update_lights()
+                if mats_changed:
+                    self.update_lights()  # material edits can re-flag any mesh
+                else:
+                    moved = {
+                        slot for slot, il in self.instances_3d.items()
+                        if il.any_changed
+                    }
+                    moved.update(self.meshes_3d.changed_indices())
+                    self.update_lights(moved)
 
         # meshes
         if self.meshes_3d.any_changed:

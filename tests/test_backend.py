@@ -95,3 +95,31 @@ def test_repack_instances_matches_full_pack():
     # geometry arenas untouched (shared with base)
     assert fast.tri_v0 is base.tri_v0
     assert fast.blas_wide_f is base.blas_wide_f
+
+
+def test_instance_motion_updates_all_device_arenas(app_scene):
+    """Instance-only sync must upload every TLAS-derived arena, including the
+    8-wide supernode fields the Pallas tier traverses (a stale tlas8_box
+    leaves rays transformed by the new inst_inv but traversed against last
+    frame's TLAS — and the equality gate then keeps it stale forever)."""
+    scene, mid = app_scene
+    be = TpuBackend(32, 32, TpuSettings(samples_per_frame=1, max_bounces=0))
+    scene.meshes_3d.trigger_changed_all()
+    scene._instances_changed = True
+    scene.materials.materials.trigger_changed_all()
+    scene.synchronize(be)
+
+    # move the sphere instance (same count -> the fast _inst_dirty path)
+    m = np.eye(4, dtype=np.float32)
+    m[0, 3] = 2.5
+    scene.instances_3d[mid].set_matrix(0, m)
+    scene._instances_changed = True
+    scene.synchronize(be)
+
+    # every device field must now match the repacked host scene
+    for f in be._scene_host._fields:
+        np.testing.assert_array_equal(
+            np.asarray(getattr(be._scene_dev, f)),
+            getattr(be._scene_host, f),
+            err_msg=f"device arena {f!r} stale after instance-only sync",
+        )

@@ -88,3 +88,63 @@ class TestGltf:
         assert abs(anim.duration - 2.0) < 1e-3
         paths = {c.path for c in anim.channels}
         assert {"translation", "rotation"} <= paths
+
+
+def test_gltf_srgb_classification():
+    """Only baseColor/emissive textures are sRGB; normal and metallic-
+    roughness maps are linear data and must not be gamma-decoded."""
+    from rfw_tpu.loaders.gltf import _srgb_texture_set
+
+    class Fake:
+        json = {
+            "materials": [
+                {
+                    "pbrMetallicRoughness": {
+                        "baseColorTexture": {"index": 0},
+                        "metallicRoughnessTexture": {"index": 1},
+                    },
+                    "normalTexture": {"index": 2},
+                    "emissiveTexture": {"index": 3},
+                }
+            ]
+        }
+
+    assert _srgb_texture_set(Fake()) == {0, 3}
+
+
+def test_texture_view_carries_srgb():
+    import numpy as np
+
+    from rfw_tpu.scene.materials import Texture
+
+    rgba = np.zeros((64, 64, 4), np.uint8)
+    assert Texture.from_array(rgba, srgb=False).view().srgb is False
+    assert Texture.from_array(rgba, srgb=True).view().srgb is True
+
+
+def test_gltf_strided_accessor_at_buffer_end():
+    """A bufferView ending exactly at the last element's itemsize (glTF only
+    guarantees stride*(count-1)+itemsize bytes) must resolve, not raise."""
+    import numpy as np
+
+    from rfw_tpu.loaders.gltf import _Gltf
+
+    count, stride = 4, 20  # vec3 f32 (12B) interleaved at 20B stride
+    buf = bytearray(stride * (count - 1) + 12)
+    expect = np.arange(count * 3, dtype=np.float32).reshape(count, 3)
+    for i in range(count):
+        buf[i * stride : i * stride + 12] = expect[i].tobytes()
+
+    g = _Gltf.__new__(_Gltf)
+    g.json = {
+        "accessors": [{
+            "componentType": 5126, "type": "VEC3", "count": count,
+            "bufferView": 0,
+        }],
+        "bufferViews": [{"buffer": 0, "byteStride": stride}],
+        "buffers": [{}],
+    }
+    g.bin = bytes(buf)
+    g._buffers = {}
+    g.base = "."
+    np.testing.assert_array_equal(g.accessor(0), expect)

@@ -214,3 +214,90 @@ def test_light_shadow_projections():
     assert info.nbytes == 256
     np.testing.assert_allclose(info[:16].reshape(4, 4), pm)
     np.testing.assert_allclose(info[16:20], [1, 2, 3, 42])
+
+
+def test_emissive_hit_pick_prob_reconstruction():
+    """The integrator reconstructs an emissive hit's pick probability from
+    lum(radiance) * world_area * pi (render/wavefront.py) instead of a
+    tri_light-keyed gather; it must match pack_lights' actual per-light
+    probability for EVERY instance, including non-uniformly scaled ones."""
+    import numpy as np
+
+    from rfw_tpu.backend.lights import (
+        DirectionalLightsView, PointLightsView, SpotLightsView,
+    )
+    from rfw_tpu.models import cube
+    from rfw_tpu.render.lights_pack import pack_lights
+    from rfw_tpu.scene.lights import extract_area_lights
+
+    lamp = cube(size=(1, 0.05, 1))
+    radiance = np.tile(np.array([[8.0, 6.0, 4.0]], np.float32),
+                       (lamp.num_triangles, 1))
+    emissive = np.ones(lamp.num_triangles, bool)
+    m0 = np.eye(4, dtype=np.float32)
+    m1 = np.eye(4, dtype=np.float32)
+    m1[:3, :3] *= 3.0  # instance 1 scaled: 9x area, different pick prob
+    m1[1, 3] = 4.0
+    area, _ = extract_area_lights(
+        emissive, radiance, lamp.tri_vertices(),
+        np.stack([m0, m1]), 0, np.array([0, 1], np.int32),
+    )
+    point = PointLightsView(
+        position=np.array([[0, 5, 0]], np.float32),
+        energy=np.array([[20, 20, 20]], np.float32),
+        changed=np.ones(1, bool),
+    )
+    dl = pack_lights(point, SpotLightsView.empty(),
+                     DirectionalLightsView.empty(), area)
+
+    n = float(dl.pick_n[0])
+    total = float(dl.pick_w_total[0])
+    lum = 0.2126 * area.radiance[:, 0] + 0.7152 * area.radiance[:, 1] \
+        + 0.0722 * area.radiance[:, 2]
+    w = lum * area.area * np.pi
+    reconstructed = 0.5 * w / total + 0.5 / n
+    a0 = 1  # one point light precedes the area block
+    np.testing.assert_allclose(
+        reconstructed, dl.pick_prob[a0 : a0 + area.count], rtol=1e-5
+    )
+    # instance 1's lights really have a different probability than instance 0
+    per_inst = area.count // 2
+    assert not np.allclose(reconstructed[:per_inst], reconstructed[per_inst:])
+
+
+def test_update_lights_incremental_cache():
+    """Moving one mesh's instance re-extracts only that mesh; the other
+    mesh's cached light chunk is reused by identity (the O(E*I) full rescan
+    is the thing this guards against)."""
+    import numpy as np
+
+    from rfw_tpu.models import cube
+    from rfw_tpu.scene import Material, Scene
+
+    scene = Scene()
+    glow = scene.add_material(Material(color=np.array([5, 5, 5, 1], np.float32)))
+    a = scene.add_3d_object(cube(size=(1, 0.1, 1), material_id=glow))
+    b = scene.add_3d_object(cube(size=(2, 0.1, 2), material_id=glow))
+    ha = scene.add_3d_instance(a)
+    scene.add_3d_instance(b)
+
+    scene.update_lights()
+    count0 = scene.lights.area.count
+    assert count0 == 24  # 12 tris per cube, 1 instance each
+    chunk_b = scene._area_cache[b]
+
+    # simulate the synchronize() decision: only mesh a's instances moved
+    scene.instances_3d[a].reset_changed()
+    scene.instances_3d[b].reset_changed()
+    m = np.eye(4, dtype=np.float32)
+    m[0, 3] = 3.0
+    ha.set_matrix(m)
+    moved = {s for s, il in scene.instances_3d.items() if il.any_changed}
+    assert moved == {a}
+    scene.update_lights(moved)
+
+    assert scene.lights.area.count == count0
+    assert scene._area_cache[b] is chunk_b  # untouched mesh: cache reused
+    # mesh a's lights actually moved
+    pa = scene._area_cache[a].position
+    assert pa[:, 0].mean() > 2.0

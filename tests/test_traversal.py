@@ -170,3 +170,15 @@ def test_align_leaf_tris_invariants():
     assert np.all(padded[gather < 0] == 0)
     # non-fillers carry the reordered data
     np.testing.assert_array_equal(padded[gather >= 0], v0[po][valid])
+
+
+def test_empty_bvh_is_unhittable():
+    """A 0-primitive build must encode an inverted (unhittable) box, not a
+    self-referential internal node at a point box — a ray through that point
+    would cycle the lockstep walk forever."""
+    import numpy as np
+
+    from rfw_tpu.accel.bvh_cpu import build_bvh_sah
+
+    nodes = build_bvh_sah(np.zeros((0, 3)), np.zeros((0, 3)))
+    assert (nodes.node_min[0] > nodes.node_max[0]).all()
