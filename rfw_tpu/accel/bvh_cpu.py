@@ -28,6 +28,14 @@ N_BINS = 16
 MAX_LEAF = 8
 TRAVERSAL_COST = 1.0
 INTERSECT_COST = 1.0
+#: BLAS leaf capacity for the render path ("treelet" leaves). Fat leaves are
+#: the TPU answer to pointer-chasing: a dependent VMEM fetch costs ~1.5us
+#: regardless of width, so each leaf is ONE aligned fetch of a whole
+#: triangle block that the Pallas kernel then tests *densely* on the VPU
+#: (render/pack.py aligns leaf ranges to TREELET; ops/traverse.py stores a
+#: precomputed world->unit-triangle affine per slot). Must be a power of two
+#: <= 128 (count packs into the low bits of the leaf code).
+TREELET = 64
 
 
 @dataclass

@@ -3,26 +3,33 @@
 The jnp packet traversal (render.packet) advances ALL tiles in lockstep
 through one XLA while_loop: every iteration costs the full ray front, so
 wall time scales with the *worst* tile's node-visit count. This kernel
-gives every tile its own in-VMEM traversal loop, and — the key TPU
-insight — runs NSTREAM independent sub-tile walks *interleaved* inside
-one program:
+gives every tile its own in-VMEM traversal loop. Two structural choices
+carry the performance (both from the round-1 roofline: a dynamic VMEM
+fetch is ~1.5us latency-bound and flat in width, so the only wins are
+(a) fewer dependent fetches and (b) more useful bytes per fetch):
 
-  * a dynamic VMEM fetch is latency-bound (~1.5us measured, independent
-    of row count, one fetch in flight per dependent chain). Interleaving
-    K independent walks overlaps their fetches: measured 1460/693/345/183
-    ns-per-fetch at K=1/2/4/8. NSTREAM=4 sub-tiles of (2,128) rays walk
-    the tree concurrently in one scalar program;
-  * smaller (256-ray) sub-tiles also shrink the per-tile stack *union*
-    (a shared-stack tile visits the union of its rays' node sets, so
-    divergent rays blow up visit counts) — interleaving buys latency
-    hiding AND coherence at once;
-  * the whole scene sits in VMEM as ONE i32 array (box floats bitcast;
-    integer bit patterns must never transit float relayouts — TPU
-    flushes denormals), so each node visit is a single latency-bound
-    fetch instead of two;
-  * box/triangle values feed the VPU via (1,1) vector slices broadcast
-    against the ray tiles — no scalar-unit extracts on the hot path;
-    only child codes/counts (stack control flow) round-trip to scalars;
+  * NSTREAM independent sub-tile walks run *interleaved* inside one
+    program, so their dependent fetch chains overlap (measured
+    1460/693/345/183 ns-per-fetch at K=1/2/4/8 on v5e); smaller (256-ray)
+    sub-tiles also shrink the shared-stack visit *union*;
+  * leaves are fat TREELET-triangle blocks ("treelets",
+    accel.bvh_cpu.TREELET) stored as aligned lane-groups of a transposed
+    arena: ONE fetch brings in a whole leaf, which is then tested
+    *densely* — every treelet slot against every ray of the sub-tile —
+    as pure VPU broadcast math. Each triangle slot stores a precomputed
+    world->unit-triangle affine (Woop's transform), so the dense test is
+    12 madd columns + a plane/barycentric epilogue and a sublane
+    reduction, with no cross products and no per-triangle fetches. The
+    tree above the treelets is ~8x shallower than an 8-tri-leaf tree, so
+    the latency-bound supernode visits collapse too.
+
+  * the internal supernodes sit in VMEM as ONE i32 array (box floats
+    bitcast; integer bit patterns must never transit float relayouts —
+    TPU flushes denormals), so each node visit is a single latency-bound
+    fetch;
+  * box/triangle values feed the VPU via (1,1)/(T,1) vector slices
+    broadcast against the ray tiles — no scalar-unit extracts on the hot
+    path; only child codes (stack control flow) round-trip to scalars;
   * two-level TLAS->BLAS: entering an instance re-bases a sub-tile's
     rays into object space once, cached in VMEM scratch per stream.
 
@@ -31,8 +38,10 @@ The TPU equivalent of the reference's stackful per-warp traversal
 
 Node-code encoding (same as render.packet):
     code >= 0  internal wide node;  code == -1 pop;
-    code <= -2 triangle leaf (v = -code-2; first = v>>3 [8-aligned],
-    count = (v&7)+1).
+    code <= -2 treelet leaf (v = -code-2; first = v with low log2(TREELET)
+    bits cleared [leaf ranges are TREELET-aligned], count = low bits + 1 —
+    the kernel ignores count: padding slots have an all-zero affine and
+    can never pass the hit test).
 """
 
 from __future__ import annotations
@@ -46,6 +55,7 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from rfw_tpu.accel.bvh_cpu import TREELET
 from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 
 LANE = 128
@@ -54,7 +64,9 @@ SSUB = 2  # sublanes per stream: each walk owns a (2,128) = 256-ray sub-tile
 SUB = NSTREAM * SSUB
 LANES = SUB * LANE  # rays per grid program (1024)
 STACK_DEPTH = 96
-MAX_LEAF = 8  # leaf capacity (8-aligned blocks; count-1 in 3 bits)
+TLANES = 16  # record lanes per treelet slot (12 affine floats + pad)
+TGROUPS = LANE // TLANES  # treelets per aligned fetch block
+TSHIFT = TREELET.bit_length() - 1
 #: hard per-walk iteration cap: converts accidental infinite traversal into
 #: a terminating (wrong) result instead of a TPU watchdog kill
 KERNEL_MAX_ITERS = 1 << 19
@@ -64,7 +76,7 @@ VMEM_SCENE_BUDGET = int(11.5 * 1024 * 1024)
 
 
 class PallasScene(NamedTuple):
-    """Transposed column layouts for the 8-wide supernode traversal.
+    """Transposed column layouts for the treelet traversal.
 
     VMEM tiles are (8,128): records live in the lane dimension so nothing
     lane-pads. A supernode fetch is one aligned-block one-hot reduction of
@@ -74,9 +86,10 @@ class PallasScene(NamedTuple):
 
     scene_t: jax.Array  # (64, Spad) i32: rows 0..47 box f32 bits (child k
     #   rows 6k..6k+5 = min3|max3), rows 48..55 child codes, 56..63 counts
-    tri_t: jax.Array  # (128, Bpad) f32 block-major: column b holds the 8
-    #   triangles of leaf block b, 16 floats each (rows 16j..16j+8 =
-    #   v0,e1,e2 of triangle 8b+j) — one leaf = ONE column fetch
+    tri_t: jax.Array  # (TREELET, TLANES*Cpad) f32: sublane j, lane group c
+    #   = treelet c's slot j: a 3x4 world->unit-triangle affine in lanes
+    #   16c..16c+11 (rows of [u; v; w], translation last). One leaf = one
+    #   aligned (TREELET, 128) block fetch covering TGROUPS treelets.
     inst_t: jax.Array  # (16, Ipad+1) f32: world->object; last col = identity
     root_t: jax.Array  # (1, Ipad) i32 in SMEM: blas8 root per instance
     tlas_root: int
@@ -90,7 +103,7 @@ class PallasScene(NamedTuple):
 
 
 def _bucket(n: int, mult: int = 2048) -> int:
-    """Pad lane counts to 2048-lane steps: coarse enough that dynamic
+    """Pad lane counts to `mult`-lane steps: coarse enough that dynamic
     rebuilds (stable row capacities from pack) share compiled kernels,
     fine enough not to waste the 16MB scoped-VMEM budget (pow2 buckets
     wasted up to 45% on big triangle arenas)."""
@@ -111,14 +124,38 @@ def pallas_scene_bytes(scene) -> int:
     track the padding in `_pad_lanes`/`_bucket` exactly, or selection can
     pick a scene the kernel can't fit in scoped VMEM."""
     supers = _bucket(int(scene.blas8_box.shape[0]) + int(scene.tlas8_box.shape[0]))
-    blocks = _bucket(max(-(-int(scene.tri_v0.shape[0]) // 8), 1), 256)
+    rows = max(int(scene.tri_v0.shape[0]), TREELET)
+    treelets = -(-rows // TREELET)
+    tri_lanes = _bucket(TLANES * treelets, 512)
     insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
     roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
-    return 4 * (64 * supers + 128 * blocks + 16 * insts + roots)
+    return 4 * (64 * supers + TREELET * tri_lanes + 16 * insts + roots)
+
+
+def _woop12(v0, e1, e2):
+    """Per-triangle 3x4 world->unit-triangle affine (Woop's intersection
+    transform): rows map a world point p to (u, v, w) with p = v0 + u*e1
+    + v*e2 + w*n, n = cross(e1, e2). For a ray (o, d): o' = A@o + b,
+    d' = A@d, then t = -o'_w / d'_w, u = o'_u + t*d'_u, v likewise — the
+    whole test is madd columns, MXU/VPU-friendly with zero cross products
+    at trace time. Degenerate (zero-area / padding) triangles get an
+    all-zero affine: t evaluates to NaN/inf and every comparison fails.
+
+    Returns (T, 12): [r_u | b_u | r_v | b_v | r_w | b_w] with r_* (3,)."""
+    n = jnp.cross(e1, e2)
+    det = jnp.sum(n * n, axis=-1, keepdims=True)  # (T,1) = |n|^2
+    inv = jnp.where(det > 0, 1.0 / jnp.where(det == 0, 1.0, det), 0.0)
+    r0 = jnp.cross(e2, n) * inv
+    r1 = jnp.cross(n, e1) * inv
+    r2 = n * inv
+    b0 = -jnp.sum(r0 * v0, axis=-1, keepdims=True)
+    b1 = -jnp.sum(r1 * v0, axis=-1, keepdims=True)
+    b2 = -jnp.sum(r2 * v0, axis=-1, keepdims=True)
+    return jnp.concatenate([r0, b0, r1, b1, r2, b2], axis=1)
 
 
 def prepare_pallas_scene(scene) -> PallasScene:
-    """Build transposed 8-wide kernel arrays from a TraceScene. Pure jnp:
+    """Build transposed treelet kernel arrays from a TraceScene. Pure jnp:
     safe on device arrays or traced inside jit."""
     nb8 = int(scene.blas8_box.shape[0])
     t_code = jnp.asarray(scene.tlas8_code)
@@ -136,19 +173,25 @@ def prepare_pallas_scene(scene) -> PallasScene:
 
     n_tri = int(scene.tri_v0.shape[0])
     if n_tri:
-        tri = jnp.concatenate(
-            [jnp.asarray(scene.tri_v0), jnp.asarray(scene.tri_e1),
-             jnp.asarray(scene.tri_e2)], axis=1
-        ).astype(jnp.float32)
+        v0 = jnp.asarray(scene.tri_v0).astype(jnp.float32)
+        e1 = jnp.asarray(scene.tri_e1).astype(jnp.float32)
+        e2 = jnp.asarray(scene.tri_e2).astype(jnp.float32)
+        w12 = _woop12(v0, e1, e2)
     else:
-        tri = jnp.zeros((8, 9), jnp.float32)
-    rows = tri.shape[0]
-    pad8 = -(-rows // 8) * 8 - rows  # pack 8-aligns; defensive for others
-    if pad8:
-        tri = jnp.concatenate([tri, jnp.zeros((pad8, 9), jnp.float32)])
-    tri16 = jnp.concatenate([tri, jnp.zeros((tri.shape[0], 7), jnp.float32)], axis=1)
-    # block-major: row b of (B,128) = leaf block b's 8 triangles x 16 floats
-    tri_t = _pad_lanes(tri16.reshape(-1, 128).T, mult=256)
+        w12 = jnp.zeros((TREELET, 12), jnp.float32)
+    rows = w12.shape[0]
+    padt = -(-rows // TREELET) * TREELET - rows  # pack TREELET-aligns;
+    if padt:  # defensive for hand-built scenes
+        w12 = jnp.concatenate([w12, jnp.zeros((padt, 12), jnp.float32)])
+    w16 = jnp.concatenate(
+        [w12, jnp.zeros((w12.shape[0], TLANES - 12), jnp.float32)], axis=1
+    )
+    c = w16.shape[0] // TREELET
+    # treelet-major transpose: lane group c of (TREELET, 16*C) = treelet c
+    tri_t = _pad_lanes(
+        w16.reshape(c, TREELET, TLANES).transpose(1, 0, 2).reshape(TREELET, -1),
+        mult=512,
+    )
 
     n_inst = int(scene.inst_matrix.shape[0])
     if n_inst:
@@ -192,8 +235,7 @@ def _traverse_kernel_factory(any_hit: bool):
     Each while iteration advances every live stream one node visit. Loads
     for all streams are issued back-to-back (program order) before their
     uses, so the ~1.5us dynamic-fetch latency overlaps across streams.
-    Leaf triangle fetches interleave the same way (per-slot j, all
-    streams' loads issue together)."""
+    Treelet block fetches interleave the same way."""
 
     def kernel(
         meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst(=ident col), 0]
@@ -204,9 +246,9 @@ def _traverse_kernel_factory(any_hit: bool):
         stack_ref,  # SMEM scratch (NSTREAM, STACK_DEPTH, 2) i32
     ):
         tlas_root = meta_ref[0, 0]
-        n_tri = meta_ref[0, 1]
         n_inst = meta_ref[0, 2]
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        n_grp = tri_ref.shape[1] // LANE  # static treelet-group count
 
         def fetch_col(ref, idx):
             """Column `idx` of a transposed (rows, Npad) array: lane-dim
@@ -227,10 +269,6 @@ def _traverse_kernel_factory(any_hit: bool):
             return col_i if is_int else jax.lax.bitcast_convert_type(
                 col_i, jnp.float32
             )
-
-        def srows(ref, k):
-            """Stream k's (SSUB, LANE) sub-tile of a (..., SUB, LANE) ref."""
-            return ref[0, ..., k * SSUB:(k + 1) * SSUB, :]
 
         t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
         prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
@@ -297,90 +335,99 @@ def _traverse_kernel_factory(any_hit: bool):
                 for k in range(NSTREAM)
             ]
 
-            # ---- phase 2: leaf intersection. Leaves are 8-aligned in the
-            # block-major triangle arena, so each stream's whole leaf is
-            # ONE column fetch; the up-to-8 Moller-Trumbore tests then run
-            # on static sublane slices of that column (vector ops only).
-            firsts, counts = [], []
+            # ---- phase 2: treelet leaf intersection. A leaf is one
+            # aligned (TREELET, 128) fetch covering TGROUPS treelets; the
+            # stream's record is a static 8-way one-hot sum, then all
+            # TREELET slots test densely against the sub-tile's rays —
+            # Woop affine madds, a plane/bary epilogue, and a sublane
+            # min-reduction. No per-triangle fetches, no cross products.
+            firsts, blks, leafs = [], [], []
             for k in range(NSTREAM):
                 w = popped[k]
                 lv = jnp.maximum(-w.node - 2, 0)
-                is_leaf = (w.node <= -2) & ~w.done
-                firsts.append(lv >> 3)
-                counts.append(jnp.where(is_leaf, (lv & 7) + 1, 0))
+                leafs.append((w.node <= -2) & ~w.done)
+                firsts.append((lv >> TSHIFT) << TSHIFT)
+                blks.append(lv >> TSHIFT)
 
-            max_count = counts[0]
+            any_leaf = leafs[0]
             for k in range(1, NSTREAM):
-                max_count = jnp.maximum(max_count, counts[k])
+                any_leaf = any_leaf | leafs[k]
 
-            n_blk = jnp.maximum((n_tri + 7) // 8 - 1, 0)
-
-            @pl.when(max_count > 0)
+            @pl.when(any_leaf)
             def _():
-                tcols = [
-                    fetch_col(
-                        tri_ref,
-                        jnp.minimum(
-                            jnp.where(counts[k] > 0, firsts[k] >> 3, 0), n_blk
-                        ),
-                    )
-                    for k in range(NSTREAM)
-                ]
-                for j in range(8):
-                    for k in range(NSTREAM):
-                        w = popped[k]
-                        tc = tcols[k]
-                        sl = slice(k * SSUB, (k + 1) * SSUB)
-                        ox = obj_ref[0, sl, :]
-                        oy = obj_ref[1, sl, :]
-                        oz = obj_ref[2, sl, :]
-                        dx = obj_ref[3, sl, :]
-                        dy = obj_ref[4, sl, :]
-                        dz = obj_ref[5, sl, :]
-                        # (1,1) slices broadcast in the vector domain — no
-                        # scalar-unit extracts on the hot path
-                        r = 16 * j
-                        v0x, v0y, v0z = (tc[r + 0:r + 1, 0:1],
-                                         tc[r + 1:r + 2, 0:1],
-                                         tc[r + 2:r + 3, 0:1])
-                        e1x, e1y, e1z = (tc[r + 3:r + 4, 0:1],
-                                         tc[r + 4:r + 5, 0:1],
-                                         tc[r + 5:r + 6, 0:1])
-                        e2x, e2y, e2z = (tc[r + 6:r + 7, 0:1],
-                                         tc[r + 7:r + 8, 0:1],
-                                         tc[r + 8:r + 9, 0:1])
-                        px = dy * e2z - dz * e2y
-                        py = dz * e2x - dx * e2z
-                        pz = dx * e2y - dy * e2x
-                        det = e1x * px + e1y * py + e1z * pz
-                        inv_det = jnp.where(
-                            jnp.abs(det) > 1e-12,
-                            1.0 / jnp.where(det == 0, 1.0, det), 0.0)
-                        tvx = ox - v0x
-                        tvy = oy - v0y
-                        tvz = oz - v0z
-                        uq = (tvx * px + tvy * py + tvz * pz) * inv_det
-                        qx = tvy * e1z - tvz * e1y
-                        qy = tvz * e1x - tvx * e1z
-                        qz = tvx * e1y - tvy * e1x
-                        vq = (dx * qx + dy * qy + dz * qz) * inv_det
-                        tq = (e2x * qx + e2y * qy + e2z * qz) * inv_det
-                        tcur = t_ref[0, sl, :]
+                tblocks = []
+                for k in range(NSTREAM):
+                    gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
+                    base = pl.multiple_of(gb * LANE, LANE)
+                    tblocks.append(tri_ref[:, pl.ds(base, LANE)])
+                for k in range(NSTREAM):
+                    w = popped[k]
+                    g = blks[k] % TGROUPS
+                    blockk = tblocks[k]
+                    rec = jnp.where(g == 0, blockk[:, 0:TLANES], 0.0)
+                    for gg in range(1, TGROUPS):
+                        rec = rec + jnp.where(
+                            g == gg,
+                            blockk[:, TLANES * gg:TLANES * (gg + 1)], 0.0)
+                    ax = (rec[:, 0:1], rec[:, 1:2], rec[:, 2:3], rec[:, 3:4])
+                    ay = (rec[:, 4:5], rec[:, 5:6], rec[:, 6:7], rec[:, 7:8])
+                    az = (rec[:, 8:9], rec[:, 9:10], rec[:, 10:11],
+                          rec[:, 11:12])
+                    for s in range(SSUB):
+                        row = k * SSUB + s
+                        rsl = slice(row, row + 1)
+                        ox = obj_ref[0, rsl, :]  # (1,128)
+                        oy = obj_ref[1, rsl, :]
+                        oz = obj_ref[2, rsl, :]
+                        dx = obj_ref[3, rsl, :]
+                        dy = obj_ref[4, rsl, :]
+                        dz = obj_ref[5, rsl, :]
+                        # (TREELET,1) x (1,128) broadcasts -> (TREELET,128)
+                        opw = az[0] * ox + az[1] * oy + az[2] * oz + az[3]
+                        dpw = az[0] * dx + az[1] * dy + az[2] * dz
+                        tq = -opw / dpw  # NaN/inf on degenerate: never hits
+                        opu = ax[0] * ox + ax[1] * oy + ax[2] * oz + ax[3]
+                        dpu = ax[0] * dx + ax[1] * dy + ax[2] * dz
+                        opv = ay[0] * ox + ay[1] * oy + ay[2] * oz + ay[3]
+                        dpv = ay[0] * dx + ay[1] * dy + ay[2] * dz
+                        uq = opu + tq * dpu
+                        vq = opv + tq * dpv
+                        tcur = t_ref[0, rsl, :]  # (1,128)
                         ok = (
-                            (j < counts[k])
-                            & (jnp.abs(det) > 1e-12)
-                            & (uq >= -1e-7) & (vq >= -1e-7)
+                            (uq >= -1e-7) & (vq >= -1e-7)
                             & (uq + vq <= 1 + 1e-7)
-                            & (tq > T_MIN) & (tq < tcur)
+                            & (tq > T_MIN) & (tq < tcur) & leafs[k]
                         )
-                        tri_id = jnp.minimum(firsts[k] + j, n_tri - 1)
-                        t_ref[0, sl, :] = jnp.where(ok, tq, tcur)
-                        prim_ref[0, sl, :] = jnp.where(
-                            ok, tri_id, prim_ref[0, sl, :])
-                        iout_ref[0, sl, :] = jnp.where(
-                            ok, w.inst, iout_ref[0, sl, :])
-                        u_ref[0, sl, :] = jnp.where(ok, uq, u_ref[0, sl, :])
-                        v_ref[0, sl, :] = jnp.where(ok, vq, v_ref[0, sl, :])
+                        if any_hit:
+                            ok = ok & (prim_ref[0, rsl, :] < 0)
+                            hit_any = jnp.any(ok, axis=0, keepdims=True)
+                            prim_ref[0, rsl, :] = jnp.where(
+                                hit_any, firsts[k], prim_ref[0, rsl, :])
+                            iout_ref[0, rsl, :] = jnp.where(
+                                hit_any, w.inst, iout_ref[0, rsl, :])
+                            continue
+                        score = jnp.where(ok, tq, jnp.float32(np.inf))
+                        tmin = jnp.min(score, axis=0, keepdims=True)
+                        hit_any = tmin < tcur
+                        jio = jax.lax.broadcasted_iota(
+                            jnp.int32, (TREELET, LANE), 0)
+                        jwin = jnp.min(
+                            jnp.where(score == tmin, jio, TREELET),
+                            axis=0, keepdims=True)
+                        onehot = jio == jwin
+                        uwin = jnp.sum(jnp.where(onehot, uq, 0.0),
+                                       axis=0, keepdims=True)
+                        vwin = jnp.sum(jnp.where(onehot, vq, 0.0),
+                                       axis=0, keepdims=True)
+                        t_ref[0, rsl, :] = jnp.where(hit_any, tmin, tcur)
+                        prim_ref[0, rsl, :] = jnp.where(
+                            hit_any, firsts[k] + jwin, prim_ref[0, rsl, :])
+                        iout_ref[0, rsl, :] = jnp.where(
+                            hit_any, w.inst, iout_ref[0, rsl, :])
+                        u_ref[0, rsl, :] = jnp.where(
+                            hit_any, uwin, u_ref[0, rsl, :])
+                        v_ref[0, rsl, :] = jnp.where(
+                            hit_any, vwin, v_ref[0, rsl, :])
 
             # ---- phase 3: 8-wide internal test + nearest-first push.
             for k in range(NSTREAM):
@@ -405,7 +452,8 @@ def _traverse_kernel_factory(any_hit: bool):
                     leaf_child = code < 0
                     iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
                     tlas_entry = root_ref[0, iid]  # SMEM scalar read
-                    blas_entry = -(payload * 8 + jnp.minimum(cnt - 1, 7)) - 2
+                    blas_entry = -(payload
+                                   + jnp.minimum(cnt - 1, TREELET - 1)) - 2
                     e_code = jnp.where(
                         leaf_child,
                         jnp.where(in_tlas, tlas_entry, blas_entry), code)

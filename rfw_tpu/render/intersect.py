@@ -31,11 +31,13 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from rfw_tpu.accel.bvh_cpu import TREELET
+
 EPSILON = 1e-4
 T_MIN = 1e-5
 T_MAX = 1e26
 STACK_DEPTH = 64
-MAX_LEAF = 8  # must match accel.bvh_cpu.MAX_LEAF
+MAX_LEAF = TREELET  # BLAS leaf capacity (treelet leaves, accel.bvh_cpu)
 MAX_ITERS = 1 << 20  # lockstep safety cap (mirrors packet.MAX_ITERS): a
 #   malformed BVH must yield a wrong-but-bounded result, not a hang
 
@@ -241,20 +243,31 @@ def _traversal(scene, ray_o, ray_d, t_limit, any_hit: bool):
         # o/d recompute for lanes that just switched instance? No: lanes at a
         # BLAS leaf had inst >= 0 *before* this step, so o/d are correct.
         T_total = scene.tri_v0.shape[0]
-        for k in range(MAX_LEAF):
-            tri = jnp.clip(left + k, 0, max(T_total - 1, 0))
-            valid = blas_leaf & (k < count) if T_total else jnp.zeros(R, bool)
-            if T_total == 0:
-                break
-            ok, t, uu, vv = _moller_trumbore(
-                o, d, scene.tri_v0[tri], scene.tri_e1[tri], scene.tri_e2[tri]
+        if T_total:
+            def leaf_step(k, carry):
+                t_best, p_best, i_best, u_best, v_best = carry
+                tri = jnp.clip(left + k, 0, max(T_total - 1, 0))
+                valid = blas_leaf & (k < count)
+                ok, t, uu, vv = _moller_trumbore(
+                    o, d, scene.tri_v0[tri], scene.tri_e1[tri], scene.tri_e2[tri]
+                )
+                accept = valid & ok & (t > T_MIN) & (t < t_best) & (t < t_limit)
+                return (
+                    jnp.where(accept, t, t_best),
+                    jnp.where(accept, tri, p_best),
+                    jnp.where(accept, inst, i_best),
+                    jnp.where(accept, uu, u_best),
+                    jnp.where(accept, vv, v_best),
+                )
+
+            # fori_loop bounded by this step's max leaf occupancy (treelet
+            # leaves can hold up to MAX_LEAF tris — unrolling would bloat
+            # the while body; non-leaf steps cost zero iterations)
+            kmax = jnp.max(jnp.where(blas_leaf, count, 0))
+            t_best, p_best, i_best, u_best, v_best = jax.lax.fori_loop(
+                0, kmax, leaf_step,
+                (t_best, p_best, i_best, u_best, v_best),
             )
-            accept = valid & ok & (t > T_MIN) & (t < t_best) & (t < t_limit)
-            t_best = jnp.where(accept, t, t_best)
-            p_best = jnp.where(accept, tri, p_best)
-            i_best = jnp.where(accept, inst, i_best)
-            u_best = jnp.where(accept, uu, u_best)
-            v_best = jnp.where(accept, vv, v_best)
 
         next_node = jnp.where(blas_leaf, -1, next_node)
 

@@ -21,7 +21,9 @@ from typing import List, NamedTuple, Optional, Sequence, Tuple
 
 import numpy as np
 
-from rfw_tpu.accel.bvh_cpu import BvhNodes, build_bvh_sah, triangle_aabbs
+from rfw_tpu.accel.bvh_cpu import (
+    TREELET, BvhNodes, build_bvh_sah, triangle_aabbs,
+)
 from rfw_tpu.mathx import Aabb, aabb_transform, inverse_transpose3
 from rfw_tpu.models.mesh3d import Mesh3D
 
@@ -199,14 +201,14 @@ def _tri_lod_factor(mesh: Mesh3D, po: np.ndarray) -> np.ndarray:
     return np.sqrt(uv_area / np.maximum(w_area, 1e-12)).astype(np.float32)
 
 
-def _align_leaf_tris(bvh: BvhNodes, n_tris: int):
-    """8-align every leaf's first-triangle offset by inserting gaps in the
-    reordered triangle arena, so the Pallas kernel can fetch a whole leaf
-    as ONE (128,1) column of the block-major triangle layout (8 tris x 16
-    floats per block). Returns (aligned_bvh, gather, new_size): `gather`
-    maps padded arena position -> reordered-arena position (-1 = filler;
-    fillers are degenerate triangles that can never be hit). new_size is a
-    multiple of 8."""
+def _align_leaf_tris(bvh: BvhNodes, n_tris: int, align: int = TREELET):
+    """Align every leaf's first-triangle offset to `align` by inserting gaps
+    in the reordered triangle arena, so the Pallas kernel can fetch a whole
+    leaf ("treelet") as ONE aligned block of the transposed triangle layout
+    and test all its slots densely. Returns (aligned_bvh, gather, new_size):
+    `gather` maps padded arena position -> reordered-arena position (-1 =
+    filler; fillers are degenerate triangles that can never be hit).
+    new_size is a multiple of `align`."""
     is_leaf = bvh.node_count > 0
     leaves = np.nonzero(is_leaf)[0]
     order = leaves[np.argsort(bvh.node_left[leaves], kind="stable")]
@@ -216,11 +218,11 @@ def _align_leaf_tris(bvh: BvhNodes, n_tris: int):
     for li in order:
         first = int(bvh.node_left[li])
         count = int(bvh.node_count[li])
-        aligned = -(-cursor // 8) * 8
+        aligned = -(-cursor // align) * align
         new_left[li] = aligned
         spans.append((aligned, first, count))
         cursor = aligned + count
-    new_size = max(-(-cursor // 8) * 8, 8) if n_tris else 0
+    new_size = max(-(-cursor // align) * align, align) if n_tris else 0
     gather = np.full(new_size, -1, np.int64)
     for aligned, first, count in spans:
         gather[aligned:aligned + count] = np.arange(first, first + count)
@@ -284,12 +286,12 @@ def pack_trace_scene(
         bvh = prebuilt
         if bvh is None or slot in deformed_positions:
             mn, mx = triangle_aabbs(v0, v0 + e1, v0 + e2)
-            bvh = build_bvh_sah(mn, mx)
+            bvh = build_bvh_sah(mn, mx, max_leaf=TREELET)
             if built_blas_out is not None and slot not in deformed_positions:
                 built_blas_out[slot] = bvh
 
-        # 8-align leaf triangle ranges (the Pallas kernel fetches a leaf as
-        # one block-major column; see _align_leaf_tris)
+        # TREELET-align leaf triangle ranges (the Pallas kernel fetches a
+        # leaf as one aligned block; see _align_leaf_tris)
         bvh, gather, _padded = _align_leaf_tris(bvh, len(i0))
 
         # Rebase node child/leaf indices into global arenas.

@@ -27,7 +27,9 @@ rfw_tpu.render.wavefront swizzle) and secondary rays inherit the layout.
 Node-code encoding inside the loop (int32 per tile):
     code >= 0   internal node in the unified wide arena (BLAS ++ TLAS)
     code == -1  "pop"
-    code <= -2  BLAS triangle leaf: v = -code-2; first = v >> 3, count = (v & 7) + 1
+    code <= -2  BLAS triangle leaf: v = -code-2; first = v with the low
+                log2(TREELET) bits cleared (leaf ranges are TREELET-aligned
+                in the packed arena), count = (v & (TREELET-1)) + 1
 """
 
 from __future__ import annotations
@@ -38,11 +40,13 @@ from typing import NamedTuple, Tuple
 import jax
 import jax.numpy as jnp
 
+from rfw_tpu.accel.bvh_cpu import TREELET
 from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 
 DEFAULT_LANES = 512
 STACK_DEPTH = 96
 MAX_ITERS = 1 << 20
+_TSHIFT = TREELET.bit_length() - 1
 
 
 class PacketScene(NamedTuple):
@@ -154,9 +158,11 @@ def _traverse(ps: PacketScene, ray_o, ray_d, t_limit, any_hit: bool):
         # ---------- triangle-leaf phase ----------
         is_leaf = active & (node <= -2)
         lv = jnp.maximum(-node - 2, 0)
-        first = lv >> 3
-        count = jnp.where(is_leaf, (lv & 7) + 1, 0)
-        for k in range(8):
+        first = (lv >> _TSHIFT) << _TSHIFT
+        count = jnp.where(is_leaf, (lv & (TREELET - 1)) + 1, 0)
+
+        def leaf_step(k, carry):
+            t_best, prim, hinst, uu, vv = carry
             tri = jnp.minimum(first + k, max(ps.n_tri - 1, 0))
             row = ps.tri9[tri]  # (T,9)
             v0 = row[:, None, 0:3]
@@ -177,11 +183,21 @@ def _traverse(ps: PacketScene, ray_o, ray_d, t_limit, any_hit: bool):
                 & (uq >= -1e-7) & (vq >= -1e-7) & (uq + vq <= 1 + 1e-7)
                 & (tq > T_MIN) & (tq < t_best) & (tq < t_lim)
             )
-            t_best = jnp.where(ok, tq, t_best)
-            prim = jnp.where(ok, tri[:, None], prim)
-            hinst = jnp.where(ok, inst[:, None], hinst)
-            uu = jnp.where(ok, uq, uu)
-            vv = jnp.where(ok, vq, vv)
+            return (
+                jnp.where(ok, tq, t_best),
+                jnp.where(ok, tri[:, None], prim),
+                jnp.where(ok, inst[:, None], hinst),
+                jnp.where(ok, uq, uu),
+                jnp.where(ok, vq, vv),
+            )
+
+        # fori_loop (not unrolled) bounded by the step's actual max leaf
+        # occupancy: keeps the while-body graph small and makes non-leaf
+        # steps free; dense per-leaf work is the Pallas tier's job
+        # (ops/traverse.py) — this tier is the portable fallback
+        t_best, prim, hinst, uu, vv = jax.lax.fori_loop(
+            0, jnp.max(count), leaf_step, (t_best, prim, hinst, uu, vv)
+        )
 
         # ---------- internal phase ----------
         is_int = active & (node >= 0)
@@ -206,8 +222,9 @@ def _traverse(ps: PacketScene, ray_o, ray_d, t_limit, any_hit: bool):
             # TLAS leaf -> descend into instance's BLAS wide root
             iid = jnp.clip(payload, 0, max(ps.n_inst - 1, 0))
             tlas_entry = ps.blas_wide_root[iid]
-            # BLAS leaf -> encoded triangle leaf code
-            blas_entry = -(payload * 8 + jnp.minimum(cnt - 1, 7)) - 2
+            # BLAS leaf -> encoded triangle leaf code (first is
+            # TREELET-aligned, count-1 packs into the low bits)
+            blas_entry = -(payload + jnp.minimum(cnt - 1, TREELET - 1)) - 2
             e_code = jnp.where(
                 c_leaf,
                 jnp.where(in_tlas, tlas_entry, blas_entry),

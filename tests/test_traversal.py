@@ -132,11 +132,11 @@ def scene_dev(scene: TraceScene) -> TraceScene:
 
 
 def test_align_leaf_tris_invariants():
-    """Every leaf 8-aligned, ranges disjoint, every source triangle mapped
-    exactly once, fillers degenerate (pack._align_leaf_tris)."""
+    """Every leaf TREELET-aligned, ranges disjoint, every source triangle
+    mapped exactly once, fillers degenerate (pack._align_leaf_tris)."""
     import numpy as np
 
-    from rfw_tpu.accel.bvh_cpu import build_bvh_sah, triangle_aabbs
+    from rfw_tpu.accel.bvh_cpu import TREELET, build_bvh_sah, triangle_aabbs
     from rfw_tpu.models import sphere
     from rfw_tpu.render.pack import _align_leaf_tris, _pad_gather
 
@@ -146,18 +146,18 @@ def test_align_leaf_tris_invariants():
     v1 = m.positions[idx[:, 1]]
     v2 = m.positions[idx[:, 2]]
     mn, mx = triangle_aabbs(v0, v1, v2)
-    bvh = build_bvh_sah(mn, mx)
+    bvh = build_bvh_sah(mn, mx, max_leaf=TREELET)
     n = len(idx)
     aligned, gather, new_size = _align_leaf_tris(bvh, n)
 
-    assert new_size % 8 == 0 and gather.shape[0] == new_size
+    assert new_size % TREELET == 0 and gather.shape[0] == new_size
     leaves = np.nonzero(aligned.node_count > 0)[0]
     seen = np.zeros(new_size, bool)
     for li in leaves:
         first = int(aligned.node_left[li])
         count = int(aligned.node_count[li])
-        assert first % 8 == 0, "leaf first must be 8-aligned"
-        assert 1 <= count <= 8
+        assert first % TREELET == 0, "leaf first must be TREELET-aligned"
+        assert 1 <= count <= TREELET
         assert not seen[first:first + count].any(), "leaf ranges overlap"
         seen[first:first + count] = True
         assert (gather[first:first + count] >= 0).all()
