@@ -39,6 +39,10 @@ class MatParams(NamedTuple):
     clearcoat_gloss: jax.Array
     subsurface: jax.Array
     anisotropic: jax.Array
+    transmission: jax.Array  # (R,) 0..1 specular-transmission weight
+    eta_rel: jax.Array  # (R,) RELATIVE ior across the interface for the
+    #   incident side: 1/ior entering the medium, ior exiting (the caller
+    #   resolves the side from the pre-flip geometric normal)
 
 
 def _sqr(x):
@@ -136,6 +140,13 @@ def disney_eval(p: MatParams, wo: jax.Array, wi: jax.Array) -> jax.Array:
     f_cc = (0.25 * p.clearcoat * dr * fr * gr)[..., None]
 
     f = (f_diffuse + f_sheen) * (1.0 - p.metallic[..., None]) + f_spec + f_cc
+    # Disney 2015 specTrans blend: the glass lobe (disney_sample's delta
+    # transmission, Fresnel reflection included) replaces the reflective
+    # BSDF in proportion to the transmission share — without this, NEE
+    # would add a full diffuse layer on top of glass (milky) and the
+    # microfacet specular would double-count the Fresnel reflection.
+    trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
+    f = f * (1.0 - trans_w[..., None])
     return jnp.where(up[..., None], f, 0.0)
 
 
@@ -158,16 +169,51 @@ def disney_pdf(p: MatParams, wo: jax.Array, wi: jax.Array) -> jax.Array:
     pdf_diff = ndl / PI
 
     pdf = diff_w * pdf_diff + spec_w * pdf_spec + cc_w * pdf_cc
+    # the reflective mixture only gets (1 - transmission-share) of the
+    # sample picks (disney_sample) — the MIS competitor pdf must match
+    trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
+    pdf = pdf * (1.0 - trans_w)
     return jnp.where(up, pdf, 0.0)
 
 
 def _lobe_weights(p: MatParams) -> Tuple[jax.Array, jax.Array, jax.Array]:
-    """Sampling mixture weights (specular, clearcoat, diffuse), summing to 1."""
+    """Sampling mixture weights (specular, clearcoat, diffuse) for the
+    *reflective* lobes, summing to 1. The transmission lobe is layered on
+    top by disney_sample (it takes a `transmission`-proportional share and
+    the reflective lobes split the remainder)."""
     spec_w = 1.0 / (1.0 + p.clearcoat * 0.5) * (0.5 + 0.5 * p.metallic)
     cc_w = (p.clearcoat * 0.25) / (1.0 + p.clearcoat * 0.25)
     diff_w = (1.0 - p.metallic) * 0.5
     total = spec_w + cc_w + diff_w + 1e-8
     return spec_w / total, cc_w / total, diff_w / total
+
+
+def fresnel_dielectric(cos_i: jax.Array, eta_rel: jax.Array) -> jax.Array:
+    """Exact unpolarized dielectric Fresnel reflectance. cos_i >= 0 is the
+    incident angle against the interface normal on the incident side;
+    eta_rel = ior_incident / ior_transmitted (e.g. 1/1.5 entering glass).
+    Returns 1.0 under total internal reflection."""
+    cos_i = jnp.clip(cos_i, 0.0, 1.0)
+    sin2_t = _sqr(eta_rel) * (1.0 - _sqr(cos_i))
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    r_par = (eta_rel * cos_i - cos_t) / jnp.maximum(eta_rel * cos_i + cos_t, 1e-12)
+    r_perp = (cos_i - eta_rel * cos_t) / jnp.maximum(cos_i + eta_rel * cos_t, 1e-12)
+    f = 0.5 * (_sqr(r_par) + _sqr(r_perp))
+    return jnp.where(tir, 1.0, jnp.clip(f, 0.0, 1.0))
+
+
+def _refract(wo, h, eta_rel):
+    """Refract -wo through microfacet normal h (both local, wo on the +h
+    side). Returns (wi, tir): wi transmitted (below the surface when h=+z),
+    tir flags total internal reflection (wi invalid there)."""
+    cos_i = jnp.sum(wo * h, axis=-1)
+    sin2_t = _sqr(eta_rel) * (1.0 - _sqr(cos_i))
+    tir = sin2_t >= 1.0
+    cos_t = jnp.sqrt(jnp.maximum(1.0 - sin2_t, 0.0))
+    wi = (-wo) * eta_rel[..., None] + (eta_rel * cos_i - cos_t)[..., None] * h
+    wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
+    return wi, tir
 
 
 def _sample_cosine(u1, u2):
@@ -201,14 +247,28 @@ def _reflect(wo, h):
 
 def disney_sample(
     p: MatParams, wo: jax.Array, u: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array]:
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sample wi ~ pdf; u: (R,3) uniforms (lobe pick, 2x direction).
 
-    Returns (wi, f, pdf) — f excludes the ndl cosine."""
+    Returns (wi, f, pdf, is_delta) — f excludes the ndl cosine.
+
+    Transmission (reference disney.glsl eta/transmission branch) is a
+    *delta-style* lobe: a GTR2 microfacet is sampled, exact dielectric
+    Fresnel splits the energy between reflection and refraction (TIR
+    included), and the result is returned with pdf == 1 and
+    f == weight / |wi.z| so the integrator's f*|cos|/pdf update applies
+    exactly `weight`. is_delta marks those lanes: eval/pdf cannot score
+    them (NEE through the interface is blocked by the glass itself, so
+    BSDF sampling is the sole strategy there and MIS weight 1 is exact)."""
     spec_w, cc_w, _ = _lobe_weights(p)
+    trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
     pick = u[..., 0]
-    use_spec = pick < spec_w
-    use_cc = (~use_spec) & (pick < spec_w + cc_w)
+    use_trans = pick < trans_w
+    # remap the survivor pick into [0,1) for the reflective lobes
+    pick_r = jnp.clip((pick - trans_w) / jnp.maximum(1.0 - trans_w, 1e-8),
+                      0.0, 1.0)
+    use_spec = (~use_trans) & (pick_r < spec_w)
+    use_cc = (~use_trans) & (~use_spec) & (pick_r < spec_w + cc_w)
 
     alpha = jnp.maximum(1e-3, _sqr(p.roughness))
     a_cc = 0.1 * (1.0 - p.clearcoat_gloss) + 0.001 * p.clearcoat_gloss
@@ -225,7 +285,33 @@ def disney_sample(
     wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
     f = disney_eval(p, wo, wi)
     pdf = disney_pdf(p, wo, wi)
-    return wi, f, pdf
+    # the reflective-lobe mixture only spends (1 - trans_w) of the picks
+    pdf = pdf * (1.0 - trans_w)
+
+    # ---- transmission lobe (delta-style) -----------------------------------
+    h_t = h_spec  # same GTR2 microfacet roughens the glass
+    cos_ih = jnp.sum(wo * h_t, axis=-1)
+    fr = fresnel_dielectric(cos_ih, p.eta_rel)
+    wi_refr, tir = _refract(wo, h_t, p.eta_rel)
+    # Fresnel decision reuses the remapped pick inside the trans share
+    pick_t = jnp.clip(pick / jnp.maximum(trans_w, 1e-8), 0.0, 1.0)
+    do_reflect = tir | (pick_t < fr)
+    wi_trefl = _reflect(wo, h_t)
+    wi_trans = jnp.where(do_reflect[..., None], wi_trefl, wi_refr)
+    # energy: the F-split makes each branch weight-1; refraction tints by
+    # base_color (interface color, matching the reference's transmission
+    # tint). Radiance eta^2 scaling is omitted (cancels on exit).
+    w_trans = jnp.where(do_reflect[..., None],
+                        jnp.ones_like(p.base_color), p.base_color)
+    # delta encoding: f*|cos|/pdf == weight; weight split already in pick
+    abs_cos = jnp.maximum(jnp.abs(wi_trans[..., 2]), 1e-6)
+    f_trans = w_trans / (abs_cos / jnp.maximum(trans_w, 1e-8))[..., None]
+    pdf_trans = trans_w  # so f*cos/pdf = w_trans exactly
+
+    wi = jnp.where(use_trans[..., None], wi_trans, wi)
+    f = jnp.where(use_trans[..., None], f_trans, f)
+    pdf = jnp.where(use_trans, pdf_trans, pdf)
+    return wi, f, pdf, use_trans
 
 
 # ------------------------------------------------------------------ frames

@@ -254,15 +254,18 @@ def _sample_light(
 
 # ---------------------------------------------------------------- materials
 def _fetch_material(
-    mats, atlas: TextureAtlas, scene, prim, uv_interp, lod
-) -> Tuple[disney.MatParams, jax.Array, jax.Array]:
+    mats, atlas: TextureAtlas, scene, prim, uv_interp, lod, entering
+) -> Tuple[disney.MatParams, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather material params + textures for hit prims.
 
-    Returns (params, emission_rgb (R,3), normal_map (R,3) tangent-space)."""
+    Returns (params, emission_rgb (R,3), normal_map (R,3) tangent-space,
+    untextured emission, absorption_rgb). `entering` (R,) bool resolves the
+    relative IOR side for the transmission lobe (True = front-face hit)."""
     mat_id = scene.tri_mat[prim]
     color = mats.color[mat_id]
     params = mats.params[mat_id]
     tex = mats.tex[mat_id]
+    absorption = mats.absorption[mat_id][:, :3]
 
     diff = sample_bilinear(atlas, tex[:, 0], uv_interp, lod)
     base_color = color[:, :3] * diff[:, :3]
@@ -288,6 +291,10 @@ def _fetch_material(
     # (scene/lights.py radiance_per_tri) so the reconstructed pick pdf agrees
     emission_base = jnp.where(is_emissive[:, None], color[:, :3], 0.0)
 
+    # transmission lobe side: relative IOR across the interface (reference
+    # disney.glsl eta branch — 1/ior entering the medium, ior leaving)
+    eta = jnp.where(params[:, 11] > 1e-3, params[:, 11], 1.5)
+    eta_rel = jnp.where(entering, 1.0 / eta, eta)
     p = disney.MatParams(
         base_color=base_color,
         metallic=metallic,
@@ -300,8 +307,10 @@ def _fetch_material(
         clearcoat_gloss=params[:, 9],
         subsurface=params[:, 1],
         anisotropic=params[:, 5],
+        transmission=params[:, 10],
+        eta_rel=eta_rel,
     )
-    return p, emission, n_ts, emission_base
+    return p, emission, n_ts, emission_base, absorption
 
 
 # -------------------------------------------------------------- integrator
@@ -341,7 +350,8 @@ def _shading_basis(scene, hit, ray_d):
     t_fallback, _ = disney.build_tangent_frame(ns)
     tan = jnp.where(tlen > 1e-6, tan / jnp.maximum(tlen, 1e-12), t_fallback)
     bitan = jnp.cross(ns, tan) * handed[:, None]
-    return dict(ns=ns, ng=ng, uv=uv, tan=tan, bitan=bitan, world_area=0.5 * area2)
+    return dict(ns=ns, ng=ng, uv=uv, tan=tan, bitan=bitan,
+                world_area=0.5 * area2, entering=~flip)
 
 
 class _PathState(NamedTuple):
@@ -538,9 +548,17 @@ def render_sample(
         spread = view[16]
         footprint = hit.t * spread * lod_f * 1024.0
         lod = jnp.log2(jnp.maximum(footprint, 1e-6))
-        params, emission, n_ts, emission_base = _fetch_material(
-            mats, atlas, scene, jnp.maximum(hit.prim, 0), basis["uv"], lod
+        params, emission, n_ts, emission_base, absorption = _fetch_material(
+            mats, atlas, scene, jnp.maximum(hit.prim, 0), basis["uv"], lod,
+            basis["entering"],
         )
+        # Beer-Lambert: a backface hit on a transmissive material ends a
+        # segment travelled INSIDE the medium — attenuate by the stored
+        # absorption over the distance (reference DeviceMaterial absorption)
+        inside_seg = found & ~basis["entering"] & (params.transmission > 0)
+        atten = jnp.exp(-absorption * hit.t[:, None])
+        throughput0 = jnp.where(inside_seg[:, None],
+                                st.throughput * atten, st.throughput)
         ns = (
             n_ts[:, 0:1] * basis["tan"]
             + n_ts[:, 1:2] * basis["bitan"]
@@ -599,7 +617,7 @@ def render_sample(
         )
         radiance = jnp.where(
             (found & is_emitter)[:, None],
-            radiance + st.throughput * emission * mis_w[:, None],
+            radiance + throughput0 * emission * mis_w[:, None],
             radiance,
         )
 
@@ -627,29 +645,35 @@ def render_sample(
         mis_nee = jnp.where(
             is_delta, 1.0, pdf_nee_sa / jnp.maximum(pdf_nee_sa + pdf_b_l, 1e-12)
         )
-        contrib = st.throughput * f_l * (cos_l * mis_nee)[:, None] * rad_over_pdf
+        contrib = throughput0 * f_l * (cos_l * mis_nee)[:, None] * rad_over_pdf
         contrib = jnp.clip(contrib, 0.0, config.clamp)
         radiance = jnp.where((can_light & ~occ)[:, None], radiance + contrib, radiance)
 
         # ---- BSDF bounce (skipped on the final iteration) ----------------
         not_last = depth < config.max_bounces
         u_b = uniforms(3 + depth * 3, 3, jax.random.fold_in(kd, 2), R)
-        wi_b, f_b, pdf_b = disney.disney_sample(params, wo, u_b)
-        ok = alive & not_last & (pdf_b > 1e-9) & (wi_b[..., 2] > 1e-6)
+        wi_b, f_b, pdf_b, delta_b = disney.disney_sample(params, wo, u_b)
+        # transmission samples leave through the lower hemisphere: |cos|
+        ok = alive & not_last & (pdf_b > 1e-9) & (jnp.abs(wi_b[..., 2]) > 1e-6)
         wi_world = disney.to_world(tan, bitan, ns, wi_b)
         throughput = jnp.where(
             ok[:, None],
-            st.throughput * f_b * (wi_b[..., 2:3] / jnp.maximum(pdf_b, 1e-9)[:, None]),
-            st.throughput,
+            throughput0 * f_b
+            * (jnp.abs(wi_b[..., 2:3]) / jnp.maximum(pdf_b, 1e-9)[:, None]),
+            throughput0,
         )
-        new_o = jnp.where(ok[:, None], pos + basis["ng"] * config.shadow_eps, st.ray_o)
+        # offset the continuation off the surface on the side it leaves
+        side = jnp.where(wi_b[..., 2] >= 0, 1.0, -1.0)
+        new_o = jnp.where(
+            ok[:, None],
+            pos + basis["ng"] * (config.shadow_eps * side)[:, None], st.ray_o)
         new_d = jnp.where(ok[:, None], wi_world, st.ray_d)
 
         return _PathState(
             radiance=radiance,
             throughput=throughput,
             alive=ok,
-            spec_or_first=params.roughness < 0.05,
+            spec_or_first=(params.roughness < 0.05) | delta_b,
             prev_bsdf_pdf=pdf_b,
             ray_o=new_o,
             ray_d=new_d,

@@ -1,0 +1,114 @@
+"""Transmission/refraction: Fresnel + Snell units, glass invisibility at
+eta=1, furnace energy conservation through glass, Beer-Lambert absorption
+(reference disney.glsl eta/transmission branch; VERDICT round-1 item 5)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from rfw_tpu.models import sphere
+from rfw_tpu.render import disney
+from rfw_tpu.render.wavefront import RenderConfig
+from rfw_tpu.scene.camera import Camera3D
+from rfw_tpu.scene.materials import Material, Materials
+
+from tests.test_integrator import make_ctx, render
+
+
+class TestUnits:
+    def test_fresnel_normal_incidence(self):
+        # air->glass at normal incidence: ((1-1.5)/(1+1.5))^2 = 0.04
+        f = disney.fresnel_dielectric(jnp.array([1.0]), jnp.array([1 / 1.5]))
+        np.testing.assert_allclose(np.asarray(f), [0.04], atol=1e-4)
+
+    def test_fresnel_grazing_and_tir(self):
+        f_graze = disney.fresnel_dielectric(jnp.array([0.0]), jnp.array([1 / 1.5]))
+        np.testing.assert_allclose(np.asarray(f_graze), [1.0], atol=1e-4)
+        # glass->air beyond the critical angle (sin_i > 1/1.5): TIR
+        cos_crit = np.sqrt(1 - (1 / 1.5) ** 2)  # ~0.745
+        f_tir = disney.fresnel_dielectric(
+            jnp.array([cos_crit * 0.9]), jnp.array([1.5]))
+        np.testing.assert_allclose(np.asarray(f_tir), [1.0], atol=1e-6)
+
+    def test_refract_snell(self):
+        # wo 45 deg off +z, interface normal +z, eta_rel = 1/1.5:
+        # sin(theta_t) = sin(45)/1.5
+        s = np.sin(np.deg2rad(45.0))
+        wo = jnp.array([[s, 0.0, np.cos(np.deg2rad(45.0))]], jnp.float32)
+        h = jnp.array([[0.0, 0.0, 1.0]], jnp.float32)
+        wi, tir = disney._refract(wo, h, jnp.array([1 / 1.5], jnp.float32))
+        wi = np.asarray(wi)[0]
+        assert not bool(np.asarray(tir)[0])
+        assert wi[2] < 0, "transmitted ray must leave through the surface"
+        np.testing.assert_allclose(
+            np.hypot(wi[0], wi[1]), s / 1.5, atol=1e-5)
+        # same side tangentially as the incident continuation
+        assert wi[0] < 0  # -wo tangential sign
+
+    def test_eta_one_passes_straight(self):
+        rng = np.random.default_rng(1)
+        wo = rng.normal(size=(64, 3)).astype(np.float32)
+        wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+        wo[:, 2] = np.abs(wo[:, 2]) + 0.05
+        wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+        h = rng.normal(size=(64, 3)).astype(np.float32)
+        h[:, 2] = np.abs(h[:, 2]) + 1.0
+        h /= np.linalg.norm(h, axis=-1, keepdims=True)
+        # only front-facing microfacets refract (backfacing ones hit the
+        # F=1 reflection branch in disney_sample via the clipped cosine)
+        keep = np.sum(wo * h, axis=-1) > 1e-3
+        wo, h = wo[keep], h[keep]
+        wi, tir = disney._refract(jnp.asarray(wo), jnp.asarray(h),
+                                  jnp.ones(len(wo), jnp.float32))
+        np.testing.assert_allclose(np.asarray(wi), -wo, atol=1e-5)
+        assert not np.asarray(tir).any()
+
+
+def _glass_ctx(eta=1.5, transmission=1.0, roughness=0.0, absorption=None):
+    mats = Materials()
+    g = mats.push(Material(
+        color=np.array([1, 1, 1, 1], np.float32),
+        roughness=roughness, specular_f=0.0, metallic=0.0,
+        transmission=transmission, eta=eta,
+        absorption=(np.asarray(list(absorption) + [0], np.float32)
+                    if absorption is not None else np.zeros(4, np.float32)),
+    ))
+    mesh = sphere(quality=2, material_id=g)
+    return make_ctx([(0, mesh, None)],
+                    [(0, np.eye(4, dtype=np.float32)[None])], mats)
+
+
+CAM = Camera3D(fov=30).look_at(np.array([0, 0, 4.0], np.float32),
+                               np.zeros(3, np.float32))
+
+
+class TestGlass:
+    def test_eta_one_glass_is_invisible(self):
+        """transmission=1, ior=1: F == 0 and refraction is exactly straight
+        for any microfacet, so the sphere must vanish against the sky."""
+        ctx = _glass_ctx(eta=1.0)
+        cfg = RenderConfig(max_bounces=4, clamp=1e9, sky_intensity=1.0)
+        img = render(*ctx, CAM, 24, 4, cfg)
+        np.testing.assert_allclose(img, 1.0, atol=1e-3)
+
+    def test_glass_furnace_conserves_energy(self):
+        """eta=1.5 glass in a unit furnace: Fresnel splits but F+T=1, so
+        radiance stays ~1 up to the bounce cutoff (TIR paths truncate)."""
+        ctx = _glass_ctx(eta=1.5)
+        cfg = RenderConfig(max_bounces=12, clamp=1e9, sky_intensity=1.0)
+        img = render(*ctx, CAM, 24, 8, cfg).reshape(24, 24, 3)
+        center = img[8:16, 8:16]
+        assert 0.85 < center.mean() <= 1.02, center.mean()
+        # and nothing amplifies anywhere
+        assert img.max() <= 1.02, img.max()
+
+    def test_absorption_tints_transmission(self):
+        """Beer-Lambert: absorbing G/B inside the glass leaves the through-
+        sphere view red-tinted; the clear sphere stays white."""
+        ctx = _glass_ctx(eta=1.02, absorption=(0.0, 3.0, 3.0))
+        cfg = RenderConfig(max_bounces=6, clamp=1e9, sky_intensity=1.0)
+        img = render(*ctx, CAM, 24, 8, cfg).reshape(24, 24, 3)
+        center = img[10:14, 10:14].reshape(-1, 3).mean(axis=0)
+        assert center[0] > 0.8, center  # red passes
+        assert center[1] < 0.55 * center[0], center  # green absorbed
+        assert center[2] < 0.55 * center[0], center
