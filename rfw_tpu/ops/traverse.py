@@ -229,7 +229,7 @@ class _Walk(NamedTuple):
     done: jax.Array
 
 
-def _traverse_kernel_factory(any_hit: bool):
+def _traverse_kernel_factory(any_hit: bool, stats: bool = False):
     """NSTREAM interleaved predicated walks over transposed scene columns.
 
     Each while iteration advances every live stream one node visit. Loads
@@ -349,21 +349,18 @@ def _traverse_kernel_factory(any_hit: bool):
                 firsts.append((lv >> TSHIFT) << TSHIFT)
                 blks.append(lv >> TSHIFT)
 
-            any_leaf = leafs[0]
-            for k in range(1, NSTREAM):
-                any_leaf = any_leaf | leafs[k]
-
-            @pl.when(any_leaf)
-            def _():
-                tblocks = []
-                for k in range(NSTREAM):
+            for k in range(NSTREAM):
+                # per-stream predication: only a stream actually sitting at
+                # a leaf pays the fetch + dense test (a shared gate made
+                # every iteration cost ~4 streams of dense VPU work —
+                # measured 3.5x on coherent rays)
+                @pl.when(leafs[k])
+                def _(k=k):
+                    w = popped[k]
                     gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
                     base = pl.multiple_of(gb * LANE, LANE)
-                    tblocks.append(tri_ref[:, pl.ds(base, LANE)])
-                for k in range(NSTREAM):
-                    w = popped[k]
+                    blockk = tri_ref[:, pl.ds(base, LANE)]
                     g = blks[k] % TGROUPS
-                    blockk = tblocks[k]
                     rec = jnp.where(g == 0, blockk[:, 0:TLANES], 0.0)
                     for gg in range(1, TGROUPS):
                         rec = rec + jnp.where(
@@ -382,21 +379,28 @@ def _traverse_kernel_factory(any_hit: bool):
                         dx = obj_ref[3, rsl, :]
                         dy = obj_ref[4, rsl, :]
                         dz = obj_ref[5, rsl, :]
-                        # (TREELET,1) x (1,128) broadcasts -> (TREELET,128)
-                        opw = az[0] * ox + az[1] * oy + az[2] * oz + az[3]
-                        dpw = az[0] * dx + az[1] * dy + az[2] * dz
-                        tq = -opw / dpw  # NaN/inf on degenerate: never hits
+                        # (TREELET,1) x (1,128) broadcast madds (a Mosaic
+                        # dot_general at K=4 miscompiled on-chip — keep the
+                        # transform on the VPU)
                         opu = ax[0] * ox + ax[1] * oy + ax[2] * oz + ax[3]
-                        dpu = ax[0] * dx + ax[1] * dy + ax[2] * dz
                         opv = ay[0] * ox + ay[1] * oy + ay[2] * oz + ay[3]
+                        opw = az[0] * ox + az[1] * oy + az[2] * oz + az[3]
+                        dpu = ax[0] * dx + ax[1] * dy + ax[2] * dz
                         dpv = ay[0] * dx + ay[1] * dy + ay[2] * dz
+                        dpw = az[0] * dx + az[1] * dy + az[2] * dz
+                        # reciprocal + one Newton step: full-rate vs the
+                        # multi-pass exact divide; degenerate slots give
+                        # NaN/inf t and fail every comparison
+                        r0 = pl.reciprocal(dpw, approx=True)
+                        rw = r0 * (2.0 - dpw * r0)
+                        tq = -opw * rw
                         uq = opu + tq * dpu
                         vq = opv + tq * dpv
                         tcur = t_ref[0, rsl, :]  # (1,128)
                         ok = (
                             (uq >= -1e-7) & (vq >= -1e-7)
                             & (uq + vq <= 1 + 1e-7)
-                            & (tq > T_MIN) & (tq < tcur) & leafs[k]
+                            & (tq > T_MIN) & (tq < tcur)
                         )
                         if any_hit:
                             ok = ok & (prim_ref[0, rsl, :] < 0)
@@ -528,22 +532,27 @@ def _traverse_kernel_factory(any_hit: bool):
                   done=jnp.bool_(False))
             for _ in range(NSTREAM)
         )
-        jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
+        _, final_iters = jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
+        if stats:
+            # debug mode: stamp the program's while-iteration count into
+            # u[program, 0, 0] (u is meaningless in stats runs)
+            u_ref[0, 0:1, 0:1] = jnp.full((1, 1), final_iters, jnp.float32)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("any_hit", "interpret"),
+    static_argnames=("any_hit", "interpret", "stats"),
 )
 def _run_arrays(
     meta, scene_t, tri_t, inst_t, root_t, o4, d4, tl3,
     any_hit: bool,
     interpret: bool = False,
+    stats: bool = False,
 ):
     T = o4.shape[0]
-    kernel = _traverse_kernel_factory(any_hit)
+    kernel = _traverse_kernel_factory(any_hit, stats)
     meta_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
@@ -581,7 +590,8 @@ def _run_arrays(
 CHUNK_TILES = 16
 
 
-def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):
+def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
+         stats: bool = False):
     T = o4.shape[0]
     meta = jnp.asarray(
         [[ps.tlas_root, ps.n_tri, ps.n_inst, 0]], jnp.int32
@@ -591,7 +601,7 @@ def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False):
         return _run_arrays(
             meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t,
             o4c, d4c, tl3c,
-            any_hit=any_hit, interpret=interpret,
+            any_hit=any_hit, interpret=interpret, stats=stats,
         )
 
     if T <= CHUNK_TILES:
@@ -633,9 +643,11 @@ def _reshape_rays(ray_o, ray_d, t_limit):
 
 
 def pallas_closest_hit(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
-                       interpret: bool = False) -> Hit:
+                       interpret: bool = False, stats: bool = False) -> Hit:
+    """stats=True is a debug mode: u[k*LANES] carries program k's
+    while-iteration count instead of barycentric u."""
     o4, d4, tl3, T, R = _reshape_rays(ray_o, ray_d, t_limit)
-    t, prim, inst, u, v = _run(ps, o4, d4, tl3, False, interpret)
+    t, prim, inst, u, v = _run(ps, o4, d4, tl3, False, interpret, stats)
     return Hit(t.reshape(R), prim.reshape(R), inst.reshape(R),
                u.reshape(R), v.reshape(R))
 

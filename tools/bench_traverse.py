@@ -34,6 +34,8 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--occluded", action="store_true",
                     help="also time the any-hit kernel")
+    ap.add_argument("--stats", action="store_true",
+                    help="also report per-program while-iteration counts")
     args = ap.parse_args()
 
     import jax
@@ -104,6 +106,18 @@ def main():
             results[f"{name}.{fname}"] = round(mrays, 2)
             print(f"{name:9s} {fname:9s} {best*1e3:8.1f} ms "
                   f"{mrays:8.2f} Mrays/s", file=sys.stderr)
+        if args.stats:
+            from rfw_tpu.ops.traverse import LANES
+            hs = pallas_closest_hit(ps, o, d, stats=True)
+            iters = np.asarray(hs.u).reshape(-1, LANES)[:, 0]
+            t_closest = R / (results[f"{name}.closest"] * 1e6)  # seconds
+            per_iter_us = t_closest / (R // LANES) / max(iters.mean(), 1) * 1e6
+            print(f"{name:9s} iters/program: mean {iters.mean():.0f} "
+                  f"p50 {np.percentile(iters,50):.0f} "
+                  f"p95 {np.percentile(iters,95):.0f} "
+                  f"max {iters.max():.0f}  (~{per_iter_us:.2f} us/iter)",
+                  file=sys.stderr)
+            results[f"{name}.iters_mean"] = round(float(iters.mean()), 1)
     print(json.dumps(results))
 
 
