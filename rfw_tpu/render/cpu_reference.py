@@ -1,0 +1,538 @@
+"""CpuReferenceBackend — the numpy pixel oracle behind the Backend seam.
+
+An independent, slow, obviously-correct renderer that implements the same
+14-method contract as TpuBackend (reference Backend trait,
+crates/rfw-backend/src/lib.rs:35-82; the reference's own "second
+implementation of the same trait" is the cpu-rt backend). Its job is
+end-to-end pixel parity tests: BASELINE configs render through BOTH
+backends and must agree — exactly (<=1e-3 RMSE) for the noise-free AOV
+modes, statistically for the path-traced DEFAULT mode (both estimators are
+unbiased, so means converge to the same image).
+
+Design choices that make it an oracle rather than a port of the device
+path:
+  * world-space triangle soup per frame (instances flattened, skinning
+    applied) — no BVH, no packed arenas: brute-force O(R*T) closest hit
+    (render.intersect.brute_force_closest);
+  * NEE-only estimator: emitted radiance is collected at the FIRST hit,
+    and every bounce adds direct light from an explicit loop over ALL
+    lights (one area sample each) — a different decomposition than the
+    integrator's power-CDF pick + MIS, unbiased for non-delta BSDFs;
+  * plain numpy RNG (Philox via default_rng), no Sobol;
+  * pixel-center primaries by default (deterministic AOVs).
+
+Not supported (documented scope): transmission/refraction lobes, normal
+mapping, skybox textures (constant sky only), 2D overlay. Oracle tests use
+scenes inside this envelope.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from rfw_tpu.backend.contract import RenderMode
+from rfw_tpu.backend.lights import (
+    AreaLightsView,
+    DirectionalLightsView,
+    PointLightsView,
+    SpotLightsView,
+)
+from rfw_tpu.backend.structs import (
+    CameraView2D,
+    CameraView3D,
+    DeviceMaterials,
+    InstancesView2D,
+    InstancesView3D,
+    MATFLAG_EMISSIVE,
+    MeshView2D,
+    MeshView3D,
+    SkinView,
+    TextureView,
+)
+from rfw_tpu.render.intersect import T_MAX, T_MIN, brute_force_closest
+from rfw_tpu.render.tpu_backend import TpuSettings, apply_skin
+
+PI = np.float32(np.pi)
+
+
+# --------------------------------------------------------------- BSDF (numpy)
+def _schlick(x):
+    m = np.clip(1.0 - x, 0.0, 1.0)
+    return m * m * m * m * m
+
+
+def _luminance(c):
+    return 0.2126 * c[..., 0] + 0.7152 * c[..., 1] + 0.0722 * c[..., 2]
+
+
+def _gtr2(ndh, a):
+    a2 = a * a
+    t = 1.0 + (a2 - 1.0) * ndh * ndh
+    return a2 / (PI * t * t + 1e-12)
+
+
+def _smith_ggx(ndv, a):
+    a2 = a * a
+    b = ndv * ndv
+    return 1.0 / (ndv + np.sqrt(a2 + b - a2 * b) + 1e-12)
+
+
+def disney_eval_np(base_color, metallic, roughness, specular_f,
+                   specular_tint, sheen, sheen_tint, subsurface,
+                   wo, wi) -> np.ndarray:
+    """Numpy transcription of render.disney.disney_eval (reflection lobes;
+    no clearcoat/transmission — oracle scenes stay inside that envelope).
+    Local frame, +z = shading normal."""
+    ndv = wo[..., 2]
+    ndl = wi[..., 2]
+    up = (ndv > 1e-6) & (ndl > 1e-6)
+    h = wi + wo
+    h = h / np.maximum(np.linalg.norm(h, axis=-1, keepdims=True), 1e-12)
+    ndh = h[..., 2]
+    ldh = np.sum(wi * h, axis=-1)
+
+    lum = _luminance(base_color)[..., None]
+    ctint = np.where(lum > 0, base_color / np.maximum(lum, 1e-7), 1.0)
+    f0_base = 0.08 * specular_f
+    cspec0 = (
+        f0_base[..., None]
+        * ((1.0 - specular_tint[..., None]) + specular_tint[..., None] * ctint)
+        * (1.0 - metallic[..., None])
+        + base_color * metallic[..., None]
+    )
+    csheen = (1.0 - sheen_tint[..., None]) + sheen_tint[..., None] * ctint
+
+    fl = _schlick(ndl)
+    fv = _schlick(ndv)
+    fd90 = 0.5 + 2.0 * ldh * ldh * roughness
+    fd = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
+    fss90 = ldh * ldh * roughness
+    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+    ss = 1.25 * (fss * (1.0 / np.maximum(ndl + ndv, 1e-6) - 0.5) + 0.5)
+    diffuse_w = np.where(subsurface > 0, (1.0 - subsurface) * fd + subsurface * ss, fd)
+    f_diffuse = (base_color / PI) * diffuse_w[..., None]
+
+    fh = _schlick(ldh)
+    f_sheen = fh[..., None] * sheen[..., None] * csheen
+
+    alpha = np.maximum(1e-3, roughness * roughness)
+    ds = _gtr2(ndh, alpha)
+    fs = cspec0 + (1.0 - cspec0) * fh[..., None]
+    gs = _smith_ggx(ndl, alpha) * _smith_ggx(ndv, alpha)
+    f_spec = ds[..., None] * fs * gs[..., None]
+
+    f = (f_diffuse + f_sheen) * (1.0 - metallic[..., None]) + f_spec
+    return np.where(up[..., None], f, 0.0).astype(np.float32)
+
+
+# ------------------------------------------------------------------- backend
+class CpuReferenceBackend:
+    """Numpy oracle implementing the Backend contract (see module doc)."""
+
+    def __init__(self, width: int = 256, height: int = 256,
+                 settings: Optional[TpuSettings] = None) -> None:
+        self.settings = settings or TpuSettings()
+        self.width = width
+        self.height = height
+        #: deterministic pixel-center primaries (set False for AA jitter)
+        self.pixel_center = True
+        self.rng = np.random.default_rng(1234)
+
+        self._meshes: Dict[int, MeshView3D] = {}
+        self._instances: Dict[int, InstancesView3D] = {}
+        self._skins: Dict[int, SkinView] = {}
+        self._materials: Optional[DeviceMaterials] = None
+        self._textures: Dict[int, TextureView] = {}
+        self._point = PointLightsView.empty()
+        self._spot = SpotLightsView.empty()
+        self._area = AreaLightsView.empty()
+        self._directional = DirectionalLightsView.empty()
+
+        self._world = None  # flattened scene dict after synchronize()
+
+    # ---- contract: geometry ------------------------------------------
+    def set_3d_meshes(self, changed: Sequence[Tuple[int, MeshView3D]]) -> None:
+        for i, v in changed:
+            self._meshes[i] = v
+
+    def unload_3d_meshes(self, ids: Sequence[int]) -> None:
+        for i in ids:
+            self._meshes.pop(i, None)
+            self._instances.pop(i, None)
+
+    def set_3d_instances(self, changed: Sequence[Tuple[int, InstancesView3D]]) -> None:
+        for i, v in changed:
+            self._instances[i] = v
+
+    def set_2d_meshes(self, changed: Sequence[Tuple[int, MeshView2D]]) -> None:
+        pass  # overlay out of oracle scope
+
+    def set_2d_instances(self, changed: Sequence[Tuple[int, InstancesView2D]]) -> None:
+        pass
+
+    def set_materials(self, materials: DeviceMaterials, changed: Sequence[int]) -> None:
+        self._materials = materials
+
+    def set_textures(self, changed: Sequence[Tuple[int, TextureView]]) -> None:
+        for i, v in changed:
+            self._textures[i] = v
+
+    def set_skybox(self, skybox: Optional[TextureView]) -> None:
+        pass  # constant sky only
+
+    def set_point_lights(self, lights: PointLightsView) -> None:
+        self._point = lights
+
+    def set_spot_lights(self, lights: SpotLightsView) -> None:
+        self._spot = lights
+
+    def set_area_lights(self, lights: AreaLightsView) -> None:
+        self._area = lights
+
+    def set_directional_lights(self, lights: DirectionalLightsView) -> None:
+        self._directional = lights
+
+    def set_skins(self, changed: Sequence[Tuple[int, SkinView]]) -> None:
+        for i, v in changed:
+            self._skins[i] = v
+
+    def resize(self, width: int, height: int, scale: float = 1.0) -> None:
+        self.width = int(width * scale)
+        self.height = int(height * scale)
+
+    # ---- synchronize: flatten to a world-space soup -------------------
+    def synchronize(self) -> None:
+        v0s, e1s, e2s = [], [], []
+        n0s, n1s, n2s = [], [], []
+        uv0s, uv1s, uv2s = [], [], []
+        mats, lids = [], []
+        for slot, iv in self._instances.items():
+            if slot not in self._meshes or iv.count == 0:
+                continue
+            mv = self._meshes[slot]
+            pos = mv.positions
+            if mv.has_skin and self.settings.enable_skinning:
+                sid = int(iv.skin_ids[0]) if len(iv.skin_ids) else -1
+                if sid >= 0 and sid in self._skins:
+                    pos = apply_skin(mv, self._skins[sid].joint_matrices)
+            idx = mv.indices
+            p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
+            n0, n1, n2 = (mv.normals[idx[:, k]] for k in range(3))
+            u0, u1, u2 = (mv.uvs[idx[:, k]] for k in range(3))
+            for m in iv.matrices:
+                r, t = m[:3, :3], m[:3, 3]
+                nrm = np.linalg.inv(r).T  # normal matrix
+                w0 = p0 @ r.T + t
+                v0s.append(w0)
+                e1s.append((p1 - p0) @ r.T)
+                e2s.append((p2 - p0) @ r.T)
+                n0s.append(n0 @ nrm.T)
+                n1s.append(n1 @ nrm.T)
+                n2s.append(n2 @ nrm.T)
+                uv0s.append(u0)
+                uv1s.append(u1)
+                uv2s.append(u2)
+                mats.append(mv.tri_material)
+                lids.append(mv.tri_light)
+        if not v0s:
+            self._world = None
+            return
+        self._world = dict(
+            v0=np.concatenate(v0s).astype(np.float32),
+            e1=np.concatenate(e1s).astype(np.float32),
+            e2=np.concatenate(e2s).astype(np.float32),
+            n0=np.concatenate(n0s).astype(np.float32),
+            n1=np.concatenate(n1s).astype(np.float32),
+            n2=np.concatenate(n2s).astype(np.float32),
+            uv0=np.concatenate(uv0s).astype(np.float32),
+            uv1=np.concatenate(uv1s).astype(np.float32),
+            uv2=np.concatenate(uv2s).astype(np.float32),
+            mat=np.concatenate(mats).astype(np.int32),
+            light=np.concatenate(lids).astype(np.int32),
+        )
+
+    # ---- rendering -----------------------------------------------------
+    def _primary_rays(self, view: CameraView3D) -> Tuple[np.ndarray, np.ndarray]:
+        W, H = self.width, self.height
+        n = W * H
+        px = (np.arange(n) % W).astype(np.float32)
+        py = (np.arange(n) // W).astype(np.float32)
+        if self.pixel_center:
+            ju = jv = 0.5
+        else:
+            j = self.rng.random((n, 2), dtype=np.float32)
+            ju, jv = j[:, 0], j[:, 1]
+        r = (px + ju) * view.inv_width
+        s = (py + jv) * view.inv_height
+        target = view.p1[None] + r[:, None] * view.right[None] + s[:, None] * view.up[None]
+        o = np.broadcast_to(view.pos[None], (n, 3)).astype(np.float32)
+        d = target - o
+        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
+        return o.copy(), d.astype(np.float32)
+
+    def _shade_point(self, w, ray_d, prim, u, v):
+        """Interpolated shading attrs for hit triangles. Normal orientation
+        matches wavefront._shading_basis: ng faces the ray, ns agrees with
+        ng."""
+        b0 = (1.0 - u - v)[:, None]
+        ns = b0 * w["n0"][prim] + u[:, None] * w["n1"][prim] + v[:, None] * w["n2"][prim]
+        ns /= np.maximum(np.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
+        uv = (b0 * w["uv0"][prim] + u[:, None] * w["uv1"][prim]
+              + v[:, None] * w["uv2"][prim])
+        ng = np.cross(w["e1"][prim], w["e2"][prim])
+        ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
+        flip = np.sum(ng * ray_d, -1) > 0
+        ng = np.where(flip[:, None], -ng, ng)
+        ns = np.where(np.sum(ns * ng, -1)[:, None] < 0, -ns, ns)
+        return ns.astype(np.float32), ng.astype(np.float32), uv.astype(np.float32)
+
+    def _albedo(self, mat_id, uv) -> np.ndarray:
+        m = self._materials
+        color = m.color[mat_id][:, :3].copy()
+        tex_id = m.tex[mat_id][:, 0]
+        has = tex_id >= 0
+        if has.any():
+            for t in np.unique(tex_id[has]):
+                sel = np.where(tex_id == t)[0]
+                tv = self._textures.get(int(t))
+                if tv is None:
+                    continue
+                img = tv.mips[0].astype(np.float32) / 255.0
+                if tv.srgb:
+                    img = np.where(img <= 0.04045, img / 12.92,
+                                   ((img + 0.055) / 1.055) ** 2.4)
+                h, wd = img.shape[:2]
+                # bilinear, wrap
+                fu = (uv[sel, 0] % 1.0) * wd - 0.5
+                fv = (uv[sel, 1] % 1.0) * h - 0.5
+                x0 = np.floor(fu).astype(int)
+                y0 = np.floor(fv).astype(int)
+                ax = (fu - x0)[:, None]
+                ay = (fv - y0)[:, None]
+                x0 %= wd
+                y0 %= h
+                x1 = (x0 + 1) % wd
+                y1 = (y0 + 1) % h
+                texel = (
+                    img[y0, x0, :3] * (1 - ax) * (1 - ay)
+                    + img[y0, x1, :3] * ax * (1 - ay)
+                    + img[y1, x0, :3] * (1 - ax) * ay
+                    + img[y1, x1, :3] * ax * ay
+                )
+                color[sel] *= texel
+        return color.astype(np.float32)
+
+    def _occluded(self, o, d, dist) -> np.ndarray:
+        w = self._world
+        t, prim, _, _ = brute_force_closest(
+            o, d, w["v0"], w["e1"], w["e2"], t_min=T_MIN,
+        )
+        return (prim >= 0) & (t < dist * (1.0 - 1e-4))
+
+    def _direct_light(self, p, ns, wo_world, mat_cols) -> np.ndarray:
+        """Sum of direct radiance over ALL lights (one area sample each)."""
+        R = p.shape[0]
+        total = np.zeros((R, 3), np.float32)
+        eps = 1e-3
+        # all light vectors measured from the OFFSET shadow origin — else a
+        # sample point on the light itself lands at t = dist - eps*cos and
+        # the light occludes its own shadow ray
+        p = p + ns * eps
+
+        def add(wi, dist, radiance):
+            cos_l = np.sum(wi * ns, -1)
+            ok = cos_l > 1e-6
+            occ = self._occluded(p[ok], wi[ok], dist[ok])
+            f = self._eval_bsdf(mat_cols, ns, wo_world, wi)
+            contrib = f * (cos_l * ok)[:, None] * radiance
+            contrib[np.where(ok)[0][occ]] = 0.0
+            total[:] += np.nan_to_num(contrib)
+
+        for i in range(self._point.count):
+            vec = self._point.position[i][None] - p
+            d2 = np.maximum(np.sum(vec * vec, -1), 1e-8)
+            wi = vec / np.sqrt(d2)[:, None]
+            add(wi, np.sqrt(d2), self._point.energy[i][None] / d2[:, None])
+        for i in range(self._spot.count):
+            vec = self._spot.position[i][None] - p
+            d2 = np.maximum(np.sum(vec * vec, -1), 1e-8)
+            wi = vec / np.sqrt(d2)[:, None]
+            cos_to = np.sum(-wi * self._spot.direction[i][None], -1)
+            ci = self._spot.cos_inner[i]
+            co = self._spot.cos_outer[i]
+            fall = np.clip((cos_to - co) / max(ci - co, 1e-6), 0.0, 1.0)
+            add(wi, np.sqrt(d2),
+                self._spot.energy[i][None] * (fall * fall / d2)[:, None])
+        for i in range(self._directional.count):
+            wi = np.broadcast_to(-self._directional.direction[i][None], p.shape)
+            add(wi.astype(np.float32), np.full(p.shape[0], T_MAX * 0.5, np.float32),
+                np.broadcast_to(self._directional.energy[i][None], p.shape))
+        for i in range(self._area.count):
+            u = self.rng.random((R, 2), dtype=np.float32)
+            su = np.sqrt(u[:, 0])
+            b0 = 1.0 - su
+            b1 = u[:, 1] * su
+            pt = (self._area.v0[i][None] * b0[:, None]
+                  + self._area.v1[i][None] * b1[:, None]
+                  + self._area.v2[i][None] * (1 - b0 - b1)[:, None])
+            vec = pt - p
+            d2 = np.maximum(np.sum(vec * vec, -1), 1e-8)
+            dist = np.sqrt(d2)
+            wi = vec / dist[:, None]
+            cos_l = np.abs(np.sum(-wi * self._area.normal[i][None], -1))
+            pdf_sa = d2 / np.maximum(cos_l * self._area.area[i], 1e-8)
+            add(wi, dist,
+                self._area.radiance[i][None] / np.maximum(pdf_sa, 1e-8)[:, None])
+        return total
+
+    def _mat_cols(self, mat_id, uv):
+        m = self._materials
+        par = m.params[mat_id]
+        return dict(
+            base=self._albedo(mat_id, uv),
+            metallic=par[:, 0], subsurface=par[:, 1], specular_f=par[:, 2],
+            roughness=par[:, 3], specular_tint=par[:, 4],
+            sheen=par[:, 6], sheen_tint=par[:, 7],
+            emissive=(m.flags[mat_id] & MATFLAG_EMISSIVE) != 0,
+            emission=m.color[mat_id][:, :3],
+        )
+
+    def _eval_bsdf(self, cols, ns, wo_world, wi_world):
+        """Disney eval in world space via per-row local frames."""
+        t, b = _frames(ns)
+        wo = np.stack([np.sum(wo_world * t, -1), np.sum(wo_world * b, -1),
+                       np.sum(wo_world * ns, -1)], -1)
+        wi = np.stack([np.sum(wi_world * t, -1), np.sum(wi_world * b, -1),
+                       np.sum(wi_world * ns, -1)], -1)
+        return disney_eval_np(
+            cols["base"], cols["metallic"], cols["roughness"],
+            cols["specular_f"], cols["specular_tint"], cols["sheen"],
+            cols["sheen_tint"], cols["subsurface"], wo, wi,
+        )
+
+    def render(
+        self,
+        view_2d: Optional[CameraView2D],
+        view_3d: CameraView3D,
+        mode: RenderMode = RenderMode.DEFAULT,
+    ) -> np.ndarray:
+        W, H = self.width, self.height
+        if self._world is None or self._materials is None:
+            return np.zeros((H, W, 4), np.uint8)
+        w = self._world
+        o, d = self._primary_rays(view_3d)
+        t, prim, u, v = brute_force_closest(o, d, w["v0"], w["e1"], w["e2"])
+        found = prim >= 0
+        prim_s = np.maximum(prim, 0)
+        ns, ng, uv = self._shade_point(w, d, prim_s, u, v)
+        mat_id = w["mat"][prim_s]
+        cols = self._mat_cols(mat_id, uv)
+
+        if mode == RenderMode.NORMAL:
+            # misses carry normal 0 -> 0.5 gray (matches TpuBackend._aov_frame)
+            img = np.where(found[:, None], ns, 0.0) * 0.5 + 0.5
+            return _to_rgba(img, W, H)
+        if mode == RenderMode.ALBEDO:
+            img = np.where(found[:, None], cols["base"], 0.0)
+            return _to_rgba(img, W, H)
+        if mode == RenderMode.GBUFFER:
+            dd = t[:, None]  # T_MAX on miss, same as the integrator's AOV
+            finite = dd < 1e25
+            dmax = dd[finite].max() if finite.any() else 1.0
+            img = np.repeat(np.where(finite, dd / max(dmax, 1e-6), 1.0), 3, -1)
+            return _to_rgba(img, W, H)
+
+        # DEFAULT: NEE-only path trace, `spp` progressive samples
+        spp = self.settings.samples_per_frame
+        accum = np.zeros((W * H, 3), np.float32)
+        for _ in range(spp):
+            accum += self._trace_once(view_3d)
+        img = accum / max(spp, 1)
+        # same tonemap chain as film.tonemap
+        img = _aces(img * self.settings.exposure)
+        img = np.where(img <= 0.0031308, 12.92 * img,
+                       1.055 * np.power(np.maximum(img, 1e-9), 1 / 2.4) - 0.055)
+        return _to_rgba(img, W, H, srgb_done=True)
+
+    def _trace_once(self, view_3d: CameraView3D) -> np.ndarray:
+        w = self._world
+        o, d = self._primary_rays(view_3d)
+        R = o.shape[0]
+        radiance = np.zeros((R, 3), np.float32)
+        throughput = np.ones((R, 3), np.float32)
+        alive = np.ones(R, bool)
+        eps = 1e-3
+        for depth in range(self.settings.max_bounces + 1):
+            if not alive.any():
+                break
+            idx = np.where(alive)[0]
+            t, prim, u, v = brute_force_closest(o[idx], d[idx], w["v0"], w["e1"], w["e2"])
+            found = prim >= 0
+            # sky on miss
+            radiance[idx[~found]] += (throughput[idx[~found]]
+                                      * self.settings.sky_intensity)
+            hit = idx[found]
+            if hit.size == 0:
+                break
+            prim_h = prim[found]
+            dh = d[hit]
+            ns, ng, uv = self._shade_point(w, dh, prim_h, u[found], v[found])
+            p = o[hit] + t[found][:, None] * dh
+            mat_id = w["mat"][prim_h]
+            cols = self._mat_cols(mat_id, uv)
+            # emission: FIRST hit only (NEE covers later segments)
+            if depth == 0:
+                em = np.where(cols["emissive"][:, None], cols["emission"], 0.0)
+                radiance[hit] += throughput[hit] * em
+            # direct light
+            direct = self._direct_light(p, ns, -dh, cols)
+            radiance[hit] += throughput[hit] * np.clip(
+                direct, 0, self.settings.clamp)
+            # cosine bounce
+            if depth == self.settings.max_bounces:
+                break
+            u1 = self.rng.random(hit.size, dtype=np.float32)
+            u2 = self.rng.random(hit.size, dtype=np.float32)
+            r = np.sqrt(u1)
+            phi = 2 * np.pi * u2
+            wi_l = np.stack([r * np.cos(phi), r * np.sin(phi),
+                             np.sqrt(np.maximum(1 - u1, 0))], -1).astype(np.float32)
+            tt, bb = _frames(ns)
+            wi = wi_l[:, 0:1] * tt + wi_l[:, 1:2] * bb + wi_l[:, 2:3] * ns
+            f = self._eval_bsdf(cols, ns, -dh, wi)
+            pdf = np.maximum(wi_l[:, 2] / np.pi, 1e-8)
+            tp = f * (wi_l[:, 2] / pdf)[:, None]
+            new_alive = np.zeros(R, bool)
+            # emissive surfaces terminate (their light was counted via NEE/first hit)
+            cont = (wi_l[:, 2] > 1e-6) & ~cols["emissive"]
+            new_alive[hit[cont]] = True
+            throughput[hit] *= np.nan_to_num(tp)
+            o_new = p + ng * eps
+            o[hit] = o_new
+            d[hit] = wi
+            alive = new_alive & (np.max(throughput, -1) > 1e-5)
+        return radiance
+
+
+def _frames(n: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Branchless orthonormal basis (Duff et al.), matching
+    disney.build_tangent_frame."""
+    s = np.where(n[..., 2] >= 0.0, 1.0, -1.0)
+    a = -1.0 / (s + n[..., 2])
+    b = n[..., 0] * n[..., 1] * a
+    t = np.stack([1.0 + s * n[..., 0] ** 2 * a, s * b, -s * n[..., 0]], -1)
+    bt = np.stack([b, s + n[..., 1] ** 2 * a, -n[..., 1]], -1)
+    return t.astype(np.float32), bt.astype(np.float32)
+
+
+def _aces(x):
+    a, b, c, d, e = 2.51, 0.03, 2.43, 0.59, 0.14
+    return np.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
+
+
+def _to_rgba(img: np.ndarray, W: int, H: int, srgb_done: bool = False) -> np.ndarray:
+    rgb = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8).reshape(H, W, 3)
+    alpha = np.full((H, W, 1), 255, np.uint8)
+    return np.concatenate([rgb, alpha], axis=-1)

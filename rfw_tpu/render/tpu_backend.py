@@ -69,6 +69,8 @@ class TpuSettings:
     tonemap: str = "aces"
     enable_skinning: bool = True
     sampler: str = "sobol"  # "sobol" (low-discrepancy) | "random"
+    pixel_center: bool = False  # deterministic pixel-center primaries (for
+    #   AOV parity tests against CpuReferenceBackend)
 
 
 def _mesh_from_view(v: MeshView3D) -> Mesh3D:
@@ -349,6 +351,7 @@ class TpuBackend:
             sky_intensity=self.settings.sky_intensity,
             ao_aov=mode in (RenderMode.SSAO, RenderMode.FILTERED_SSAO),
             sampler=self.settings.sampler,
+            pixel_center=self.settings.pixel_center,
         )
         view_dev = jnp.asarray(view_arr)
         key = jax.random.PRNGKey(42)
@@ -490,7 +493,9 @@ class TpuBackend:
             ext = np.abs(p).max() or 1.0
             img = p / ext * 0.5 + 0.5
         rgba = np.concatenate(
-            [np.clip(img * 255, 0, 255).astype(np.uint8),
+            [np.clip(img * 255 + 0.5, 0, 255).astype(np.uint8),  # round, as
+             # film.tonemap does — truncation made every AOV pixel off by one
+             # against CpuReferenceBackend
              np.full((H, W, 1), 255, np.uint8)], axis=-1
         )
         return rgba

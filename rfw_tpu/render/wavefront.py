@@ -97,6 +97,8 @@ class RenderConfig:
     ao_radius: float = 0.5
     traversal: str = "auto"  # auto | pallas | packet | lockstep
     lanes: int = 256  # packet tile width (rays per shared stack)
+    pixel_center: bool = False  # deterministic pixel-center primaries (no
+    #   AA jitter, no lens) — for AOV parity against CpuReferenceBackend
     sampler: str = "random"  # "random" (threefry) | "sobol" (Owen-scrambled;
     #   needs sample_index passed to render_sample)
     sort_secondary: bool = True  # re-tile rays each bounce by (direction
@@ -461,7 +463,13 @@ def render_sample(
             return sample_slot(sample_index, pid, slot, n)
         return jax.random.uniform(key_, (count, n))
 
-    if use_sobol:
+    if config.pixel_center:
+        ray_o, ray_d = camera_rays(
+            view, width, height, k_cam, pixel_ids,
+            jitter=(jnp.full((R, 2), 0.5, jnp.float32),
+                    jnp.zeros((R, 2), jnp.float32)),
+        )
+    elif use_sobol:
         cam_uv = uniforms(0, 2, None, R)
         lens_uv = uniforms(1, 2, None, R)
         ray_o, ray_d = camera_rays(view, width, height, k_cam, pixel_ids,
