@@ -68,8 +68,13 @@ TLANES = 16  # record lanes per treelet slot (12 affine floats + pad)
 TGROUPS = LANE // TLANES  # treelets per aligned fetch block
 TSHIFT = TREELET.bit_length() - 1
 #: hard per-walk iteration cap: converts accidental infinite traversal into
-#: a terminating (wrong) result instead of a TPU watchdog kill
-KERNEL_MAX_ITERS = 1 << 19
+#: a terminating (wrong) result instead of a TPU watchdog kill.
+#: RFW_KMAX override is a perf-diagnostic knob ONLY (results are wrong when
+#: it truncates traversal): timing at KMAX=1,2,4... decomposes per-program
+#: fixed cost vs marginal per-iteration cost.
+import os as _os
+
+KERNEL_MAX_ITERS = int(_os.environ.get("RFW_KMAX", str(1 << 19)))
 # scene arrays bigger than this fall back to the jnp packet path
 # (16MB scoped vmem - ~4MB chunk in/out buffers - margin)
 VMEM_SCENE_BUDGET = int(11.5 * 1024 * 1024)
@@ -229,19 +234,26 @@ class _Walk(NamedTuple):
     done: jax.Array
 
 
-def _traverse_kernel_factory(any_hit: bool, stats: bool = False):
+def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
+                             batch: int = 1):
     """NSTREAM interleaved predicated walks over transposed scene columns.
 
     Each while iteration advances every live stream one node visit. Loads
     for all streams are issued back-to-back (program order) before their
     uses, so the ~1.5us dynamic-fetch latency overlaps across streams.
-    Treelet block fetches interleave the same way."""
+    Treelet block fetches interleave the same way.
+
+    `batch` sub-tiles are traversed per grid step by an outer fori_loop:
+    a grid step has a large fixed cost on this TPU stack (~650us measured
+    for this kernel — it scales with compiled code size, i.e. instruction
+    streaming, on top of ~100us pipeline floor even for trivial kernels),
+    so amortizing it over B tiles is worth ~7x on coherent rays."""
 
     def kernel(
         meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst(=ident col), 0]
         scene_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM/SMEM)
-        o_ref, d_ref, tlim_ref,  # per-tile inputs
-        t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-tile outputs
+        o_ref, d_ref, tlim_ref,  # per-step inputs, leading dim = batch
+        t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-step outputs
         obj_ref,  # VMEM scratch (9, SUB, LANE): object-space rays per stream
         stack_ref,  # SMEM scratch (NSTREAM, STACK_DEPTH, 2) i32
     ):
@@ -270,295 +282,310 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False):
                 col_i, jnp.float32
             )
 
-        t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
-        prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-        iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-        u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
-        v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+        def tile_walk(o_ref, d_ref, tlim_ref, t_ref, prim_ref,
+                      iout_ref, u_ref, v_ref):
+            # one sub-tile's full traversal; refs are (1,...) views
+            # into the batch block (names shadow the step refs)
+            t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
+            prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+            iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+            u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+            v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
 
-        def safe_inv(x):
-            return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
-                                   jnp.where(x < 0, -1e-20, 1e-20), x)
+            def safe_inv(x):
+                return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
+                                       jnp.where(x < 0, -1e-20, 1e-20), x)
 
-        def set_obj(k, inst):
-            """Re-base stream k's rays into instance object space."""
-            i = jnp.where(inst < 0, n_inst, inst)
-            col = fetch_col(inst_ref, i)  # (16,1)
-            m = [col[r, 0] for r in range(12)]
-            sl = slice(k * SSUB, (k + 1) * SSUB)
-            wox = o_ref[0, 0, sl, :]
-            woy = o_ref[0, 1, sl, :]
-            woz = o_ref[0, 2, sl, :]
-            wdx = d_ref[0, 0, sl, :]
-            wdy = d_ref[0, 1, sl, :]
-            wdz = d_ref[0, 2, sl, :]
-            obj_ref[0, sl, :] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
-            obj_ref[1, sl, :] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
-            obj_ref[2, sl, :] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
-            dx = m[0] * wdx + m[1] * wdy + m[2] * wdz
-            dy = m[4] * wdx + m[5] * wdy + m[6] * wdz
-            dz = m[8] * wdx + m[9] * wdy + m[10] * wdz
-            obj_ref[3, sl, :] = dx
-            obj_ref[4, sl, :] = dy
-            obj_ref[5, sl, :] = dz
-            obj_ref[6, sl, :] = safe_inv(dx)
-            obj_ref[7, sl, :] = safe_inv(dy)
-            obj_ref[8, sl, :] = safe_inv(dz)
-
-        for k in range(NSTREAM):
-            set_obj(k, jnp.int32(-1))
-
-        def body(carry):
-            walks, iters = carry
-            new_walks = []
-
-            # ---- phase 1 (all streams): pop, instance switch, issue the
-            # node fetch. Loads are emitted back-to-back so they overlap.
-            popped = []
-            for k in range(NSTREAM):
-                w = walks[k]
-                do_pop = (w.node == -1) & ~w.done
-                sp = jnp.where(do_pop, w.sp - 1, w.sp)
-                spc = jnp.maximum(sp, 0)
-                node = jnp.where(do_pop, stack_ref[k, spc, 0], w.node)
-                inst = jnp.where(do_pop, stack_ref[k, spc, 1], w.inst)
-
-                @pl.when((inst != w.cached) & ~w.done)
-                def _(k=k, inst=inst):
-                    set_obj(k, inst)
-
-                popped.append(w._replace(node=node, inst=inst, cached=inst,
-                                         sp=sp))
-
-            cols = [
-                fetch_col(scene_ref, jnp.maximum(popped[k].node, 0))
-                for k in range(NSTREAM)
-            ]
-
-            # ---- phase 2: treelet leaf intersection. A leaf is one
-            # aligned (TREELET, 128) fetch covering TGROUPS treelets; the
-            # stream's record is a static 8-way one-hot sum, then all
-            # TREELET slots test densely against the sub-tile's rays —
-            # Woop affine madds, a plane/bary epilogue, and a sublane
-            # min-reduction. No per-triangle fetches, no cross products.
-            firsts, blks, leafs = [], [], []
-            for k in range(NSTREAM):
-                w = popped[k]
-                lv = jnp.maximum(-w.node - 2, 0)
-                leafs.append((w.node <= -2) & ~w.done)
-                firsts.append((lv >> TSHIFT) << TSHIFT)
-                blks.append(lv >> TSHIFT)
+            def set_obj(k, inst):
+                """Re-base stream k's rays into instance object space."""
+                i = jnp.where(inst < 0, n_inst, inst)
+                col = fetch_col(inst_ref, i)  # (16,1)
+                m = [col[r, 0] for r in range(12)]
+                sl = slice(k * SSUB, (k + 1) * SSUB)
+                wox = o_ref[0, 0, sl, :]
+                woy = o_ref[0, 1, sl, :]
+                woz = o_ref[0, 2, sl, :]
+                wdx = d_ref[0, 0, sl, :]
+                wdy = d_ref[0, 1, sl, :]
+                wdz = d_ref[0, 2, sl, :]
+                obj_ref[0, sl, :] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                obj_ref[1, sl, :] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                obj_ref[2, sl, :] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                dx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                dy = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                dz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+                obj_ref[3, sl, :] = dx
+                obj_ref[4, sl, :] = dy
+                obj_ref[5, sl, :] = dz
+                obj_ref[6, sl, :] = safe_inv(dx)
+                obj_ref[7, sl, :] = safe_inv(dy)
+                obj_ref[8, sl, :] = safe_inv(dz)
 
             for k in range(NSTREAM):
-                # per-stream predication: only a stream actually sitting at
-                # a leaf pays the fetch + dense test (a shared gate made
-                # every iteration cost ~4 streams of dense VPU work —
-                # measured 3.5x on coherent rays)
-                @pl.when(leafs[k])
-                def _(k=k):
+                set_obj(k, jnp.int32(-1))
+
+            def body(carry):
+                walks, iters = carry
+                new_walks = []
+
+                # ---- phase 1 (all streams): pop, instance switch, issue the
+                # node fetch. Loads are emitted back-to-back so they overlap.
+                popped = []
+                for k in range(NSTREAM):
+                    w = walks[k]
+                    do_pop = (w.node == -1) & ~w.done
+                    sp = jnp.where(do_pop, w.sp - 1, w.sp)
+                    spc = jnp.maximum(sp, 0)
+                    node = jnp.where(do_pop, stack_ref[k, spc, 0], w.node)
+                    inst = jnp.where(do_pop, stack_ref[k, spc, 1], w.inst)
+
+                    @pl.when((inst != w.cached) & ~w.done)
+                    def _(k=k, inst=inst):
+                        set_obj(k, inst)
+
+                    popped.append(w._replace(node=node, inst=inst, cached=inst,
+                                             sp=sp))
+
+                cols = [
+                    fetch_col(scene_ref, jnp.maximum(popped[k].node, 0))
+                    for k in range(NSTREAM)
+                ]
+
+                # ---- phase 2: treelet leaf intersection. A leaf is one
+                # aligned (TREELET, 128) fetch covering TGROUPS treelets; the
+                # stream's record is a static 8-way one-hot sum, then all
+                # TREELET slots test densely against the sub-tile's rays —
+                # Woop affine madds, a plane/bary epilogue, and a sublane
+                # min-reduction. No per-triangle fetches, no cross products.
+                firsts, blks, leafs = [], [], []
+                for k in range(NSTREAM):
                     w = popped[k]
-                    gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
-                    base = pl.multiple_of(gb * LANE, LANE)
-                    blockk = tri_ref[:, pl.ds(base, LANE)]
-                    g = blks[k] % TGROUPS
-                    rec = jnp.where(g == 0, blockk[:, 0:TLANES], 0.0)
-                    for gg in range(1, TGROUPS):
-                        rec = rec + jnp.where(
-                            g == gg,
-                            blockk[:, TLANES * gg:TLANES * (gg + 1)], 0.0)
-                    ax = (rec[:, 0:1], rec[:, 1:2], rec[:, 2:3], rec[:, 3:4])
-                    ay = (rec[:, 4:5], rec[:, 5:6], rec[:, 6:7], rec[:, 7:8])
-                    az = (rec[:, 8:9], rec[:, 9:10], rec[:, 10:11],
-                          rec[:, 11:12])
-                    for s in range(SSUB):
-                        row = k * SSUB + s
-                        rsl = slice(row, row + 1)
-                        ox = obj_ref[0, rsl, :]  # (1,128)
-                        oy = obj_ref[1, rsl, :]
-                        oz = obj_ref[2, rsl, :]
-                        dx = obj_ref[3, rsl, :]
-                        dy = obj_ref[4, rsl, :]
-                        dz = obj_ref[5, rsl, :]
-                        # (TREELET,1) x (1,128) broadcast madds (a Mosaic
-                        # dot_general at K=4 miscompiled on-chip — keep the
-                        # transform on the VPU)
-                        opu = ax[0] * ox + ax[1] * oy + ax[2] * oz + ax[3]
-                        opv = ay[0] * ox + ay[1] * oy + ay[2] * oz + ay[3]
-                        opw = az[0] * ox + az[1] * oy + az[2] * oz + az[3]
-                        dpu = ax[0] * dx + ax[1] * dy + ax[2] * dz
-                        dpv = ay[0] * dx + ay[1] * dy + ay[2] * dz
-                        dpw = az[0] * dx + az[1] * dy + az[2] * dz
-                        # reciprocal + one Newton step: full-rate vs the
-                        # multi-pass exact divide; degenerate slots give
-                        # NaN/inf t and fail every comparison
-                        r0 = pl.reciprocal(dpw, approx=True)
-                        rw = r0 * (2.0 - dpw * r0)
-                        tq = -opw * rw
-                        uq = opu + tq * dpu
-                        vq = opv + tq * dpv
-                        tcur = t_ref[0, rsl, :]  # (1,128)
-                        ok = (
-                            (uq >= -1e-7) & (vq >= -1e-7)
-                            & (uq + vq <= 1 + 1e-7)
-                            & (tq > T_MIN) & (tq < tcur)
-                        )
-                        if any_hit:
-                            ok = ok & (prim_ref[0, rsl, :] < 0)
-                            hit_any = jnp.any(ok, axis=0, keepdims=True)
+                    lv = jnp.maximum(-w.node - 2, 0)
+                    leafs.append((w.node <= -2) & ~w.done)
+                    firsts.append((lv >> TSHIFT) << TSHIFT)
+                    blks.append(lv >> TSHIFT)
+
+                for k in range(NSTREAM):
+                    # per-stream predication: only a stream actually sitting at
+                    # a leaf pays the fetch + dense test (a shared gate made
+                    # every iteration cost ~4 streams of dense VPU work —
+                    # measured 3.5x on coherent rays)
+                    @pl.when(leafs[k])
+                    def _(k=k):
+                        w = popped[k]
+                        gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
+                        base = pl.multiple_of(gb * LANE, LANE)
+                        blockk = tri_ref[:, pl.ds(base, LANE)]
+                        g = blks[k] % TGROUPS
+                        rec = jnp.where(g == 0, blockk[:, 0:TLANES], 0.0)
+                        for gg in range(1, TGROUPS):
+                            rec = rec + jnp.where(
+                                g == gg,
+                                blockk[:, TLANES * gg:TLANES * (gg + 1)], 0.0)
+                        ax = (rec[:, 0:1], rec[:, 1:2], rec[:, 2:3], rec[:, 3:4])
+                        ay = (rec[:, 4:5], rec[:, 5:6], rec[:, 6:7], rec[:, 7:8])
+                        az = (rec[:, 8:9], rec[:, 9:10], rec[:, 10:11],
+                              rec[:, 11:12])
+                        for s in range(SSUB):
+                            row = k * SSUB + s
+                            rsl = slice(row, row + 1)
+                            ox = obj_ref[0, rsl, :]  # (1,128)
+                            oy = obj_ref[1, rsl, :]
+                            oz = obj_ref[2, rsl, :]
+                            dx = obj_ref[3, rsl, :]
+                            dy = obj_ref[4, rsl, :]
+                            dz = obj_ref[5, rsl, :]
+                            # (TREELET,1) x (1,128) broadcast madds (a Mosaic
+                            # dot_general at K=4 miscompiled on-chip — keep the
+                            # transform on the VPU)
+                            opu = ax[0] * ox + ax[1] * oy + ax[2] * oz + ax[3]
+                            opv = ay[0] * ox + ay[1] * oy + ay[2] * oz + ay[3]
+                            opw = az[0] * ox + az[1] * oy + az[2] * oz + az[3]
+                            dpu = ax[0] * dx + ax[1] * dy + ax[2] * dz
+                            dpv = ay[0] * dx + ay[1] * dy + ay[2] * dz
+                            dpw = az[0] * dx + az[1] * dy + az[2] * dz
+                            # reciprocal + one Newton step: full-rate vs the
+                            # multi-pass exact divide; degenerate slots give
+                            # NaN/inf t and fail every comparison
+                            r0 = pl.reciprocal(dpw, approx=True)
+                            rw = r0 * (2.0 - dpw * r0)
+                            tq = -opw * rw
+                            uq = opu + tq * dpu
+                            vq = opv + tq * dpv
+                            tcur = t_ref[0, rsl, :]  # (1,128)
+                            ok = (
+                                (uq >= -1e-7) & (vq >= -1e-7)
+                                & (uq + vq <= 1 + 1e-7)
+                                & (tq > T_MIN) & (tq < tcur)
+                            )
+                            if any_hit:
+                                ok = ok & (prim_ref[0, rsl, :] < 0)
+                                hit_any = jnp.any(ok, axis=0, keepdims=True)
+                                prim_ref[0, rsl, :] = jnp.where(
+                                    hit_any, firsts[k], prim_ref[0, rsl, :])
+                                iout_ref[0, rsl, :] = jnp.where(
+                                    hit_any, w.inst, iout_ref[0, rsl, :])
+                                continue
+                            score = jnp.where(ok, tq, jnp.float32(np.inf))
+                            tmin = jnp.min(score, axis=0, keepdims=True)
+                            hit_any = tmin < tcur
+                            jio = jax.lax.broadcasted_iota(
+                                jnp.int32, (TREELET, LANE), 0)
+                            jwin = jnp.min(
+                                jnp.where(score == tmin, jio, TREELET),
+                                axis=0, keepdims=True)
+                            onehot = jio == jwin
+                            uwin = jnp.sum(jnp.where(onehot, uq, 0.0),
+                                           axis=0, keepdims=True)
+                            vwin = jnp.sum(jnp.where(onehot, vq, 0.0),
+                                           axis=0, keepdims=True)
+                            t_ref[0, rsl, :] = jnp.where(hit_any, tmin, tcur)
                             prim_ref[0, rsl, :] = jnp.where(
-                                hit_any, firsts[k], prim_ref[0, rsl, :])
+                                hit_any, firsts[k] + jwin, prim_ref[0, rsl, :])
                             iout_ref[0, rsl, :] = jnp.where(
                                 hit_any, w.inst, iout_ref[0, rsl, :])
-                            continue
-                        score = jnp.where(ok, tq, jnp.float32(np.inf))
-                        tmin = jnp.min(score, axis=0, keepdims=True)
-                        hit_any = tmin < tcur
-                        jio = jax.lax.broadcasted_iota(
-                            jnp.int32, (TREELET, LANE), 0)
-                        jwin = jnp.min(
-                            jnp.where(score == tmin, jio, TREELET),
-                            axis=0, keepdims=True)
-                        onehot = jio == jwin
-                        uwin = jnp.sum(jnp.where(onehot, uq, 0.0),
-                                       axis=0, keepdims=True)
-                        vwin = jnp.sum(jnp.where(onehot, vq, 0.0),
-                                       axis=0, keepdims=True)
-                        t_ref[0, rsl, :] = jnp.where(hit_any, tmin, tcur)
-                        prim_ref[0, rsl, :] = jnp.where(
-                            hit_any, firsts[k] + jwin, prim_ref[0, rsl, :])
-                        iout_ref[0, rsl, :] = jnp.where(
-                            hit_any, w.inst, iout_ref[0, rsl, :])
-                        u_ref[0, rsl, :] = jnp.where(
-                            hit_any, uwin, u_ref[0, rsl, :])
-                        v_ref[0, rsl, :] = jnp.where(
-                            hit_any, vwin, v_ref[0, rsl, :])
+                            u_ref[0, rsl, :] = jnp.where(
+                                hit_any, uwin, u_ref[0, rsl, :])
+                            v_ref[0, rsl, :] = jnp.where(
+                                hit_any, vwin, v_ref[0, rsl, :])
 
-            # ---- phase 3: 8-wide internal test + nearest-first push.
-            for k in range(NSTREAM):
-                w = popped[k]
-                col = cols[k]
-                boxf = jax.lax.bitcast_convert_type(col[0:48], jnp.float32)
-                sl = slice(k * SSUB, (k + 1) * SSUB)
-                ox = obj_ref[0, sl, :]
-                oy = obj_ref[1, sl, :]
-                oz = obj_ref[2, sl, :]
-                ix = obj_ref[6, sl, :]
-                iy = obj_ref[7, sl, :]
-                iz = obj_ref[8, sl, :]
-                t_best = t_ref[0, sl, :]
-                dead = prim_ref[0, sl, :] >= 0 if any_hit else None
+                # ---- phase 3: 8-wide internal test + nearest-first push.
+                for k in range(NSTREAM):
+                    w = popped[k]
+                    col = cols[k]
+                    boxf = jax.lax.bitcast_convert_type(col[0:48], jnp.float32)
+                    sl = slice(k * SSUB, (k + 1) * SSUB)
+                    ox = obj_ref[0, sl, :]
+                    oy = obj_ref[1, sl, :]
+                    oz = obj_ref[2, sl, :]
+                    ix = obj_ref[6, sl, :]
+                    iy = obj_ref[7, sl, :]
+                    iz = obj_ref[8, sl, :]
+                    t_best = t_ref[0, sl, :]
+                    dead = prim_ref[0, sl, :] >= 0 if any_hit else None
 
-                is_int = (w.node >= 0) & ~w.done
-                in_tlas = w.inst < 0
+                    is_int = (w.node >= 0) & ~w.done
+                    in_tlas = w.inst < 0
 
-                def child_entry(code, cnt, w=w, in_tlas=in_tlas):
-                    payload = -code - 1
-                    leaf_child = code < 0
-                    iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
-                    tlas_entry = root_ref[0, iid]  # SMEM scalar read
-                    blas_entry = -(payload
-                                   + jnp.minimum(cnt - 1, TREELET - 1)) - 2
-                    e_code = jnp.where(
-                        leaf_child,
-                        jnp.where(in_tlas, tlas_entry, blas_entry), code)
-                    e_inst = jnp.where(leaf_child & in_tlas, payload, w.inst)
-                    return e_code, e_inst
+                    def child_entry(code, cnt, w=w, in_tlas=in_tlas):
+                        payload = -code - 1
+                        leaf_child = code < 0
+                        iid = jnp.clip(payload, 0, jnp.maximum(n_inst - 1, 0))
+                        tlas_entry = root_ref[0, iid]  # SMEM scalar read
+                        blas_entry = -(payload
+                                       + jnp.minimum(cnt - 1, TREELET - 1)) - 2
+                        e_code = jnp.where(
+                            leaf_child,
+                            jnp.where(in_tlas, tlas_entry, blas_entry), code)
+                        e_inst = jnp.where(leaf_child & in_tlas, payload, w.inst)
+                        return e_code, e_inst
 
-                next_code = jnp.int32(-1)
-                next_inst = w.inst
-                sp = w.sp
-                for c in range(8):
-                    mnx = boxf[6 * c + 0:6 * c + 1, 0:1]
-                    mny = boxf[6 * c + 1:6 * c + 2, 0:1]
-                    mnz = boxf[6 * c + 2:6 * c + 3, 0:1]
-                    mxx = boxf[6 * c + 3:6 * c + 4, 0:1]
-                    mxy = boxf[6 * c + 4:6 * c + 5, 0:1]
-                    mxz = boxf[6 * c + 5:6 * c + 6, 0:1]
-                    tx0 = (mnx - ox) * ix
-                    tx1 = (mxx - ox) * ix
-                    ty0 = (mny - oy) * iy
-                    ty1 = (mxy - oy) * iy
-                    tz0 = (mnz - oz) * iz
-                    tz1 = (mxz - oz) * iz
-                    tn = jnp.maximum(
-                        jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
-                        jnp.minimum(tz0, tz1),
-                    )
-                    tf = jnp.minimum(
-                        jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
-                        jnp.maximum(tz0, tz1),
-                    )
-                    okl = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+                    next_code = jnp.int32(-1)
+                    next_inst = w.inst
+                    sp = w.sp
+                    for c in range(8):
+                        mnx = boxf[6 * c + 0:6 * c + 1, 0:1]
+                        mny = boxf[6 * c + 1:6 * c + 2, 0:1]
+                        mnz = boxf[6 * c + 2:6 * c + 3, 0:1]
+                        mxx = boxf[6 * c + 3:6 * c + 4, 0:1]
+                        mxy = boxf[6 * c + 4:6 * c + 5, 0:1]
+                        mxz = boxf[6 * c + 5:6 * c + 6, 0:1]
+                        tx0 = (mnx - ox) * ix
+                        tx1 = (mxx - ox) * ix
+                        ty0 = (mny - oy) * iy
+                        ty1 = (mxy - oy) * iy
+                        tz0 = (mnz - oz) * iz
+                        tz1 = (mxz - oz) * iz
+                        tn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1), jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1),
+                        )
+                        tf = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1), jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1),
+                        )
+                        okl = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+                        if any_hit:
+                            okl = okl & ~dead
+                        hitk = jnp.any(okl) & is_int
+
+                        e_code, e_inst = child_entry(col[48 + c, 0], col[56 + c, 0])
+                        do_push = hitk & (next_code != -1)
+
+                        @pl.when(do_push)
+                        def _(k=k, sp=sp, next_code=next_code, next_inst=next_inst):
+                            slot = jnp.minimum(sp, STACK_DEPTH - 1)
+                            stack_ref[k, slot, 0] = next_code
+                            stack_ref[k, slot, 1] = next_inst
+
+                        sp = jnp.where(do_push, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+                        next_code = jnp.where(hitk, e_code, next_code)
+                        next_inst = jnp.where(hitk, e_inst, next_inst)
+
+                    was_int = w.node >= 0
+                    node = jnp.where(was_int & ~w.done, next_code, jnp.int32(-1))
+                    inst = jnp.where(was_int & ~w.done, next_inst, w.inst)
+
+                    exhausted = (node == -1) & (sp <= 0)
+                    done = w.done | exhausted
                     if any_hit:
-                        okl = okl & ~dead
-                    hitk = jnp.any(okl) & is_int
+                        done = done | jnp.all(prim_ref[0, sl, :] >= 0)
+                    new_walks.append(w._replace(node=node, inst=inst, sp=sp,
+                                                done=done))
 
-                    e_code, e_inst = child_entry(col[48 + c, 0], col[56 + c, 0])
-                    do_push = hitk & (next_code != -1)
+                return tuple(new_walks), iters + 1
 
-                    @pl.when(do_push)
-                    def _(k=k, sp=sp, next_code=next_code, next_inst=next_inst):
-                        slot = jnp.minimum(sp, STACK_DEPTH - 1)
-                        stack_ref[k, slot, 0] = next_code
-                        stack_ref[k, slot, 1] = next_inst
+            def cond(carry):
+                walks, iters = carry
+                live = walks[0].done & walks[1].done
+                for k in range(2, NSTREAM):
+                    live = live & walks[k].done
+                return (~live) & (iters < KERNEL_MAX_ITERS)
 
-                    sp = jnp.where(do_push, jnp.minimum(sp + 1, STACK_DEPTH), sp)
-                    next_code = jnp.where(hitk, e_code, next_code)
-                    next_inst = jnp.where(hitk, e_inst, next_inst)
+            init = tuple(
+                _Walk(node=jnp.int32(tlas_root), inst=jnp.int32(-1),
+                      cached=jnp.int32(-1), sp=jnp.int32(0),
+                      done=jnp.bool_(False))
+                for _ in range(NSTREAM)
+            )
+            _, final_iters = jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
+            if stats:
+                # debug mode: stamp the program's while-iteration count into
+                # u[program, 0, 0] (u is meaningless in stats runs)
+                u_ref[0, 0:1, 0:1] = jnp.full((1, 1), final_iters, jnp.float32)
 
-                was_int = w.node >= 0
-                node = jnp.where(was_int & ~w.done, next_code, jnp.int32(-1))
-                inst = jnp.where(was_int & ~w.done, next_inst, w.inst)
+        def per_batch(b, _):
+            s = pl.ds(b, 1)
+            tile_walk(o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                      t_ref.at[s], prim_ref.at[s], iout_ref.at[s],
+                      u_ref.at[s], v_ref.at[s])
+            return 0
 
-                exhausted = (node == -1) & (sp <= 0)
-                done = w.done | exhausted
-                if any_hit:
-                    done = done | jnp.all(prim_ref[0, sl, :] >= 0)
-                new_walks.append(w._replace(node=node, inst=inst, sp=sp,
-                                            done=done))
-
-            return tuple(new_walks), iters + 1
-
-        def cond(carry):
-            walks, iters = carry
-            live = walks[0].done & walks[1].done
-            for k in range(2, NSTREAM):
-                live = live & walks[k].done
-            return (~live) & (iters < KERNEL_MAX_ITERS)
-
-        init = tuple(
-            _Walk(node=jnp.int32(tlas_root), inst=jnp.int32(-1),
-                  cached=jnp.int32(-1), sp=jnp.int32(0),
-                  done=jnp.bool_(False))
-            for _ in range(NSTREAM)
-        )
-        _, final_iters = jax.lax.while_loop(cond, body, (init, jnp.int32(0)))
-        if stats:
-            # debug mode: stamp the program's while-iteration count into
-            # u[program, 0, 0] (u is meaningless in stats runs)
-            u_ref[0, 0:1, 0:1] = jnp.full((1, 1), final_iters, jnp.float32)
+        jax.lax.fori_loop(0, batch, per_batch, 0)
 
     return kernel
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("any_hit", "interpret", "stats"),
+    static_argnames=("any_hit", "interpret", "stats", "batch"),
 )
 def _run_arrays(
     meta, scene_t, tri_t, inst_t, root_t, o4, d4, tl3,
     any_hit: bool,
     interpret: bool = False,
     stats: bool = False,
+    batch: int = 1,
 ):
     T = o4.shape[0]
-    kernel = _traverse_kernel_factory(any_hit, stats)
+    assert T % batch == 0
+    kernel = _traverse_kernel_factory(any_hit, stats, batch)
     meta_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    tile3 = pl.BlockSpec((1, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+    tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
-    tile1 = pl.BlockSpec((1, SUB, LANE), lambda i: (i, 0, 0),
+    tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
     out_shapes = (
         jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
@@ -569,7 +596,7 @@ def _run_arrays(
     )
     return pl.pallas_call(
         kernel,
-        grid=(T,),
+        grid=(T // batch,),
         in_specs=[meta_spec] + [scene_spec] * 3 + [smem_spec]
         + [tile3, tile3, tile1],
         out_specs=(tile1, tile1, tile1, tile1, tile1),
@@ -582,12 +609,14 @@ def _run_arrays(
     )(meta, scene_t, tri_t, inst_t, root_t, o4, d4, tl3)
 
 
-#: fixed tiles per pallas_call: the axon AOT compiler stack-allocates the
-#: call's full inputs+outputs in 16MB scoped VMEM alongside the scene
-#: arrays — measured ~250KB per tile (buffering included). 16 tiles (4MB)
-#: + an 11.5MB scene budget keeps the worst case ~15.5MB. Fixed (not
-#: scene-adaptive) so the compiled kernel is shared across scenes.
-CHUNK_TILES = 16
+#: sub-tiles traversed per grid step (the kernel's outer fori_loop). A grid
+#: step costs ~650us fixed for this kernel on the axon stack — the cost
+#: scales with compiled code size (instruction streaming), on a ~100us
+#: pipeline floor measured for trivial kernels with the same operands —
+#: so batching B tiles per step amortizes the dominant cost. 16 tiles of
+#: in+out data = ~850KB/step; double-buffered alongside the 11.5MB scene
+#: budget stays within 16MB scoped VMEM.
+CHUNK_TILES = int(_os.environ.get("RFW_CHUNK_TILES", "16"))
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
@@ -597,37 +626,24 @@ def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
         [[ps.tlas_root, ps.n_tri, ps.n_inst, 0]], jnp.int32
     )
 
-    def call(o4c, d4c, tl3c):
-        return _run_arrays(
-            meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t,
-            o4c, d4c, tl3c,
-            any_hit=any_hit, interpret=interpret, stats=stats,
-        )
-
-    if T <= CHUNK_TILES:
-        return call(o4, d4, tl3)
-    # pad to a multiple of the chunk size, map over chunks, then strip
-    n_chunks = -(-T // CHUNK_TILES)
-    pad = n_chunks * CHUNK_TILES - T
+    # pad to a batch multiple; one pallas_call batches CHUNK_TILES sub-tiles
+    # per grid step
+    batch = min(CHUNK_TILES, T)
+    n_steps = -(-T // batch)
+    pad = n_steps * batch - T
     if pad:
         o4 = jnp.concatenate([o4, jnp.zeros((pad,) + o4.shape[1:], o4.dtype)])
         d4 = jnp.concatenate(
             [d4, jnp.ones((pad,) + d4.shape[1:], d4.dtype)]
         )  # dummy dirs avoid 0-division
         tl3 = jnp.concatenate([tl3, jnp.zeros((pad,) + tl3.shape[1:], tl3.dtype)])
-
-    def chunk_fn(args):
-        return call(*args)
-
-    outs = jax.lax.map(
-        chunk_fn,
-        (
-            o4.reshape(n_chunks, CHUNK_TILES, *o4.shape[1:]),
-            d4.reshape(n_chunks, CHUNK_TILES, *d4.shape[1:]),
-            tl3.reshape(n_chunks, CHUNK_TILES, *tl3.shape[1:]),
-        ),
+    outs = _run_arrays(
+        meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t,
+        o4, d4, tl3,
+        any_hit=any_hit, interpret=interpret, stats=stats, batch=batch,
     )
-    outs = tuple(x.reshape(n_chunks * CHUNK_TILES, *x.shape[2:])[:T] for x in outs)
+    if pad:
+        outs = tuple(x[:T] for x in outs)
     return outs
 
 

@@ -36,6 +36,8 @@ def main():
                     help="also time the any-hit kernel")
     ap.add_argument("--stats", action="store_true",
                     help="also report per-program while-iteration counts")
+    ap.add_argument("--cases", default="coherent,sorted,unsorted",
+                    help="comma list of ray populations to run")
     args = ap.parse_args()
 
     import jax
@@ -84,9 +86,11 @@ def main():
     o_srt = jnp.stack([sox, soy, soz], axis=1)
     d_srt = jnp.stack([sdx, sdy, sdz], axis=1)
 
-    cases = [("coherent", o_coh, d_coh),
-             ("sorted", o_srt, d_srt),
-             ("unsorted", o_inc, d_inc)]
+    wanted = set(args.cases.split(","))
+    cases = [(n, o, d) for n, o, d in
+             [("coherent", o_coh, d_coh),
+              ("sorted", o_srt, d_srt),
+              ("unsorted", o_inc, d_inc)] if n in wanted]
     results = {}
     for name, o, d in cases:
         o = jax.block_until_ready(jnp.asarray(o))
