@@ -199,7 +199,20 @@ def triangle_aabbs(v0: np.ndarray, v1: np.ndarray, v2: np.ndarray) -> Tuple[np.n
 def refit_bvh(bvh: BvhNodes, aabb_min: np.ndarray, aabb_max: np.ndarray) -> BvhNodes:
     """Refit node bounds bottom-up for deformed primitives, keeping topology
     (reference gpu-rt refit_bvh :1345-1384 semantics). Host-side; the device
-    TLAS path uses accel.lbvh instead."""
+    TLAS path uses accel.lbvh instead. Dispatches to the native C++ refit
+    when available (the python reverse loop is the fallback + oracle)."""
+    if bvh.num_nodes > 0 and os.environ.get("RFW_NO_NATIVE") != "1":
+        from rfw_tpu import native
+
+        out = BvhNodes(
+            bvh.node_min.copy(), bvh.node_max.copy(), bvh.node_left,
+            bvh.node_right, bvh.node_count, bvh.prim_order,
+        )
+        if native.refit_bvh_native(
+            out, np.ascontiguousarray(aabb_min, np.float32),
+            np.ascontiguousarray(aabb_max, np.float32),
+        ):
+            return out
     n = bvh.num_nodes
     nmin = bvh.node_min.copy()
     nmax = bvh.node_max.copy()

@@ -22,7 +22,7 @@ from typing import List, NamedTuple, Optional, Sequence, Tuple
 import numpy as np
 
 from rfw_tpu.accel.bvh_cpu import (
-    TREELET, BvhNodes, build_bvh_sah, triangle_aabbs,
+    TREELET, BvhNodes, build_bvh_sah, refit_bvh, triangle_aabbs,
 )
 from rfw_tpu.mathx import Aabb, aabb_transform, inverse_transpose3
 from rfw_tpu.models.mesh3d import Mesh3D
@@ -284,10 +284,17 @@ def pack_trace_scene(
         e1 = pos[i1] - v0
         e2 = pos[i2] - v0
         bvh = prebuilt
-        if bvh is None or slot in deformed_positions:
+        if bvh is not None and slot in deformed_positions:
+            # skinned/deformed mesh with cached topology: REFIT instead of a
+            # full SAH rebuild (reference gpu-rt lib.rs:1345-1384 refits
+            # per-mesh BVHs per frame). Topology comes from the first build;
+            # bounds tighten bottom-up to the new pose.
+            mn, mx = triangle_aabbs(v0, v0 + e1, v0 + e2)
+            bvh = refit_bvh(bvh, mn, mx)
+        elif bvh is None:
             mn, mx = triangle_aabbs(v0, v0 + e1, v0 + e2)
             bvh = build_bvh_sah(mn, mx, max_leaf=TREELET)
-            if built_blas_out is not None and slot not in deformed_positions:
+            if built_blas_out is not None:
                 built_blas_out[slot] = bvh
 
         # TREELET-align leaf triangle ranges (the Pallas kernel fetches a

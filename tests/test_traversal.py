@@ -172,6 +172,56 @@ def test_align_leaf_tris_invariants():
     np.testing.assert_array_equal(padded[gather >= 0], v0[po][valid])
 
 
+def test_refit_pack_matches_rebuild(rng):
+    """A deformed mesh packed via the cached-topology REFIT path (the
+    per-frame skinned path, reference gpu-rt lib.rs:1345-1384) must trace
+    identically to a full SAH rebuild: same hit masks, same t (prim ids may
+    differ — leaf orders diverge)."""
+    from rfw_tpu.render import pack_trace_scene
+
+    mesh = sphere(quality=2)
+    eye = np.eye(4, dtype=np.float32)[None]
+    cache: dict = {}
+    pack_trace_scene([(0, mesh, None)], [(0, eye)], built_blas_out=cache)
+    assert 0 in cache, "first build must cache topology for later refits"
+
+    deformed = (mesh.positions * np.array([1.6, 0.6, 1.2], np.float32)
+                + np.array([0.2, 0.1, 0.0], np.float32))
+    refit_scene = pack_trace_scene(
+        [(0, mesh, cache[0])], [(0, eye)], deformed_positions={0: deformed})
+    rebuild_scene = pack_trace_scene(
+        [(0, mesh, None)], [(0, eye)], deformed_positions={0: deformed})
+
+    o, d = make_rays(512, rng)
+    h_refit = bvh_closest_hit(scene_dev(refit_scene), jnp.asarray(o), jnp.asarray(d))
+    h_re = bvh_closest_hit(scene_dev(rebuild_scene), jnp.asarray(o), jnp.asarray(d))
+    m1 = np.asarray(h_refit.prim) >= 0
+    m2 = np.asarray(h_re.prim) >= 0
+    assert (m1 == m2).all()
+    np.testing.assert_allclose(
+        np.asarray(h_refit.t)[m1], np.asarray(h_re.t)[m1], rtol=1e-4, atol=1e-5)
+
+
+def test_refit_native_matches_python(rng):
+    """Native C++ refit and the python reverse-order loop agree bitwise-ish."""
+    import os
+
+    mesh = sphere(quality=2)
+    v = mesh.tri_vertices()
+    mn, mx = triangle_aabbs(v[:, 0], v[:, 1], v[:, 2])
+    bvh = build_bvh_sah(mn, mx)
+    v2 = v * np.array([2.0, 0.5, 1.3], np.float32)
+    mn2, mx2 = triangle_aabbs(v2[:, 0], v2[:, 1], v2[:, 2])
+    r_native = refit_bvh(bvh, mn2, mx2)
+    os.environ["RFW_NO_NATIVE"] = "1"
+    try:
+        r_py = refit_bvh(bvh, mn2, mx2)
+    finally:
+        del os.environ["RFW_NO_NATIVE"]
+    np.testing.assert_allclose(r_native.node_min, r_py.node_min, atol=1e-6)
+    np.testing.assert_allclose(r_native.node_max, r_py.node_max, atol=1e-6)
+
+
 def test_empty_bvh_is_unhittable():
     """A 0-primitive build must encode an inverted (unhittable) box, not a
     self-referential internal node at a point box — a ray through that point
