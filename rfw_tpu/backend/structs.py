@@ -62,6 +62,7 @@ class MeshView3D:
     aabb_min: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     aabb_max: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     name: str = ""
+    morph_targets: Optional[np.ndarray] = None  # (K,V,3) f32 position deltas
 
     @property
     def num_vertices(self) -> int:
@@ -75,6 +76,10 @@ class MeshView3D:
     def has_skin(self) -> bool:
         return self.joints is not None and self.weights is not None
 
+    @property
+    def has_morphs(self) -> bool:
+        return self.morph_targets is not None and len(self.morph_targets) > 0
+
     def validate(self) -> "MeshView3D":
         _check(self.positions, (3,), np.float32, "positions")
         _check(self.normals, (3,), np.float32, "normals")
@@ -87,6 +92,10 @@ class MeshView3D:
         if self.has_skin:
             _check(self.joints, (4,), np.int32, "joints")
             _check(self.weights, (4,), np.float32, "weights")
+        if self.has_morphs:
+            if (self.morph_targets.dtype != np.float32
+                    or self.morph_targets.shape[1:] != self.positions.shape):
+                raise TypeError("morph_targets must be (K,V,3) float32")
         return self
 
 
@@ -122,6 +131,8 @@ class InstancesView3D:
     changed: np.ndarray  # (I,) bool
     local_aabb_min: np.ndarray  # (3,) f32 — the mesh AABB, for TLAS refit
     local_aabb_max: np.ndarray  # (3,) f32
+    morph_weights: Optional[np.ndarray] = None  # (I,K) f32 per-instance
+    #   morph-target weights (glTF node weights), None when the mesh has none
 
     @property
     def count(self) -> int:

@@ -226,6 +226,10 @@ def _load_mesh(g: _Gltf, gmesh: dict, mat_map: List[int]) -> Mesh3D:
     all_pos, all_nrm, all_uv, all_idx, all_mat = [], [], [], [], []
     all_joints, all_weights = [], []
     any_skin = any("JOINTS_0" in p.get("attributes", {}) for p in gmesh["primitives"])
+    n_targets = max(
+        (len(p.get("targets", [])) for p in gmesh["primitives"]), default=0
+    )
+    all_targets = [[] for _ in range(n_targets)]  # per target: per-prim deltas
     vbase = 0
     for prim in gmesh["primitives"]:
         if prim.get("mode", 4) != 4:
@@ -254,6 +258,13 @@ def _load_mesh(g: _Gltf, gmesh: dict, mat_map: List[int]) -> Mesh3D:
         all_uv.append(uv)
         all_idx.append(idx + vbase)
         all_mat.append(np.full(idx.shape[0], mat, np.int32))
+        for k in range(n_targets):
+            tgs = prim.get("targets", [])
+            if k < len(tgs) and "POSITION" in tgs[k]:
+                all_targets[k].append(
+                    g.accessor(tgs[k]["POSITION"]).astype(np.float32))
+            else:
+                all_targets[k].append(np.zeros((n, 3), np.float32))
         if any_skin:
             if "JOINTS_0" in attrs:
                 all_joints.append(g.accessor(attrs["JOINTS_0"]).astype(np.int32))
@@ -275,7 +286,12 @@ def _load_mesh(g: _Gltf, gmesh: dict, mat_map: List[int]) -> Mesh3D:
         weights = np.concatenate(all_weights)
         wsum = weights.sum(axis=-1, keepdims=True)
         weights = np.where(wsum > 0, weights / np.maximum(wsum, 1e-8), weights)
-    return build_mesh3d(
+    morph_targets = None
+    if n_targets:
+        morph_targets = np.stack(
+            [np.concatenate(chunks) for chunks in all_targets]
+        ).astype(np.float32)  # (K,V,3) position deltas
+    mesh = build_mesh3d(
         pos,
         np.concatenate(all_idx).astype(np.int32),
         normals=nrm if has_normals else None,
@@ -284,7 +300,9 @@ def _load_mesh(g: _Gltf, gmesh: dict, mat_map: List[int]) -> Mesh3D:
         joints=joints,
         weights=weights,
         name=gmesh.get("name", ""),
+        morph_targets=morph_targets,
     )
+    return mesh
 
 
 class GltfLoader:
@@ -312,6 +330,9 @@ class GltfLoader:
             nd.skin_id = gn.get("skin", -1)
             nd.children = list(gn.get("children", []))
             nd.weights = list(gn.get("weights", []))
+            if not nd.weights and "mesh" in gn:
+                # glTF: node weights override the mesh's default weights
+                nd.weights = list(g.json["meshes"][gn["mesh"]].get("weights", []))
             nodes.append(nd)
 
         scene_idx = g.json.get("scene", 0)

@@ -96,6 +96,9 @@ class Mesh3D:
     aabb_min: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     aabb_max: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     name: str = ""
+    #: (K,V,3) per-target position deltas (glTF morph targets; reference
+    #: carries node weights, rfw-scene/src/graph/mod.rs:100-114)
+    morph_targets: Optional[np.ndarray] = None
 
     @property
     def num_triangles(self) -> int:
@@ -108,6 +111,10 @@ class Mesh3D:
     @property
     def has_skin(self) -> bool:
         return self.joints is not None
+
+    @property
+    def has_morphs(self) -> bool:
+        return self.morph_targets is not None and len(self.morph_targets) > 0
 
     def view(self) -> MeshView3D:
         return MeshView3D(
@@ -124,6 +131,7 @@ class Mesh3D:
             aabb_min=self.aabb_min,
             aabb_max=self.aabb_max,
             name=self.name,
+            morph_targets=self.morph_targets,
         ).validate()
 
     # Triangle corner getters used by BVH build / light extraction.
@@ -156,6 +164,7 @@ def build_mesh3d(
     joints: Optional[np.ndarray] = None,
     weights: Optional[np.ndarray] = None,
     name: str = "",
+    morph_targets: Optional[np.ndarray] = None,
 ) -> Mesh3D:
     """Construct a Mesh3D, deriving missing attributes (reference Mesh3D::new).
 
@@ -216,4 +225,6 @@ def build_mesh3d(
         aabb_min=aabb_min.astype(np.float32),
         aabb_max=aabb_max.astype(np.float32),
         name=name,
+        morph_targets=(None if morph_targets is None
+                       else np.ascontiguousarray(morph_targets, np.float32)),
     )

@@ -213,10 +213,15 @@ class CpuReferenceBackend:
                 continue
             mv = self._meshes[slot]
             pos = mv.positions
+            if mv.has_morphs and iv.morph_weights is not None and iv.morph_weights.shape[0]:
+                w = iv.morph_weights[0, : mv.morph_targets.shape[0]]
+                if np.any(w):  # glTF: morphs before the skin
+                    pos = pos + np.einsum("k,kvc->vc", w, mv.morph_targets)
             if mv.has_skin and self.settings.enable_skinning:
                 sid = int(iv.skin_ids[0]) if len(iv.skin_ids) else -1
                 if sid >= 0 and sid in self._skins:
-                    pos = apply_skin(mv, self._skins[sid].joint_matrices)
+                    pos = apply_skin(mv, self._skins[sid].joint_matrices,
+                                     positions=pos)
             idx = mv.indices
             p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
             n0, n1, n2 = (mv.normals[idx[:, k]] for k in range(3))

@@ -82,14 +82,16 @@ def _mesh_from_view(v: MeshView3D) -> Mesh3D:
     )
 
 
-def apply_skin(mesh: MeshView3D, joint_matrices: np.ndarray) -> np.ndarray:
+def apply_skin(mesh: MeshView3D, joint_matrices: np.ndarray,
+               positions: Optional[np.ndarray] = None) -> np.ndarray:
     """CPU linear-blend skinning -> deformed positions (reference
     SkinnedMesh3D::apply, rfw-backend/src/structs.rs:785-877; one einsum
-    replaces the rayon par_iter)."""
+    replaces the rayon par_iter). `positions` overrides the rest pose
+    (glTF order: morph targets apply BEFORE the skin)."""
     jm = joint_matrices[mesh.joints]  # (V,4,4,4)
     w = mesh.weights  # (V,4)
     blended = np.einsum("vj,vjab->vab", w, jm)  # (V,4,4)
-    p = mesh.positions
+    p = mesh.positions if positions is None else positions
     return (
         np.einsum("vab,vb->va", blended[:, :3, :3], p) + blended[:, :3, 3]
     ).astype(np.float32)
@@ -174,9 +176,15 @@ class TpuBackend:
     def set_3d_instances(self, changed: Sequence[Tuple[int, InstancesView3D]]) -> None:
         for i, v in changed:
             known = i in self._instances
-            same_count = known and self._instances[i].count == v.count
+            prev = self._instances.get(i)
+            same_count = known and prev.count == v.count
+            morphed = not _same_morphs(
+                None if prev is None else prev.morph_weights, v.morph_weights
+            )
             self._instances[i] = v
-            if same_count:
+            if morphed:
+                self._geo_dirty = True  # weights deform geometry -> re-pack
+            elif same_count:
                 self._inst_dirty = True  # motion only -> TLAS/instance repack
             else:
                 self._geo_dirty = True
@@ -426,6 +434,14 @@ class TpuBackend:
         deformed: Dict[int, np.ndarray] = {}
         meshes = []
         for slot, mv in self._meshes.items():
+            pos = None
+            if mv.has_morphs and slot in self._instances:
+                mw = self._instances[slot].morph_weights
+                if mw is not None and mw.shape[0]:
+                    w = mw[0, : mv.morph_targets.shape[0]]
+                    if np.any(w):  # glTF: morphs apply before the skin
+                        pos = (mv.positions
+                               + np.einsum("k,kvc->vc", w, mv.morph_targets))
             if (
                 self.settings.enable_skinning
                 and mv.has_skin
@@ -434,7 +450,10 @@ class TpuBackend:
                 skin_ids = self._instances[slot].skin_ids
                 sid = int(skin_ids[0]) if len(skin_ids) else -1
                 if sid >= 0 and sid in self._skins:
-                    deformed[slot] = apply_skin(mv, self._skins[sid].joint_matrices)
+                    pos = apply_skin(mv, self._skins[sid].joint_matrices,
+                                     positions=pos)
+            if pos is not None:
+                deformed[slot] = pos.astype(np.float32)
             blas = self._blas_cache.get(slot)
             meshes.append((slot, _mesh_from_view(mv), blas))
 
@@ -499,6 +518,16 @@ class TpuBackend:
              np.full((H, W, 1), 255, np.uint8)], axis=-1
         )
         return rgba
+
+
+def _same_morphs(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> bool:
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        # treat all-zero weights as equivalent to absent
+        other = b if a is None else a
+        return not np.any(other)
+    return a.shape == b.shape and np.array_equal(a, b)
 
 
 def _default_materials() -> DeviceMaterials:

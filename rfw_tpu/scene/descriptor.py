@@ -57,7 +57,7 @@ class NodeDescriptor:
     matrix: Optional[np.ndarray] = None  # explicit local matrix overrides TRS
     mesh_ids: List[int] = field(default_factory=list)  # indices into SceneDescriptor.meshes
     skin_id: int = -1  # index into SceneDescriptor.skins
-    weights: List[float] = field(default_factory=list)  # morph weights (carried, not evaluated)
+    weights: List[float] = field(default_factory=list)  # morph-target weights
     children: List[int] = field(default_factory=list)
 
 

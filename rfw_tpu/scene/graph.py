@@ -118,6 +118,8 @@ class NodeGraph:
                 self.matrix_override[i] = nd.matrix
                 self.has_override[i] = True
             self.names.append(nd.name)
+            if getattr(nd, "weights", None):
+                self.morph_weights[i] = np.asarray(nd.weights, np.float32)
             for c in nd.children:
                 self.parent[c] = i
 
@@ -194,8 +196,11 @@ class NodeGraph:
 
         # instances
         for node, handles in self.instance_handles.items():
+            mw = self.morph_weights.get(node)
             for h in handles:
                 h.set_matrix(combined[node])
+                if mw is not None:
+                    h.set_morph_weights(mw)
 
         # skins: joint = inv(mesh_node_combined) @ joint_combined @ ibm —
         # we use the convention that skinned vertices are expressed in the

@@ -32,6 +32,7 @@ class InstanceList3D:
         self.skin_ids = np.zeros(0, np.int32)
         self.active = np.zeros(0, bool)
         self.changed = np.zeros(0, bool)
+        self.morph_weights: Optional[np.ndarray] = None  # (cap,K) lazily
         self._free: List[int] = []
         self.any_changed = False
 
@@ -51,6 +52,11 @@ class InstanceList3D:
         self.skin_ids = np.concatenate([self.skin_ids, np.full(new_cap - cap, -1, np.int32)])
         self.active = np.concatenate([self.active, np.zeros(new_cap - cap, bool)])
         self.changed = np.concatenate([self.changed, np.zeros(new_cap - cap, bool)])
+        if self.morph_weights is not None:
+            self.morph_weights = np.concatenate(
+                [self.morph_weights,
+                 np.zeros((new_cap - cap, self.morph_weights.shape[1]), np.float32)]
+            )
         self._free.extend(range(new_cap - 1, cap - 1, -1))
 
     def allocate(self) -> "InstanceHandle3D":
@@ -82,6 +88,19 @@ class InstanceList3D:
         self.changed[idx] = True
         self.any_changed = True
 
+    def set_morph_weights(self, idx: int, w: np.ndarray) -> None:
+        w = np.asarray(w, np.float32).reshape(-1)
+        if self.morph_weights is None or self.morph_weights.shape[1] < w.shape[0]:
+            mw = np.zeros((self.capacity, w.shape[0]), np.float32)
+            if self.morph_weights is not None:
+                mw[:, : self.morph_weights.shape[1]] = self.morph_weights
+            self.morph_weights = mw
+        if np.array_equal(self.morph_weights[idx, : w.shape[0]], w):
+            return
+        self.morph_weights[idx, : w.shape[0]] = w
+        self.changed[idx] = True
+        self.any_changed = True
+
     def active_matrices(self) -> np.ndarray:
         return self.matrices[self.active]
 
@@ -94,6 +113,8 @@ class InstanceList3D:
             changed=np.ascontiguousarray(self.changed[sel]),
             local_aabb_min=np.asarray(local_aabb_min, np.float32),
             local_aabb_max=np.asarray(local_aabb_max, np.float32),
+            morph_weights=(None if self.morph_weights is None
+                           else np.ascontiguousarray(self.morph_weights[sel])),
         )
 
     def reset_changed(self) -> None:
@@ -110,6 +131,10 @@ class InstanceHandle3D:
 
     def set_matrix(self, matrix: np.ndarray) -> "InstanceHandle3D":
         self._list.set_matrix(self.index, np.asarray(matrix, np.float32))
+        return self
+
+    def set_morph_weights(self, w: np.ndarray) -> "InstanceHandle3D":
+        self._list.set_morph_weights(self.index, w)
         return self
 
     def set_trs(self, translation, rotation, scale) -> "InstanceHandle3D":

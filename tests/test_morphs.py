@@ -1,0 +1,185 @@
+"""Morph targets: glTF weights deform geometry end-to-end (VERDICT round-1
+missing item: weights channels were sampled into morph_weights that nothing
+consumed; reference carries node weights, rfw-scene/src/graph/mod.rs:100-114
+and l3d applies POSITION deltas)."""
+
+import base64
+
+import numpy as np
+
+from rfw_tpu.backend.contract import RenderMode
+from rfw_tpu.models import quad3d
+from rfw_tpu.models.mesh3d import build_mesh3d
+from rfw_tpu.render.cpu_reference import CpuReferenceBackend
+from rfw_tpu.render.tpu_backend import TpuBackend, TpuSettings
+from rfw_tpu.scene import Scene
+from rfw_tpu.scene.camera import Camera3D
+from rfw_tpu.scene.descriptor import (
+    AnimChannelDescriptor,
+    AnimationDescriptor,
+    NodeDescriptor,
+    SceneDescriptor,
+)
+
+from tests.test_reference_backend import rmse, sync_full
+
+
+def _morph_quad():
+    """A z=0 quad with one morph target that lifts every vertex +1 z."""
+    q = quad3d(normal=(0, 0, 1), position=(0, 0, 0), width=2, height=2)
+    target = np.zeros((1, q.num_vertices, 3), np.float32)
+    target[0, :, 2] = 1.0
+    return build_mesh3d(q.positions, q.indices, normals=q.normals,
+                        uvs=q.uvs, morph_targets=target, name="mq")
+
+
+CAM = Camera3D(fov=45).look_at(np.array([0, 0, 4.0], np.float32),
+                               np.zeros(3, np.float32))
+
+
+def _center_depth(backend, scene) -> float:
+    sync_full(scene, backend)
+    view = CAM.get_view(32, 32)
+    g = backend.render(None, view, RenderMode.GBUFFER)
+    return float(g[14:18, 14:18, 0].mean())
+
+
+class TestBackendMorphs:
+    def test_weights_deform_geometry(self):
+        scene = Scene()
+        mid = scene.add_3d_object(_morph_quad())
+        h = scene.add_3d_instance(mid)
+
+        settings = TpuSettings(samples_per_frame=1, max_bounces=0,
+                               pixel_center=True)
+        bt = TpuBackend(32, 32, settings)
+        view = CAM.get_view(32, 32)
+
+        sync_full(scene, bt)
+        base = bt.render(None, view, RenderMode.GBUFFER).copy()
+        d0 = np.asarray(bt._scene_host.tri_v0).copy()
+
+        h.set_morph_weights(np.array([1.0], np.float32))
+        sync_full(scene, bt)
+        morphed = bt.render(None, view, RenderMode.GBUFFER)
+        d1 = np.asarray(bt._scene_host.tri_v0)
+        # geometry moved +1 z for every (non-filler) triangle vertex
+        moved = np.abs(d1[:, 2] - d0[:, 2])
+        real = np.abs(d0).sum(-1) > 0
+        np.testing.assert_allclose(moved[real], 1.0, atol=1e-6)
+        assert not np.array_equal(base, morphed)
+
+        # half weight -> halfway
+        h.set_morph_weights(np.array([0.5], np.float32))
+        sync_full(scene, bt)
+        d_half = np.asarray(bt._scene_host.tri_v0)
+        np.testing.assert_allclose(
+            (d_half[:, 2] - d0[:, 2])[real], 0.5, atol=1e-6)
+
+    def test_oracle_parity_with_morphs(self):
+        scene = Scene()
+        mid = scene.add_3d_object(_morph_quad())
+        scene.add_3d_instance(mid).set_morph_weights(
+            np.array([0.7], np.float32))
+        settings = TpuSettings(samples_per_frame=1, max_bounces=0,
+                               pixel_center=True)
+        bt = TpuBackend(48, 48, settings)
+        bc = CpuReferenceBackend(48, 48, settings)
+        sync_full(scene, bt)
+        sync_full(scene, bc)
+        view = CAM.get_view(48, 48)
+        for mode in (RenderMode.NORMAL, RenderMode.GBUFFER):
+            e = rmse(bt.render(None, view, mode), bc.render(None, view, mode))
+            assert e <= 1e-3, f"{mode}: {e}"
+
+
+class TestGraphMorphs:
+    def test_weights_animation_drives_instances(self):
+        mesh = _morph_quad()
+        desc = SceneDescriptor(
+            name="morphanim",
+            meshes=[mesh],
+            nodes=[NodeDescriptor(name="n0", mesh_ids=[0])],
+            roots=[0],
+            animations=[AnimationDescriptor(name="a", channels=[
+                AnimChannelDescriptor(
+                    node=0, path="weights",
+                    times=np.array([0.0, 1.0], np.float32),
+                    values=np.array([[0.0], [1.0]], np.float32),
+                )
+            ])],
+        )
+        scene = Scene()
+        scene.add_3d(desc)
+
+        settings = TpuSettings(samples_per_frame=1, max_bounces=0,
+                               pixel_center=True)
+        bt = TpuBackend(32, 32, settings)
+
+        scene.set_animations_time(0.0)
+        sync_full(scene, bt)
+        d0 = np.asarray(bt._scene_host.tri_v0).copy()
+        real = np.abs(d0).sum(-1) > 0
+
+        scene.set_animations_time(0.5)
+        sync_full(scene, bt)
+        d_half = np.asarray(bt._scene_host.tri_v0)
+        np.testing.assert_allclose(
+            (d_half[:, 2] - d0[:, 2])[real], 0.5, atol=1e-4)
+
+
+class TestGltfMorphLoading:
+    def test_targets_and_default_weights_parse(self, tmp_path):
+        """Minimal synthesized glTF: one triangle, one POSITION morph
+        target, mesh-level default weights."""
+        pos = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0]], np.float32)
+        delta = np.array([[0, 0, 1], [0, 0, 1], [0, 0, 1]], np.float32)
+        idx = np.array([0, 1, 2], np.uint16)
+        buf = pos.tobytes() + delta.tobytes() + idx.tobytes() + b"\x00\x00"
+        doc = {
+            "asset": {"version": "2.0"},
+            "buffers": [{
+                "uri": "data:application/octet-stream;base64,"
+                       + base64.b64encode(buf).decode(),
+                "byteLength": len(buf),
+            }],
+            "bufferViews": [
+                {"buffer": 0, "byteOffset": 0, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 36, "byteLength": 36},
+                {"buffer": 0, "byteOffset": 72, "byteLength": 6},
+            ],
+            "accessors": [
+                {"bufferView": 0, "componentType": 5126, "count": 3,
+                 "type": "VEC3", "min": [0, 0, 0], "max": [1, 1, 0]},
+                {"bufferView": 1, "componentType": 5126, "count": 3,
+                 "type": "VEC3"},
+                {"bufferView": 2, "componentType": 5123, "count": 3,
+                 "type": "SCALAR"},
+            ],
+            "meshes": [{
+                "name": "tri",
+                "weights": [0.25],
+                "primitives": [{
+                    "attributes": {"POSITION": 0},
+                    "indices": 2,
+                    "targets": [{"POSITION": 1}],
+                }],
+            }],
+            "nodes": [{"mesh": 0, "name": "n"}],
+            "scenes": [{"nodes": [0]}],
+            "scene": 0,
+        }
+        import json
+
+        path = tmp_path / "morph.gltf"
+        path.write_text(json.dumps(doc))
+
+        from rfw_tpu.loaders.gltf import GltfLoader
+        from rfw_tpu.scene.materials import Materials
+
+        desc = GltfLoader().load(str(path), Materials())
+        mesh = desc.meshes[0]
+        assert mesh.has_morphs and mesh.morph_targets.shape == (1, 3, 3)
+        np.testing.assert_allclose(mesh.morph_targets[0, :, 2], 1.0)
+        # node inherited the mesh default weights
+        assert desc.nodes[0].weights == [0.25]
