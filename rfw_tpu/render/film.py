@@ -31,7 +31,7 @@ def _aces(x: jax.Array) -> jax.Array:
     return jnp.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
-@functools.partial(jax.jit, static_argnames=("width", "height", "mode"))
+@functools.partial(jax.jit, static_argnames=("width", "height", "mode", "fxaa"))
 def tonemap(
     accum: jax.Array,
     spp: jax.Array,
@@ -39,8 +39,10 @@ def tonemap(
     height: int,
     exposure: float = 1.0,
     mode: str = "aces",
+    fxaa: bool = False,
 ) -> jax.Array:
-    """(H*W,3) accumulator -> (H,W,4) uint8 sRGB frame."""
+    """(H*W,3) accumulator -> (H,W,4) uint8 sRGB frame. fxaa=True runs the
+    FXAA post-pass on the encoded frame (reference deferred_fxaa.frag)."""
     c = accum / jnp.maximum(spp, 1.0) * exposure
     if mode == "aces":
         c = _aces(c)
@@ -50,7 +52,12 @@ def tonemap(
         c = jnp.clip(c, 0.0, 1.0)
     # sRGB encode
     c = jnp.where(c <= 0.0031308, 12.92 * c, 1.055 * jnp.power(c, 1.0 / 2.4) - 0.055)
-    rgb = (jnp.clip(c, 0.0, 1.0) * 255.0 + 0.5).astype(jnp.uint8).reshape(height, width, 3)
+    c = jnp.clip(c, 0.0, 1.0)
+    if fxaa:
+        from rfw_tpu.render.fxaa import fxaa as _fxaa
+
+        c = _fxaa(c.reshape(height, width, 3)).reshape(-1, 3)
+    rgb = (c * 255.0 + 0.5).astype(jnp.uint8).reshape(height, width, 3)
     alpha = jnp.full((height, width, 1), 255, jnp.uint8)
     return jnp.concatenate([rgb, alpha], axis=-1)
 

@@ -69,6 +69,8 @@ class TpuSettings:
     tonemap: str = "aces"
     enable_skinning: bool = True
     sampler: str = "sobol"  # "sobol" (low-discrepancy) | "random"
+    fxaa: bool = False  # FXAA post-pass on the tonemapped frame (reference
+    #   deferred_fxaa.frag)
     pixel_center: bool = False  # deterministic pixel-center primaries (for
     #   AOV parity tests against CpuReferenceBackend)
 
@@ -390,6 +392,7 @@ class TpuBackend:
                 film_mod.tonemap(
                     self._film, jnp.float32(self._spp), self.width, self.height,
                     exposure=self.settings.exposure, mode=self.settings.tonemap,
+                    fxaa=self.settings.fxaa,
                 )
             )
 
