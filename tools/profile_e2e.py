@@ -1,0 +1,157 @@
+"""Per-stage honest timing of the integrator on the bench scene.
+
+Times each stage of render_sample as an isolated jitted function on
+realistic data (bench config geometry, real hits), min-of-N with
+np.asarray timing. The sum won't equal the fused end-to-end (XLA fuses
+some of this), but the ranking tells us what to attack.
+
+Usage: python tools/profile_e2e.py [--width 960 --height 544 --reps 3]
+"""
+
+from __future__ import annotations
+
+import argparse
+import functools
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--width", type=int, default=960)
+    ap.add_argument("--height", type=int, default=544)
+    ap.add_argument("--reps", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from bench import build_scene
+    from rfw_tpu.accel.lbvh import morton_codes
+    from rfw_tpu.ops.traverse import (
+        pallas_closest_hit, pallas_occluded, prepare_pallas_scene,
+    )
+    from rfw_tpu.render import disney
+    from rfw_tpu.render.wavefront import (
+        RenderConfig, SampleResult, _block_swizzle, _fetch_material,
+        _sample_light, _shading_basis, camera_rays, render_sample,
+    )
+
+    W, H = args.width, args.height
+    R = W * H
+    sdev, dmats, atlas, dlights, view = build_scene(W, H)
+    ps = jax.jit(prepare_pallas_scene)(sdev)
+    jax.block_until_ready(ps.tri_t)
+
+    key = jax.random.PRNGKey(3)
+    px, py, _ = _block_swizzle(W, H, 1024)
+    o, d = camera_rays(view, W, H, key, (px, py))
+    hit = pallas_closest_hit(ps, o, d)
+    hit = jax.tree.map(jnp.asarray, hit)
+
+    def timeit(name, fn, *a, **kw):
+        out = fn(*a, **kw)
+        np.asarray(jax.tree.leaves(out)[0])
+        best = np.inf
+        for _ in range(args.reps):
+            t0 = time.perf_counter()
+            out = fn(*a, **kw)
+            np.asarray(jax.tree.leaves(out)[0])
+            best = min(best, time.perf_counter() - t0)
+        print(f"{name:28s} {best*1e3:9.1f} ms", file=sys.stderr)
+        return best
+
+    results = {}
+
+    # full end-to-end single sample
+    cfg = RenderConfig(max_bounces=1, clamp=100.0, sampler="sobol")
+    results["render_sample(1b)"] = timeit(
+        "render_sample 1-bounce", lambda: render_sample(
+            sdev, dmats, atlas, dlights, view, key, W, H, cfg,
+            sample_index=jnp.uint32(1)))
+
+    # primary trace (coherent)
+    results["trace_primary"] = timeit(
+        "trace closest (coherent)", lambda: pallas_closest_hit(ps, o, d))
+
+    # shadow trace from first hits toward a fixed point (anyhit)
+    pos = o + jnp.where(hit.prim >= 0, hit.t, 1.0)[:, None] * d
+    wi = jnp.array([0.3, 0.9, 0.3], jnp.float32)[None]
+    wi = jnp.broadcast_to(wi / jnp.linalg.norm(wi), (R, 3))
+    results["trace_occluded"] = timeit(
+        "trace occluded (anyhit)", lambda: pallas_occluded(
+            ps, pos + wi * 1e-3, wi, 10.0))
+
+    # the 9-operand sort + unsort pair
+    @jax.jit
+    def sort_block(o, d, lim):
+        octant = ((d[:, 0] >= 0).astype(jnp.int32)
+                  + 2 * (d[:, 1] >= 0).astype(jnp.int32)
+                  + 4 * (d[:, 2] >= 0).astype(jnp.int32))
+        cell = morton_codes(o, sdev.tlas_min[0], sdev.tlas_max[0]).astype(jnp.int32)
+        k = octant * (1 << 27) + (cell >> 5)
+        ids = jnp.arange(k.shape[0], dtype=jnp.int32)
+        (_, ox, oy, oz, dx, dy, dz, tl, sid) = jax.lax.sort(
+            (k, o[:, 0], o[:, 1], o[:, 2], d[:, 0], d[:, 1], d[:, 2],
+             lim, ids), num_keys=1)
+        (_, t2, p2, i2, u2, v2) = jax.lax.sort(
+            (sid, ox, oy, oz, dx, dy), num_keys=1)
+        return t2
+
+    results["sort_pair"] = timeit(
+        "sort 9-op + unsort 6-op", lambda: sort_block(
+            pos, d, jnp.ones(R)))
+
+    # shading basis (vertex-attribute gathers)
+    @functools.partial(jax.jit)
+    def basis_fn(hit, d):
+        return _shading_basis(sdev, hit, d)
+
+    results["shading_basis"] = timeit(
+        "shading basis (gathers)", lambda: basis_fn(hit, d))
+
+    # material fetch + atlas sampling
+    @jax.jit
+    def mat_fn(hit):
+        basis = _shading_basis(sdev, hit, d)
+        lod = jnp.zeros(R)
+        return _fetch_material(
+            dmats, atlas, sdev, jnp.maximum(hit.prim, 0), basis["uv"], lod,
+            basis["entering"])[0].base_color
+
+    results["material+atlas"] = timeit(
+        "material fetch + atlas", lambda: mat_fn(hit))
+
+    # light sampling + disney eval/pdf/sample
+    @jax.jit
+    def shade_fn(hit, d):
+        basis = _shading_basis(sdev, hit, d)
+        lod = jnp.zeros(R)
+        params, emission, n_ts, _, _ = _fetch_material(
+            dmats, atlas, sdev, jnp.maximum(hit.prim, 0), basis["uv"], lod,
+            basis["entering"])
+        ns = basis["ns"]
+        pos = jnp.zeros((R, 3))
+        u = jax.random.uniform(key, (R, 3))
+        wi_l, dist_l, rad, is_delta, pdf_sa = _sample_light(dlights, pos, u)
+        wo = disney.to_local(basis["tan"], basis["bitan"], ns, -d)
+        wi_local = disney.to_local(basis["tan"], basis["bitan"], ns, wi_l)
+        f = disney.disney_eval(params, wo, wi_local)
+        pdf = disney.disney_pdf(params, wo, wi_local)
+        wi_b, f_b, pdf_b, delta = disney.disney_sample(params, wo, u)
+        return f + f_b + pdf[:, None] + pdf_b[:, None]
+
+    results["light+disney"] = timeit(
+        "light sample + disney", lambda: shade_fn(hit, d))
+
+    import json
+    print(json.dumps({k: round(v * 1e3, 1) for k, v in results.items()}))
+
+
+if __name__ == "__main__":
+    main()
