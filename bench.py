@@ -134,10 +134,15 @@ def main():
         )
         film = add_sample(film, r.radiance)
     # NOTE: jax.block_until_ready does NOT reliably block over the axon
-    # TPU tunnel (returns before device execution completes) — force a
-    # device->host copy so dt measures real compute, not dispatch
-    film = np.asarray(film)
+    # TPU tunnel (returns before device execution completes) — the only
+    # honest clock stop is a forced device->host copy. BUT the tunnel
+    # moves ~26-60 MB/s: pulling the 25MB f32 film would add ~0.5-1s of
+    # pure TRANSFER (a dev-tunnel artifact, not rendering). A device-side
+    # scalar reduction depends on every sample, so materializing its 4
+    # bytes blocks on the full render without the transfer tax.
+    np.asarray(jnp.sum(film))
     dt = time.perf_counter() - t0
+    film = np.asarray(film)  # untimed: for --save
 
     # rays per sample: closest+shadow at each of (bounces+1) path vertices
     rays_per_px = 2 * (args.bounces + 1)

@@ -66,17 +66,25 @@ def main(argv=None):
     ball = sphere(quality=2, radius=0.25, material_id=metal)
     ball_id = scene.add_3d_object(ball)
 
+    # sphere grid as ECS entities: each sphere is an entity with a
+    # base-position component + a bounce phase; the update system below
+    # queries the batch and computes all matrices in one vectorized pass
+    # (reference expresses this as bevy par_for_each_mut,
+    # examples/animated/src/main.rs:197-219)
     n = args.grid
     handles = []
-    base_pos = []
     for ix in range(n):
         for iz in range(n):
             x = (ix - n / 2) * 0.8
             z = (iz - n / 2) * 0.8
             h = scene.add_3d_instance(ball_id)
+            app.world.spawn(
+                base_xz=np.array([x, z], np.float32),
+                phase=np.float32(0.3 * (x + z)),
+                handle_idx=np.int64(len(handles)),
+            )
             handles.append(h)
-            base_pos.append((x, z))
-    print(f"{len(handles)} sphere instances")
+    print(f"{len(handles)} sphere instances (ECS entities)")
 
     # skinned characters
     cesium = scene.load(f"{ASSETS}/CesiumMan/CesiumMan.gltf")
@@ -110,10 +118,15 @@ def main(argv=None):
     # ---- systems ---------------------------------------------------------
     def bounce_spheres(world):
         t = world.get(GameTimer).elapsed
-        for i, h in enumerate(handles):
-            x, z = base_pos[i]
-            y = 0.3 + abs(np.sin(t * 2.0 + 0.3 * (x + z)))
-            h.set_trs((x, y, z), (0, 0, 0, 1), (1, 1, 1))
+        batch = world.query("base_xz", "phase", "handle_idx")
+        xz = batch.col("base_xz")  # (N,2) — whole grid in one expression
+        y = 0.3 + np.abs(np.sin(t * 2.0 + batch.col("phase")))
+        mats = np.tile(np.eye(4, dtype=np.float32), (len(batch), 1, 1))
+        mats[:, 0, 3] = xz[:, 0]
+        mats[:, 1, 3] = y
+        mats[:, 2, 3] = xz[:, 1]
+        for idx, m in zip(batch.col("handle_idx"), mats):
+            handles[int(idx)].set_matrix(m)
 
     def animate(world):
         t = world.get(GameTimer).elapsed

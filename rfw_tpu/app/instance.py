@@ -14,8 +14,9 @@ reference's RenderSystem plugin (rfw/src/system/mod.rs:238-242).
 
 from __future__ import annotations
 
+import enum
 import os
-from typing import Callable, List, Optional, Protocol
+from typing import Callable, List, Optional, Protocol, Union
 
 import numpy as np
 
@@ -29,6 +30,29 @@ from rfw_tpu.scene.scene import Scene
 from rfw_tpu.utils import log
 
 _LOG = log.get("app")
+
+
+class ScaleMode(enum.Enum):
+    """Render-resolution scaling (reference ScaleMode,
+    rfw/src/lib.rs — HighDPI renders at the window's physical resolution,
+    Regular at logical, Custom(f) at an arbitrary factor)."""
+
+    REGULAR = "regular"  # scale 1.0
+    HIGH_DPI = "high_dpi"  # scale by the display's dpi factor
+    CUSTOM = "custom"  # explicit factor
+
+    def factor(self, dpi: float = 1.0, custom: float = 1.0) -> float:
+        if self is ScaleMode.REGULAR:
+            return 1.0
+        if self is ScaleMode.HIGH_DPI:
+            return float(dpi)
+        return float(custom)
+
+
+def _resolve_scale(scale: Union[float, ScaleMode], dpi: float = 1.0) -> float:
+    if isinstance(scale, ScaleMode):
+        return scale.factor(dpi=dpi)
+    return float(scale)
 
 
 class Plugin(Protocol):
@@ -55,9 +79,11 @@ class Instance:
         backend: Backend,
         width: int = 1280,
         height: int = 720,
-        scale: float = 1.0,
+        scale: Union[float, "ScaleMode"] = 1.0,
+        dpi: float = 1.0,
     ) -> None:
         log.init()
+        scale = _resolve_scale(scale, dpi)
         self.world = World()
         self.scheduler = Scheduler()
         backend.resize(width, height, scale)
@@ -154,7 +180,10 @@ class Instance:
         Image.fromarray(self.render_system.last_frame).save(path)
         _LOG.info("saved %s", path)
 
-    def resize(self, width: int, height: int, scale: float = 1.0) -> None:
+    def resize(self, width: int, height: int,
+               scale: Union[float, "ScaleMode"] = 1.0,
+               dpi: float = 1.0) -> None:
+        scale = _resolve_scale(scale, dpi)
         self.render_system.width = int(width * scale)
         self.render_system.height = int(height * scale)
         self.backend.resize(width, height, scale)

@@ -163,7 +163,7 @@ class RecordingBackend:
         self._rec("set_textures", [i for i, _ in changed])
 
     def set_skybox(self, skybox):
-        self._rec("set_skybox")
+        self._rec("set_skybox", skybox)
 
     def set_point_lights(self, lights):
         self._rec("set_point_lights", lights.count)

@@ -158,26 +158,49 @@ def _srgb_texture_set(g: _Gltf) -> set:
 
 
 def _load_textures(g: _Gltf, materials: Materials) -> List[int]:
-    """texture index -> Materials texture id, srgb classified per use."""
+    """texture index -> Materials texture id, srgb classified per use.
+
+    Decode runs on a TaskPool (reference rfw-utils task.rs asset-IO pool):
+    PIL file reads + mip generation release the GIL, so texture decodes
+    overlap; pushes into the Materials store stay ordered on this thread."""
+    from rfw_tpu.utils.task import TaskPool
+
     srgb_set = _srgb_texture_set(g)
-    out = []
-    for ti, tex in enumerate(g.json.get("textures", [])):
-        src = tex.get("source")
-        if src is None:
-            out.append(-1)
-            continue
-        srgb = ti in srgb_set
-        p = g.image_path(src)
-        if p and os.path.exists(p):
-            out.append(materials.load_texture(p, srgb=srgb))
-        else:
+    entries = []  # (texture index, decode future | None)
+    pool = TaskPool()
+
+    def decode(src: int, srgb: bool, path):
+        if path and os.path.exists(path):
+            return Texture.load(path, srgb=srgb)
+        return Texture.from_array(g.image_array(src), srgb=srgb)
+
+    try:
+        by_path = {}  # decode each (path, srgb) once even if shared
+        for ti, tex in enumerate(g.json.get("textures", [])):
+            src = tex.get("source")
+            if src is None:
+                entries.append((ti, None))
+                continue
+            path = g.image_path(src)
+            key = (path, ti in srgb_set) if path else None
+            fut = by_path.get(key)
+            if fut is None:
+                fut = pool.spawn(decode, src, ti in srgb_set, path)
+                if key is not None:
+                    by_path[key] = fut
+            entries.append((ti, fut))
+        out = []
+        for ti, fut in entries:
+            if fut is None:
+                out.append(-1)
+                continue
             try:
-                out.append(materials.push_texture(
-                    Texture.from_array(g.image_array(src), srgb=srgb)
-                ))
+                out.append(materials.push_texture(fut.result()))
             except Exception as e:  # missing/broken image -> no texture
                 _LOG.warning("texture %d failed: %s", ti, e)
                 out.append(-1)
+    finally:
+        pool.shutdown()
     return out
 
 

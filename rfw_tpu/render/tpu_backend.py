@@ -90,10 +90,19 @@ def apply_skin(mesh: MeshView3D, joint_matrices: np.ndarray,
     SkinnedMesh3D::apply, rfw-backend/src/structs.rs:785-877; one einsum
     replaces the rayon par_iter). `positions` overrides the rest pose
     (glTF order: morph targets apply BEFORE the skin)."""
+    import os as _os
+
+    p = mesh.positions if positions is None else positions
+    if _os.environ.get("RFW_NO_NATIVE") != "1":
+        from rfw_tpu import native
+
+        out = native.skin_positions_native(
+            p, mesh.joints, mesh.weights, joint_matrices)
+        if out is not None:
+            return out
     jm = joint_matrices[mesh.joints]  # (V,4,4,4)
     w = mesh.weights  # (V,4)
     blended = np.einsum("vj,vjab->vab", w, jm)  # (V,4,4)
-    p = mesh.positions if positions is None else positions
     return (
         np.einsum("vab,vb->va", blended[:, :3, :3], p) + blended[:, :3, 3]
     ).astype(np.float32)

@@ -265,7 +265,7 @@ def _fetch_material(
     relative IOR side for the transmission lobe (True = front-face hit)."""
     mat_id = scene.tri_mat[prim]
     n_mat = mats.color.shape[0]
-    if 0 < n_mat <= 1024:
+    if 0 < n_mat <= ONEHOT_INST_MAX:
         # one-hot MXU matmul resolves the float material block in one
         # streaming pass; only the small int tex-id table still gathers
         table = jnp.concatenate(
@@ -336,7 +336,10 @@ def _fetch_material(
 #: instance pools up to this size resolve their transform rows via a
 #: one-hot MXU matmul instead of an XLA gather (gathers are row-latency
 #: bound; the matmul streams). Above it the onehot matrix gets too large.
-ONEHOT_INST_MAX = 1024
+#: Env override is a perf-diagnostic A/B knob.
+import os as _os
+
+ONEHOT_INST_MAX = int(_os.environ.get("RFW_ONEHOT_MAX", "1024"))
 
 
 def _shading_basis(scene, hit, ray_d):

@@ -137,6 +137,15 @@ class InstanceHandle3D:
         self._list.set_morph_weights(self.index, w)
         return self
 
+    def transform(self) -> "TransformGuard":
+        """Builder-style batched transform edit (reference Transform guard,
+        instances_3d.rs — accumulate T/R/S, write once on Drop):
+
+            with h.transform() as t:
+                t.translate((1, 0, 0)).rotate_y(0.3).scale(2.0)
+        """
+        return TransformGuard(self)
+
     def set_trs(self, translation, rotation, scale) -> "InstanceHandle3D":
         m = compose_trs(
             np.asarray(translation, np.float32),
@@ -223,3 +232,41 @@ class InstanceHandle2D:
 
     def remove(self) -> None:
         self._list.erase(self.index)
+
+
+class TransformGuard:
+    """Accumulates TRS edits and writes the composed matrix exactly once on
+    context exit — one dirty-bit flip per batch of edits (reference's
+    Drop-guard Transform, crates/rfw-scene/src/instances_3d.rs)."""
+
+    def __init__(self, handle: InstanceHandle3D) -> None:
+        self._h = handle
+        self._t = np.zeros(3, np.float32)
+        self._r = np.array([0, 0, 0, 1], np.float32)
+        self._s = np.ones(3, np.float32)
+
+    def translate(self, t) -> "TransformGuard":
+        self._t = self._t + np.asarray(t, np.float32)
+        return self
+
+    def rotate(self, quat) -> "TransformGuard":
+        from rfw_tpu.mathx import quat_mul, quat_normalize
+
+        self._r = quat_normalize(quat_mul(np.asarray(quat, np.float32), self._r))
+        return self
+
+    def rotate_y(self, angle: float) -> "TransformGuard":
+        h = 0.5 * float(angle)
+        return self.rotate(np.array([0, np.sin(h), 0, np.cos(h)], np.float32))
+
+    def scale(self, s) -> "TransformGuard":
+        s = np.asarray(s, np.float32)
+        self._s = self._s * (np.full(3, s, np.float32) if s.ndim == 0 else s)
+        return self
+
+    def __enter__(self) -> "TransformGuard":
+        return self
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        if exc_type is None:
+            self._h.set_matrix(compose_trs(self._t, self._r, self._s))

@@ -36,6 +36,7 @@ from rfw_tpu.scene.lights import (
     extract_area_lights,
 )
 from rfw_tpu.scene.materials import Material, Materials, Texture
+from rfw_tpu.utils.track import Tracked
 from rfw_tpu.utils import log
 from rfw_tpu.utils.collections import TrackedStorage
 
@@ -56,6 +57,9 @@ class Scene:
         self.skins: TrackedStorage = TrackedStorage()  # of SkinView
         self.materials = Materials()
         self.lights = Lights()
+        #: environment map (reference Backend::set_skybox); Tracked so the
+        #: sync pump pushes it to the backend exactly when it changes
+        self.skybox: Tracked[Optional[Texture]] = Tracked(None, changed=False)
         self._instances_changed = True
         self._lights_rebuilt = False
         # per-mesh area-light chunks, reused when a mesh didn't change
@@ -159,6 +163,13 @@ class Scene:
                 float(outer_angle),
             )
         )
+
+    def set_skybox(self, texture) -> None:
+        """Set the environment map: a Texture, a path, or None to clear
+        (reference Scene skybox -> Backend::set_skybox)."""
+        if isinstance(texture, str):
+            texture = Texture.load(texture, srgb=True)
+        self.skybox.value = texture
 
     def add_directional_light(self, direction, energy) -> int:
         return self.lights.directional.push(
@@ -299,6 +310,11 @@ class Scene:
                 self.materials.to_device(), self.materials.materials.changed_indices()
             )
 
+        # skybox
+        if self.skybox.changed:
+            tex = self.skybox.value
+            backend.set_skybox(None if tex is None else tex.view())
+
         # lights
         if self.lights.point.any_changed:
             backend.set_point_lights(self.lights.point_view())
@@ -318,6 +334,7 @@ class Scene:
         self.meshes_2d.reset_changed()
         self.materials.reset_changed()
         self.lights.reset_changed()
+        self.skybox.reset_changed()
         self.skins.reset_changed()
         for il in self.instances_3d.values():
             il.reset_changed()

@@ -301,3 +301,62 @@ def test_update_lights_incremental_cache():
     # mesh a's lights actually moved
     pa = scene._area_cache[a].position
     assert pa[:, 0].mean() > 2.0
+
+
+def test_skybox_sync_pushes_once():
+    """Scene.set_skybox pumps through the Tracked flag: pushed on change,
+    silent when unchanged, clearable (reference Backend::set_skybox)."""
+    import numpy as np
+
+    from rfw_tpu.backend.contract import RecordingBackend
+    from rfw_tpu.scene import Scene
+    from rfw_tpu.scene.materials import Texture
+
+    scene = Scene()
+    be = RecordingBackend()
+    scene.synchronize(be)
+    n0 = sum(1 for c in be.calls if c[0] == "set_skybox")
+    assert n0 == 0
+
+    tex = Texture.from_array(
+        np.full((8, 8, 4), 128, np.uint8), srgb=True)
+    scene.set_skybox(tex)
+    scene.synchronize(be)
+    calls = [c for c in be.calls if c[0] == "set_skybox"]
+    assert len(calls) == 1 and calls[0][1] is not None
+
+    scene.synchronize(be)  # unchanged -> no new push
+    assert sum(1 for c in be.calls if c[0] == "set_skybox") == 1
+
+    scene.set_skybox(None)
+    scene.synchronize(be)
+    calls = [c for c in be.calls if c[0] == "set_skybox"]
+    assert len(calls) == 2 and calls[1][1] is None
+
+
+def test_native_skin_matches_numpy():
+    """apply_skin's native C++ LBS path agrees with the numpy einsum."""
+    import os
+
+    import numpy as np
+
+    from rfw_tpu.render.tpu_backend import apply_skin
+
+    rng = np.random.default_rng(5)
+    V, J = 257, 9
+
+    class MeshStub:
+        positions = rng.normal(size=(V, 3)).astype(np.float32)
+        joints = rng.integers(0, J, (V, 4)).astype(np.int32)
+        w = rng.random((V, 4)).astype(np.float32)
+        weights = (w / w.sum(-1, keepdims=True)).astype(np.float32)
+
+    jm = rng.normal(size=(J, 4, 4)).astype(np.float32)
+    jm[:, 3] = [0, 0, 0, 1]
+    native_out = apply_skin(MeshStub, jm)
+    os.environ["RFW_NO_NATIVE"] = "1"
+    try:
+        py_out = apply_skin(MeshStub, jm)
+    finally:
+        del os.environ["RFW_NO_NATIVE"]
+    np.testing.assert_allclose(native_out, py_out, rtol=1e-5, atol=1e-5)

@@ -87,3 +87,78 @@ def test_averager_rolls():
     assert a.average() == 2.5
     a.add(5)  # evicts 1
     assert a.average() == 3.5
+
+
+def test_scale_mode():
+    from rfw_tpu.app.instance import ScaleMode, _resolve_scale
+
+    assert _resolve_scale(ScaleMode.REGULAR, dpi=2.0) == 1.0
+    assert _resolve_scale(ScaleMode.HIGH_DPI, dpi=2.0) == 2.0
+    assert _resolve_scale(0.5) == 0.5
+    assert ScaleMode.CUSTOM.factor(custom=1.5) == 1.5
+
+
+def test_transform_guard_writes_once_on_exit():
+    import numpy as np
+
+    from rfw_tpu.scene.instances import InstanceList3D
+
+    lst = InstanceList3D()
+    h = lst.allocate()
+    lst.reset_changed()
+    with h.transform() as t:
+        t.translate((1, 2, 3)).rotate_y(np.pi / 2).scale(2.0)
+        assert not lst.changed[h.index]  # nothing written mid-batch
+    assert lst.changed[h.index]
+    m = lst.matrices[h.index]
+    np.testing.assert_allclose(m[:3, 3], [1, 2, 3], atol=1e-6)
+    # 90-deg yaw of scale-2 x-axis -> -z column
+    np.testing.assert_allclose(m[:3, 0], [0, 0, -2], atol=1e-5)
+
+
+class TestEcsEntities:
+    """Entity/component layer (reference bevy_ecs entities + queries,
+    examples/animated/src/main.rs:197-219 par_for_each_mut -> batched
+    column queries here)."""
+
+    def test_spawn_query_batch(self):
+        import numpy as np
+
+        from rfw_tpu.app.ecs import World
+
+        w = World()
+        for i in range(5):
+            w.spawn(pos=np.array([i, 0, 0], np.float32),
+                    vel=np.array([0, 1.0 * i, 0], np.float32))
+        w.spawn(pos=np.array([9, 9, 9], np.float32))  # no vel
+        batch = w.query("pos", "vel")
+        assert len(batch) == 5
+        # vectorized update over the whole batch, scattered back
+        batch.set("pos", batch.col("pos") + batch.col("vel"))
+        assert np.allclose(w.get_component(batch.entities[3], "pos"),
+                           [3, 3, 0])
+        # the vel-less entity is untouched and not matched
+        only_pos = w.query("pos")
+        assert len(only_pos) == 6
+
+    def test_despawn_swap_remove(self):
+        import numpy as np
+
+        from rfw_tpu.app.ecs import World
+
+        w = World()
+        es = [w.spawn(x=np.float32(i)) for i in range(4)]
+        w.despawn(es[1])
+        b = w.query("x")
+        assert len(b) == 3
+        got = sorted(float(v) for v in b.col("x"))
+        assert got == [0.0, 2.0, 3.0]
+        # rows stay dense and addressable after the swap-remove
+        assert float(w.get_component(es[3], "x")) == 3.0
+
+    def test_missing_component_query_empty(self):
+        from rfw_tpu.app.ecs import World
+
+        w = World()
+        w.spawn(a=1.0)
+        assert len(w.query("a", "nope")) == 0

@@ -95,10 +95,16 @@ def main():
     for name, o, d in cases:
         o = jax.block_until_ready(jnp.asarray(o))
         d = jax.block_until_ready(jnp.asarray(d))
-        fns = [("closest", lambda: pallas_closest_hit(ps, o, d).t)]
+        # device->host transfers over this tunnel run at ~26 MB/s: pulling
+        # the full (R,) hit array would add ~300ms of TRANSFER to every
+        # sample. Reduce to a scalar on device; np.asarray pulls 4 bytes
+        # (a ~30ms dispatch floor remains — subtract nothing, it is real
+        # per-call latency any host-driven pipeline pays).
+        fns = [("closest",
+                lambda: jnp.sum(pallas_closest_hit(ps, o, d).t))]
         if args.occluded:
             fns.append(("occluded",
-                        lambda: pallas_occluded(ps, o, d, 1e26)))
+                        lambda: jnp.sum(pallas_occluded(ps, o, d, 1e26))))
         for fname, fn in fns:
             np.asarray(fn())  # compile + warm
             best = np.inf

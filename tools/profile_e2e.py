@@ -54,14 +54,19 @@ def main():
     hit = pallas_closest_hit(ps, o, d)
     hit = jax.tree.map(jnp.asarray, hit)
 
+    @jax.jit
+    def _reduce(tree):
+        # scalar-reduce on device: the tunnel moves ~26 MB/s, so pulling
+        # any (R,...) output would swamp the stage being measured
+        return sum(jnp.sum(l.astype(jnp.float32))
+                   for l in jax.tree.leaves(tree))
+
     def timeit(name, fn, *a, **kw):
-        out = fn(*a, **kw)
-        np.asarray(jax.tree.leaves(out)[0])
+        np.asarray(_reduce(fn(*a, **kw)))
         best = np.inf
         for _ in range(args.reps):
             t0 = time.perf_counter()
-            out = fn(*a, **kw)
-            np.asarray(jax.tree.leaves(out)[0])
+            np.asarray(_reduce(fn(*a, **kw)))
             best = min(best, time.perf_counter() - t0)
         print(f"{name:28s} {best*1e3:9.1f} ms", file=sys.stderr)
         return best
