@@ -113,24 +113,27 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rfw_tpu.render.wavefront import RenderConfig, render_sample
+    from rfw_tpu.render.wavefront import RenderConfig, render_sample, tex_kinds_mask
     from rfw_tpu.render.film import add_sample, new_film, tonemap
 
     W, H = args.width, args.height
     sdev, dmats, atlas, dlights, view = build_scene(W, H)
     cfg = RenderConfig(max_bounces=args.bounces, clamp=20.0, sky_intensity=0.35,
-                       sort_secondary=args.sort)
+                       sort_secondary=args.sort, sampler="sobol",
+                       tex_mask=tex_kinds_mask(dmats.tex))
     key = jax.random.PRNGKey(11)
 
     # warm-up / compile
-    r = render_sample(sdev, dmats, atlas, dlights, view, key, W, H, cfg)
+    r = render_sample(sdev, dmats, atlas, dlights, view, key, W, H, cfg,
+                      sample_index=jnp.uint32(0))
     jax.block_until_ready(r.radiance)
 
     film = new_film(W, H)
     t0 = time.perf_counter()
     for s in range(args.spp):
         r = render_sample(
-            sdev, dmats, atlas, dlights, view, jax.random.fold_in(key, s + 1), W, H, cfg
+            sdev, dmats, atlas, dlights, view, jax.random.fold_in(key, s + 1),
+            W, H, cfg, sample_index=jnp.uint32(s + 1),
         )
         film = add_sample(film, r.radiance)
     # NOTE: jax.block_until_ready does NOT reliably block over the axon

@@ -86,16 +86,25 @@ def sample_bilinear(
     atlas: TextureAtlas,
     tex_id: jax.Array,  # (R,) i32; <0 allowed (returns white)
     uv: jax.Array,  # (R,2) f32, wrapped
-    lod: jax.Array,  # (R,) f32 — mip level (trilinear between floor/ceil)
+    lod: jax.Array,  # (R,) f32 — mip level
+    trilinear: bool = False,
 ) -> jax.Array:
-    """Trilinear-filtered RGBA fetch. Returns (R,4) linear values."""
+    """Mip-mapped RGBA fetch. Returns (R,4) linear values.
+
+    Default is bilinear at the NEAREST mip (4 texel gathers); trilinear
+    blends two mips (8 gathers). Texel-pool gathers cost ~25-50ms per 2M
+    rays on this TPU, so the default halves the dominant sampling cost
+    for a visually minor mip-snap."""
     valid = tex_id >= 0
     t = jnp.maximum(tex_id, 0)
     max_mip = (atlas.mip_count[t] - 1).astype(jnp.float32)
     lod = jnp.clip(lod, 0.0, max_mip)
-    m0 = jnp.floor(lod).astype(jnp.int32)
-    m1 = jnp.minimum(m0 + 1, atlas.mip_count[t] - 1)
-    frac = (lod - m0.astype(jnp.float32))[..., None]
+    if trilinear:
+        m0 = jnp.floor(lod).astype(jnp.int32)
+        m1 = jnp.minimum(m0 + 1, atlas.mip_count[t] - 1)
+        frac = (lod - m0.astype(jnp.float32))[..., None]
+    else:
+        m0 = jnp.round(lod).astype(jnp.int32)
 
     def fetch_mip(m):
         off = atlas.offset[t, m]
@@ -125,7 +134,10 @@ def sample_bilinear(
             + (c01 * (1 - fx) + c11 * fx) * fy
         )
 
-    c = fetch_mip(m0) * (1 - frac) + fetch_mip(m1) * frac
+    if trilinear:
+        c = fetch_mip(m0) * (1 - frac) + fetch_mip(m1) * frac
+    else:
+        c = fetch_mip(m0)
     rgb = jnp.where(
         atlas.srgb[t][..., None], _srgb_to_linear(c[..., :3]), c[..., :3]
     )

@@ -50,7 +50,7 @@ from rfw_tpu.render.atlas import TextureAtlas, atlas_to_device, pack_atlas
 from rfw_tpu.render.lights_pack import DeviceLights, pack_lights
 from rfw_tpu.render.overlay import composite_overlay, rasterize_2d
 from rfw_tpu.render.pack import TraceScene, pack_trace_scene, repack_instances
-from rfw_tpu.render.wavefront import RenderConfig, render_sample
+from rfw_tpu.render.wavefront import RenderConfig, render_sample, tex_kinds_mask
 from rfw_tpu.render import film as film_mod
 from rfw_tpu.utils import log
 
@@ -371,6 +371,8 @@ class TpuBackend:
             ao_aov=mode in (RenderMode.SSAO, RenderMode.FILTERED_SSAO),
             sampler=self.settings.sampler,
             pixel_center=self.settings.pixel_center,
+            tex_mask=(tex_kinds_mask(self._materials.tex)
+                      if self._materials is not None else 0),
         )
         view_dev = jnp.asarray(view_arr)
         key = jax.random.PRNGKey(42)

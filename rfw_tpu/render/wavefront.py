@@ -101,6 +101,11 @@ class RenderConfig:
     #   AA jitter, no lens) — for AOV parity against CpuReferenceBackend
     sampler: str = "random"  # "random" (threefry) | "sobol" (Owen-scrambled;
     #   needs sample_index passed to render_sample)
+    tex_mask: int = 15  # static bitmask of texture-map kinds PRESENT in the
+    #   material set (1=diffuse 2=normal 4=metallic-roughness 8=emissive):
+    #   absent kinds skip their atlas sampling entirely (each mip-fetch is
+    #   4 texel-pool gathers ~25-50ms/2M rays). tex_kinds_mask() computes it.
+    trilinear: bool = False  # two-mip blend (8 gathers/sample vs 4)
     sort_secondary: bool = True  # re-tile rays each bounce by (direction
     #   octant, origin morton): secondary rays regain the coherence packet
     #   tiles need. Honest (materialized) timing shows ~2x end-to-end at
@@ -255,8 +260,21 @@ def _sample_light(
 
 
 # ---------------------------------------------------------------- materials
+def tex_kinds_mask(tex_table) -> int:
+    """Static RenderConfig.tex_mask for a materials tex table (N,6):
+    which map kinds any material actually binds."""
+    import numpy as _np
+
+    t = _np.asarray(tex_table)
+    if t.size == 0:
+        return 0
+    return int((1 * (t[:, 0] >= 0).any()) | (2 * (t[:, 1] >= 0).any())
+               | (4 * (t[:, 2] >= 0).any()) | (8 * (t[:, 3] >= 0).any()))
+
+
 def _fetch_material(
-    mats, atlas: TextureAtlas, scene, prim, uv_interp, lod, entering
+    mats, atlas: TextureAtlas, scene, prim, uv_interp, lod, entering,
+    tex_mask: int = 15, trilinear: bool = False,
 ) -> Tuple[disney.MatParams, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather material params + textures for hit prims.
 
@@ -286,26 +304,41 @@ def _fetch_material(
         absorption = mats.absorption[mat_id][:, :3]
     tex = mats.tex[mat_id]
 
-    diff = sample_bilinear(atlas, tex[:, 0], uv_interp, lod)
-    base_color = color[:, :3] * diff[:, :3]
+    R = mat_id.shape[0]
+    if tex_mask & 1:
+        diff = sample_bilinear(atlas, tex[:, 0], uv_interp, lod, trilinear)
+        base_color = color[:, :3] * diff[:, :3]
+    else:
+        base_color = color[:, :3]
 
-    mr = sample_bilinear(atlas, tex[:, 2], uv_interp, lod)
-    has_mr = tex[:, 2] >= 0
-    metallic = jnp.where(has_mr, params[:, 0] * mr[:, 2], params[:, 0])
-    roughness = jnp.where(has_mr, params[:, 3] * mr[:, 1], params[:, 3])
+    if tex_mask & 4:
+        mr = sample_bilinear(atlas, tex[:, 2], uv_interp, lod, trilinear)
+        has_mr = tex[:, 2] >= 0
+        metallic = jnp.where(has_mr, params[:, 0] * mr[:, 2], params[:, 0])
+        roughness = jnp.where(has_mr, params[:, 3] * mr[:, 1], params[:, 3])
+    else:
+        metallic = params[:, 0]
+        roughness = params[:, 3]
 
-    nrm_tex = sample_bilinear(atlas, tex[:, 1], uv_interp, lod)
-    has_n = tex[:, 1] >= 0
-    n_ts = jnp.where(
-        has_n[:, None],
-        nrm_tex[:, :3] * 2.0 - 1.0,
-        jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), nrm_tex[:, :3].shape),
-    )
+    if tex_mask & 2:
+        nrm_tex = sample_bilinear(atlas, tex[:, 1], uv_interp, lod, trilinear)
+        has_n = tex[:, 1] >= 0
+        n_ts = jnp.where(
+            has_n[:, None],
+            nrm_tex[:, :3] * 2.0 - 1.0,
+            jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), nrm_tex[:, :3].shape),
+        )
+    else:
+        n_ts = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
 
     # emission: color channels > 1 mark emissive (reference list.rs:494)
     is_emissive = jnp.max(color[:, :3], axis=-1) > 1.0
-    emis_tex = sample_bilinear(atlas, tex[:, 3], uv_interp, lod)
-    emission = jnp.where(is_emissive[:, None], color[:, :3] * emis_tex[:, :3], 0.0)
+    if tex_mask & 8:
+        emis_tex = sample_bilinear(atlas, tex[:, 3], uv_interp, lod, trilinear)
+        emission = jnp.where(
+            is_emissive[:, None], color[:, :3] * emis_tex[:, :3], 0.0)
+    else:
+        emission = jnp.where(is_emissive[:, None], color[:, :3], 0.0)
     # untextured emission — must match what area-light extraction registered
     # (scene/lights.py radiance_per_tri) so the reconstructed pick pdf agrees
     emission_base = jnp.where(is_emissive[:, None], color[:, :3], 0.0)
@@ -602,7 +635,7 @@ def render_sample(
         lod = jnp.log2(jnp.maximum(footprint, 1e-6))
         params, emission, n_ts, emission_base, absorption = _fetch_material(
             mats, atlas, scene, jnp.maximum(hit.prim, 0), basis["uv"], lod,
-            basis["entering"],
+            basis["entering"], config.tex_mask, config.trilinear,
         )
         # Beer-Lambert: a backface hit on a transmissive material ends a
         # segment travelled INSIDE the medium — attenuate by the stored
