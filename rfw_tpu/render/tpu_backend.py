@@ -27,6 +27,12 @@ from typing import Dict, List, Optional, Sequence, Tuple
 import numpy as np
 
 from rfw_tpu.accel.bvh_cpu import BvhNodes, build_bvh_sah, triangle_aabbs
+from rfw_tpu.accel.tlas_device import build_tlas8_device, tlas8_node_count
+
+#: instance-count threshold for the on-device TLAS build in the
+#: instance-only sync path (below it, the host SAH collapse is trivial
+#: and slightly higher quality)
+DEVICE_TLAS_MIN_INSTANCES = 64
 from rfw_tpu.backend.contract import RenderMode
 from rfw_tpu.backend.lights import (
     AreaLightsView,
@@ -276,16 +282,42 @@ class TpuBackend:
                 if iv.count > 0 and slot in self._meshes
             ]
             new_host = repack_instances(self._scene_host, meshes_info, instances)
-            changed = {
-                f: jax.device_put(getattr(new_host, f))
-                for f in (
-                    "tlas_min", "tlas_max", "tlas_left", "tlas_right",
-                    "tlas_count", "tlas_prim", "tlas_wide_f", "tlas_wide_i",
-                    "tlas8_box", "tlas8_code", "tlas8_cnt",
-                    "inst_matrix", "inst_inv", "inst_normal", "inst_mesh",
-                    "blas_root", "blas_wide_root", "blas8_root",
+            fields = [
+                "tlas_min", "tlas_max", "tlas_left", "tlas_right",
+                "tlas_count", "tlas_prim", "tlas_wide_f", "tlas_wide_i",
+                "tlas8_box", "tlas8_code", "tlas8_cnt",
+                "inst_matrix", "inst_inv", "inst_normal", "inst_mesh",
+                "blas_root", "blas_wide_root", "blas8_root",
+            ]
+            # device-TLAS path (SURVEY §7 stage 5: per-frame TLAS from
+            # instance matrices ON DEVICE): for large instance pools on a
+            # real accelerator, build the Pallas tier's 8-wide TLAS as a
+            # complete 8-ary morton tree in one jit instead of uploading
+            # the host collapse. Host binary-TLAS fields still upload (the
+            # packet/lockstep tiers and serialization read them).
+            n_inst = new_host.inst_matrix.shape[0]
+            use_device_tlas = (
+                jax.default_backend() != "cpu"
+                and n_inst >= DEVICE_TLAS_MIN_INSTANCES
+                and tlas8_node_count(n_inst) <= new_host.tlas8_box.shape[0]
+            )
+            if use_device_tlas:
+                fields = [f for f in fields
+                          if f not in ("tlas8_box", "tlas8_code", "tlas8_cnt")]
+            changed = {f: jax.device_put(getattr(new_host, f)) for f in fields}
+            if use_device_tlas:
+                lmin = np.stack([self._meshes[m].aabb_min
+                                 for m in new_host.inst_mesh])
+                lmax = np.stack([self._meshes[m].aabb_max
+                                 for m in new_host.inst_mesh])
+                box, code, cnt = build_tlas8_device(
+                    changed["inst_matrix"], jax.device_put(lmin),
+                    jax.device_put(lmax),
+                    pad_nodes=int(new_host.tlas8_box.shape[0]),
                 )
-            }
+                changed["tlas8_box"] = box
+                changed["tlas8_code"] = code
+                changed["tlas8_cnt"] = cnt
             self._scene_dev = self._scene_dev._replace(**changed)
             self._scene_host = new_host
             self._inst_dirty = False
