@@ -58,9 +58,14 @@ from jax.experimental.pallas import tpu as pltpu
 from rfw_tpu.accel.bvh_cpu import TREELET
 from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 
+import os as _os
+
 LANE = 128
-NSTREAM = 4  # interleaved independent walks per program (latency hiding)
-SSUB = 2  # sublanes per stream: each walk owns a (2,128) = 256-ray sub-tile
+#: interleaved independent walks per program (latency hiding). RFW_NSTREAM
+#: env override is an experiment knob: 8 walks of (1,128)-ray sub-tiles
+#: shrink the shared-stack visit union at the cost of more unrolled code.
+NSTREAM = int(_os.environ.get("RFW_NSTREAM", "4"))
+SSUB = 8 // NSTREAM  # sublanes per stream (walk owns a (SSUB,128) sub-tile)
 SUB = NSTREAM * SSUB
 LANES = SUB * LANE  # rays per grid program (1024)
 STACK_DEPTH = 96
@@ -72,7 +77,6 @@ TSHIFT = TREELET.bit_length() - 1
 #: RFW_KMAX override is a perf-diagnostic knob ONLY (results are wrong when
 #: it truncates traversal): timing at KMAX=1,2,4... decomposes per-program
 #: fixed cost vs marginal per-iteration cost.
-import os as _os
 
 KERNEL_MAX_ITERS = int(_os.environ.get("RFW_KMAX", str(1 << 19)))
 # scene arrays bigger than this fall back to the jnp packet path
