@@ -123,3 +123,36 @@ def test_instance_motion_updates_all_device_arenas(app_scene):
             getattr(be._scene_host, f),
             err_msg=f"device arena {f!r} stale after instance-only sync",
         )
+
+
+def test_skybox_renders_on_miss():
+    """Scene.set_skybox -> TpuBackend: miss rays sample the equirect env
+    map (reference Backend::set_skybox -> gpu-rt sky sampling)."""
+    import numpy as np
+
+    from rfw_tpu.scene import Scene
+    from rfw_tpu.scene.camera import Camera3D
+    from rfw_tpu.scene.materials import Texture
+    from rfw_tpu.models import cube
+
+    scene = Scene()
+    cid = scene.add_3d_object(cube(position=(0, 0, -50), size=(1, 1, 1)))
+    scene.add_3d_instance(cid)
+    # solid green sky
+    sky = np.zeros((8, 8, 4), np.uint8)
+    sky[..., 1] = 255
+    sky[..., 3] = 255
+    scene.set_skybox(Texture.from_array(sky, srgb=True))
+
+    be = TpuBackend(32, 32, TpuSettings(samples_per_frame=2, max_bounces=0,
+                                        sky_intensity=1.0))
+    scene.meshes_3d.trigger_changed_all()
+    scene._instances_changed = True
+    scene.materials.materials.trigger_changed_all()
+    scene.synchronize(be)
+    view = Camera3D(fov=45).look_at(np.array([0, 0, 4], np.float32),
+                                    np.zeros(3, np.float32)).get_view(32, 32)
+    frame = be.render(None, view).astype(np.float32)
+    border = frame[2:6, 2:6, :3].mean(axis=(0, 1))
+    assert border[1] > 100, border  # sky green dominates
+    assert border[1] > 3 * max(border[0], 1) and border[1] > 3 * max(border[2], 1)
