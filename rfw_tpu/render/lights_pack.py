@@ -60,6 +60,16 @@ class DeviceLights(NamedTuple):
     pick_w_total: np.ndarray  # (1,) f32 sum of all selection weights
     pick_n: np.ndarray  # (1,) f32 total light count (for the uniform blend)
 
+    # unified per-light record, rows ordered [point ++ spot ++ dir ++ area]
+    # to match pick indices — ONE fetch (one-hot matmul / gather) replaces
+    # ~16 per-type table gathers in the NEE sampler (each costs 14-25
+    # ns/row on this TPU). Column layout:
+    #   0:3  pos (point/spot) | v0 (area)      3:6  dir (spot/dir) | v1
+    #   6:9  energy (point/spot/dir) | v2      9:12 normal (area)
+    #   12:15 radiance (area)   15 cos_inner   16 cos_outer
+    #   17 area                 18 pick_prob   19 pad
+    light_table: np.ndarray  # (Lpad, 20) f32
+
     @property
     def total(self) -> int:
         return int(self.n_point[0] + self.n_spot[0] + self.n_dir[0] + self.n_area[0])
@@ -124,6 +134,34 @@ def pack_lights(
     if area.count:
         area_prob[: area.count] = prob[a0 : a0 + area.count]
 
+    lpad_rows = max(lpad, 1)
+    table = np.zeros((lpad_rows, 20), np.float32)
+    r = 0
+    for i in range(point.count):
+        table[r, 0:3] = point.position[i]
+        table[r, 6:9] = point.energy[i]
+        r += 1
+    for i in range(spot.count):
+        table[r, 0:3] = spot.position[i]
+        table[r, 3:6] = spot.direction[i]
+        table[r, 6:9] = spot.energy[i]
+        table[r, 15] = spot.cos_inner[i]
+        table[r, 16] = spot.cos_outer[i]
+        r += 1
+    for i in range(directional.count):
+        table[r, 3:6] = directional.direction[i]
+        table[r, 6:9] = directional.energy[i]
+        r += 1
+    for i in range(area.count):
+        table[r, 0:3] = area.v0[i]
+        table[r, 3:6] = area.v1[i]
+        table[r, 6:9] = area.v2[i]
+        table[r, 9:12] = area.normal[i]
+        table[r, 12:15] = area.radiance[i]
+        table[r, 17] = area.area[i]
+        r += 1
+    table[:len(prob), 18] = prob
+
     return DeviceLights(
         n_point=np.array([point.count], np.int32),
         n_spot=np.array([spot.count], np.int32),
@@ -149,4 +187,5 @@ def pack_lights(
         area_pick_prob=area_prob,
         pick_w_total=np.array([total], np.float32),
         pick_n=np.array([float(n)], np.float32),
+        light_table=table,
     )

@@ -190,7 +190,23 @@ def _sample_light(
         jnp.searchsorted(lights.pick_cdf, u[:, 0], side="right").astype(jnp.int32),
         jnp.maximum(total - 1, 0),
     )
-    pick_p = jnp.maximum(lights.pick_prob[pick], 1e-12)
+
+    # ONE fetch of the unified per-light record replaces ~16 per-type table
+    # gathers (each 14-25ns/row on this TPU). Small pools ride the MXU.
+    L = lights.light_table.shape[0]
+    if 0 < L <= 1024:
+        onehot = (pick[:, None] == jnp.arange(L, dtype=pick.dtype)[None]
+                  ).astype(jnp.float32)
+        row = jax.lax.dot_general(
+            onehot, lights.light_table, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )  # (R,20)
+    else:
+        row = lights.light_table[pick]
+    pick_p = jnp.maximum(row[:, 18], 1e-12)
+    r_pos = row[:, 0:3]   # pos | v0
+    r_dir = row[:, 3:6]   # dir | v1
+    r_en = row[:, 6:9]    # energy | v2
 
     is_point = pick < np_
     is_spot = (~is_point) & (pick < np_ + ns)
@@ -198,48 +214,41 @@ def _sample_light(
     is_area = (~is_point) & (~is_spot) & (~is_dir)
 
     # ---- point -----------------------------------------------------------
-    pi = jnp.clip(pick, 0, jnp.maximum(np_ - 1, 0))
-    p_pos = lights.point_pos[pi]
-    p_vec = p_pos - p
+    p_vec = r_pos - p
     p_d2 = jnp.maximum(jnp.sum(p_vec * p_vec, -1), 1e-8)
     p_wi = p_vec / jnp.sqrt(p_d2)[:, None]
-    p_rad = lights.point_energy[pi] / p_d2[:, None]
+    p_rad = r_en / p_d2[:, None]
 
-    # ---- spot ------------------------------------------------------------
-    si = jnp.clip(pick - np_, 0, jnp.maximum(ns - 1, 0))
-    s_pos = lights.spot_pos[si]
-    s_vec = s_pos - p
-    s_d2 = jnp.maximum(jnp.sum(s_vec * s_vec, -1), 1e-8)
-    s_wi = s_vec / jnp.sqrt(s_d2)[:, None]
-    cos_to = jnp.sum(-s_wi * lights.spot_dir[si], -1)
-    ci = lights.spot_cos_inner[si]
-    co = lights.spot_cos_outer[si]
+    # ---- spot (shares p_vec/p_d2 with point: same origin column) ---------
+    s_wi = p_wi
+    s_d2 = p_d2
+    cos_to = jnp.sum(-s_wi * r_dir, -1)
+    ci = row[:, 15]
+    co = row[:, 16]
     falloff = jnp.clip((cos_to - co) / jnp.maximum(ci - co, 1e-6), 0.0, 1.0)
-    s_rad = lights.spot_energy[si] * (falloff * falloff / s_d2)[:, None]
+    s_rad = r_en * (falloff * falloff / s_d2)[:, None]
 
     # ---- directional -----------------------------------------------------
-    di = jnp.clip(pick - np_ - ns, 0, jnp.maximum(nd - 1, 0))
-    d_wi = -lights.dir_dir[di]
-    d_rad = lights.dir_energy[di]
+    d_wi = -r_dir
+    d_rad = r_en
 
     # ---- area ------------------------------------------------------------
-    ai = jnp.clip(pick - np_ - ns - nd, 0, jnp.maximum(na - 1, 0))
     su = jnp.sqrt(jnp.maximum(u[:, 1], 0.0))
     b0 = 1.0 - su
     b1 = u[:, 2] * su
     a_pt = (
-        lights.area_v0[ai] * b0[:, None]
-        + lights.area_v1[ai] * b1[:, None]
-        + lights.area_v2[ai] * (1.0 - b0 - b1)[:, None]
+        r_pos * b0[:, None]
+        + r_dir * b1[:, None]
+        + r_en * (1.0 - b0 - b1)[:, None]
     )
     a_vec = a_pt - p
     a_d2 = jnp.maximum(jnp.sum(a_vec * a_vec, -1), 1e-8)
     a_dist = jnp.sqrt(a_d2)
     a_wi = a_vec / a_dist[:, None]
     # two-sided emitters: |cos| (matches the extraction normal convention)
-    cos_l = jnp.abs(jnp.sum(-a_wi * lights.area_normal[ai], -1))
-    a_pdf_sa = a_d2 / jnp.maximum(cos_l * lights.area_area[ai], 1e-8)
-    a_rad = lights.area_radiance[ai] * (1.0 / jnp.maximum(a_pdf_sa, 1e-8))[:, None]
+    cos_l = jnp.abs(jnp.sum(-a_wi * row[:, 9:12], -1))
+    a_pdf_sa = a_d2 / jnp.maximum(cos_l * row[:, 17], 1e-8)
+    a_rad = row[:, 12:15] * (1.0 / jnp.maximum(a_pdf_sa, 1e-8))[:, None]
 
     wi = jnp.where(
         is_point[:, None], p_wi,
