@@ -192,9 +192,11 @@ def _sample_light(
     )
 
     # ONE fetch of the unified per-light record replaces ~16 per-type table
-    # gathers (each 14-25ns/row on this TPU). Small pools ride the MXU.
+    # gathers (each 14-25ns/row on this TPU). Mid-size pools ride the MXU;
+    # tiny pools (K <= 8) gather — a K=4 one-hot matmul buys nothing and
+    # tiny-K dot_generals have miscompiled/wedged this toolchain before.
     L = lights.light_table.shape[0]
-    if 0 < L <= 1024:
+    if 8 < L <= 1024:
         onehot = (pick[:, None] == jnp.arange(L, dtype=pick.dtype)[None]
                   ).astype(jnp.float32)
         row = jax.lax.dot_general(
