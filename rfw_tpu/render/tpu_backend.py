@@ -295,7 +295,10 @@ class TpuBackend:
             # complete 8-ary morton tree in one jit instead of uploading
             # the host collapse. Host binary-TLAS fields still upload (the
             # packet/lockstep tiers and serialization read them).
-            n_inst = new_host.inst_matrix.shape[0]
+            # instance arenas are capacity-padded (inst_mesh fill = -1);
+            # the device TLAS must only see the real prefix or phantom
+            # identity-matrix instances become hittable leaves
+            n_inst = int((new_host.inst_mesh >= 0).sum())
             use_device_tlas = (
                 jax.default_backend() != "cpu"
                 and n_inst >= DEVICE_TLAS_MIN_INSTANCES
@@ -307,11 +310,11 @@ class TpuBackend:
             changed = {f: jax.device_put(getattr(new_host, f)) for f in fields}
             if use_device_tlas:
                 lmin = np.stack([self._meshes[m].aabb_min
-                                 for m in new_host.inst_mesh])
+                                 for m in new_host.inst_mesh[:n_inst]])
                 lmax = np.stack([self._meshes[m].aabb_max
-                                 for m in new_host.inst_mesh])
+                                 for m in new_host.inst_mesh[:n_inst]])
                 box, code, cnt = build_tlas8_device(
-                    changed["inst_matrix"], jax.device_put(lmin),
+                    changed["inst_matrix"][:n_inst], jax.device_put(lmin),
                     jax.device_put(lmax),
                     pad_nodes=int(new_host.tlas8_box.shape[0]),
                 )

@@ -86,10 +86,23 @@ def main():
     o_srt = jnp.stack([sox, soy, soz], axis=1)
     d_srt = jnp.stack([sdx, sdy, sdz], axis=1)
 
+    # sortedD: direction-major key — 12 bits of direction morton over
+    # 3 + 9 bits of origin cell (vs the integrator's octant + 25-bit
+    # origin morton). Tests whether bounce-ray divergence is direction-
+    # or origin-dominated.
+    dm = morton_codes((d_inc + 1.0) * 0.5, jnp.zeros(3), jnp.ones(3))
+    keyd = (dm.astype(jnp.int32) >> 18 << 18) + (cell >> 12)
+    (_, dox, doy, doz, ddx, ddy, ddz) = jax.lax.sort(
+        (keyd, o_inc[:, 0], o_inc[:, 1], o_inc[:, 2],
+         d_inc[:, 0], d_inc[:, 1], d_inc[:, 2]), num_keys=1)
+    o_srtd = jnp.stack([dox, doy, doz], axis=1)
+    d_srtd = jnp.stack([ddx, ddy, ddz], axis=1)
+
     wanted = set(args.cases.split(","))
     cases = [(n, o, d) for n, o, d in
              [("coherent", o_coh, d_coh),
               ("sorted", o_srt, d_srt),
+              ("sortedD", o_srtd, d_srtd),
               ("unsorted", o_inc, d_inc)] if n in wanted]
     results = {}
     for name, o, d in cases:
