@@ -459,7 +459,7 @@ class CpuReferenceBackend:
         img = _aces(img * self.settings.exposure)
         img = np.where(img <= 0.0031308, 12.92 * img,
                        1.055 * np.power(np.maximum(img, 1e-9), 1 / 2.4) - 0.055)
-        return _to_rgba(img, W, H, srgb_done=True)
+        return _to_rgba(img, W, H)
 
     def _trace_once(self, view_3d: CameraView3D) -> np.ndarray:
         w = self._world
@@ -537,7 +537,7 @@ def _aces(x):
     return np.clip((x * (a * x + b)) / (x * (c * x + d) + e), 0.0, 1.0)
 
 
-def _to_rgba(img: np.ndarray, W: int, H: int, srgb_done: bool = False) -> np.ndarray:
+def _to_rgba(img: np.ndarray, W: int, H: int) -> np.ndarray:
     rgb = (np.clip(img, 0, 1) * 255.0 + 0.5).astype(np.uint8).reshape(H, W, 3)
     alpha = np.full((H, W, 1), 255, np.uint8)
     return np.concatenate([rgb, alpha], axis=-1)

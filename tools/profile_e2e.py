@@ -38,7 +38,7 @@ def main():
     )
     from rfw_tpu.render import disney
     from rfw_tpu.render.wavefront import (
-        RenderConfig, SampleResult, _block_swizzle, _fetch_material,
+        RenderConfig, _block_swizzle, _fetch_material,
         _sample_light, _shading_basis, camera_rays, render_sample,
     )
 

@@ -57,8 +57,6 @@ def main():
     idx_pool = jnp.asarray(rng.integers(0, 16 * 1024 * 1024, R).astype(np.int32))
     u = jnp.asarray(rng.random(R).astype(np.float32))
 
-    cases = {}
-
     @jax.jit
     def g_small_int(i):
         return t_small_i[i].sum()
