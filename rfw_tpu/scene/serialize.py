@@ -55,7 +55,8 @@ def save_scene(scene: Scene, path: str, camera: Optional[Camera3D] = None,
     for slot, mesh in scene.meshes_3d:
         key = f"mesh{slot}"
         manifest["meshes"].append({"slot": slot, "name": mesh.name,
-                                   "has_skin": mesh.has_skin})
+                                   "has_skin": mesh.has_skin,
+                                   "has_morphs": mesh.has_morphs})
         arrays[f"{key}_positions"] = mesh.positions
         arrays[f"{key}_normals"] = mesh.normals
         arrays[f"{key}_uvs"] = mesh.uvs
@@ -66,11 +67,15 @@ def save_scene(scene: Scene, path: str, camera: Optional[Camera3D] = None,
         if mesh.has_skin:
             arrays[f"{key}_joints"] = mesh.joints
             arrays[f"{key}_weights"] = mesh.weights
+        if mesh.has_morphs:
+            arrays[f"{key}_morph_targets"] = mesh.morph_targets
 
     for slot, il in scene.instances_3d.items():
         arrays[f"inst{slot}_matrices"] = il.matrices
         arrays[f"inst{slot}_skin_ids"] = il.skin_ids
         arrays[f"inst{slot}_active"] = il.active
+        if il.morph_weights is not None:
+            arrays[f"inst{slot}_morph_weights"] = il.morph_weights
         manifest["instances"][str(slot)] = int(il.capacity)
 
     for idx, mat in scene.materials.materials:
@@ -149,6 +154,11 @@ def save_scene(scene: Scene, path: str, camera: Optional[Camera3D] = None,
                 arrays[f"{key}_a{ai}c{ci}_times"] = c.times
                 arrays[f"{key}_a{ai}c{ci}_values"] = c.values
 
+    sky = scene.skybox.value
+    if sky is not None:
+        manifest["skybox"] = {"srgb": bool(sky.srgb)}
+        arrays["skybox_base"] = sky.mips[0]
+
     if camera is not None:
         arrays["camera"] = np.concatenate([
             camera.position, camera.direction,
@@ -204,6 +214,8 @@ def load_scene(path: str) -> Tuple[Scene, Optional[Camera3D], Optional[np.ndarra
             ranges=data[f"{key}_ranges"],
             joints=data[f"{key}_joints"] if m["has_skin"] else None,
             weights=data[f"{key}_weights"] if m["has_skin"] else None,
+            morph_targets=(data[f"{key}_morph_targets"]
+                           if m.get("has_morphs") else None),
             aabb_min=data[f"{key}_positions"].min(axis=0),
             aabb_max=data[f"{key}_positions"].max(axis=0),
             name=m.get("name", ""),
@@ -217,6 +229,9 @@ def load_scene(path: str) -> Tuple[Scene, Optional[Camera3D], Optional[np.ndarra
             il.skin_ids = data[f"inst{slot}_skin_ids"].astype(np.int32)
             il.active = data[f"inst{slot}_active"].astype(bool)
             il.changed = np.ones_like(il.active)
+            if f"inst{slot}_morph_weights" in data:
+                il.morph_weights = (
+                    data[f"inst{slot}_morph_weights"].astype(np.float32))
             il._free = [i for i in range(il.capacity) if not il.active[i]]
             il.any_changed = True
         scene.instances_3d[slot] = il
@@ -305,6 +320,11 @@ def load_scene(path: str) -> Tuple[Scene, Optional[Camera3D], Optional[np.ndarra
 
         for sk, sid in zip(g.skins, g.scene_skin_ids):
             scene.skins.overwrite(sid, SkinView(joint_matrices=sk.joint_matrices))
+
+    if "skybox_base" in data:
+        scene.set_skybox(Texture.from_array(
+            data["skybox_base"],
+            srgb=manifest.get("skybox", {}).get("srgb", True)))
 
     camera = None
     if "camera" in data:

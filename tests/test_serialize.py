@@ -82,3 +82,42 @@ def test_graph_roundtrip(tmp_path):
     # instance wiring restored: node matrices propagate into instance pools
     total = sum(len(il) for il in s2.instances_3d.values())
     assert total == 1
+
+
+def test_morphs_and_skybox_round_trip(tmp_path):
+    """Round 2 state survives snapshots: morph targets + instance weights
+    + the skybox env map."""
+    import numpy as np
+
+    from rfw_tpu.models import quad3d
+    from rfw_tpu.models.mesh3d import build_mesh3d
+    from rfw_tpu.scene import Scene
+    from rfw_tpu.scene.materials import Texture
+    from rfw_tpu.scene.serialize import load_scene, save_scene
+
+    scene = Scene()
+    q = quad3d(normal=(0, 0, 1), position=(0, 0, 0), width=2, height=2)
+    target = np.zeros((1, q.num_vertices, 3), np.float32)
+    target[0, :, 2] = 1.0
+    mid = scene.add_3d_object(build_mesh3d(
+        q.positions, q.indices, normals=q.normals, uvs=q.uvs,
+        morph_targets=target))
+    scene.add_3d_instance(mid).set_morph_weights(np.array([0.4], np.float32))
+    sky = np.zeros((8, 8, 4), np.uint8)
+    sky[..., 2] = 200
+    sky[..., 3] = 255
+    scene.set_skybox(Texture.from_array(sky, srgb=False))
+
+    path = str(tmp_path / "snap")
+    save_scene(scene, path)
+    loaded, _, _, _ = load_scene(path)
+
+    m = loaded.meshes_3d[mid]
+    assert m.has_morphs
+    np.testing.assert_allclose(m.morph_targets[0, :, 2], 1.0)
+    il = loaded.instances_3d[mid]
+    assert il.morph_weights is not None
+    np.testing.assert_allclose(il.morph_weights[il.active][0], [0.4])
+    assert loaded.skybox.value is not None
+    assert loaded.skybox.value.srgb is False
+    assert loaded.skybox.value.mips[0][..., 2].max() == 200
