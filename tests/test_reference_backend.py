@@ -189,3 +189,41 @@ class TestInstancingAndSkinning:
         for mode in (RenderMode.NORMAL, RenderMode.GBUFFER):
             e = rmse(bt.render(None, view, mode), bc.render(None, view, mode))
             assert e <= 1e-3, f"{mode}: RMSE {e:.5f}"
+
+
+class TestMixedLightTypes:
+    """All four light types live at once: exercises the unified per-light
+    record's shared columns + the power-CDF pick across type boundaries
+    (the one-at-a-time exact tests cannot catch cross-type row mixups)."""
+
+    def test_combined_statistical(self, prim_scene):
+        scene = prim_scene
+        from rfw_tpu.scene.lights import Lights
+
+        scene.lights = Lights()
+        scene.add_point_light((2.0, 2.5, 1.0), (14, 13, 12))
+        scene.add_spot_light((-1.5, 3.0, 1.5), (0.3, -0.9, -0.3),
+                             (30, 28, 26), 18, 32)
+        scene.add_directional_light((-0.4, -1.0, -0.2), (1.4, 1.4, 1.3))
+        lamp = scene.add_material(Material(
+            color=np.array([9.0, 8.0, 7.0, 1], np.float32)))
+        lid = scene.add_3d_object(quad3d(normal=(0, -1, 0),
+                                         position=(0.6, 2.4, 0.4),
+                                         width=0.8, height=0.8,
+                                         material_id=lamp))
+        scene.add_3d_instance(lid)
+
+        w, h, spp = 40, 30, 48
+        settings = TpuSettings(samples_per_frame=spp, max_bounces=1,
+                               clamp=200.0, sampler="sobol")
+        bt = TpuBackend(w, h, settings)
+        bc = CpuReferenceBackend(w, h, settings)
+        bc.pixel_center = False
+        sync_full(scene, bt)
+        sync_full(scene, bc)
+        view = CAM.get_view(w, h)
+        a = bt.render(None, view).astype(np.float32)[..., :3] / 255
+        b = bc.render(None, view).astype(np.float32)[..., :3] / 255
+        mad = float(np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1))).max())
+        assert mad < 0.035, f"channel-mean abs diff {mad:.4f}"
+        assert float(np.abs(a - b).mean()) < 0.07
