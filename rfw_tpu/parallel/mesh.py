@@ -89,3 +89,63 @@ def render_sample_sharded(
     )
     with mesh:
         return fn(scene_r, mats_r, atlas_r, lights_r, view_r, key_r)
+
+
+def render_spp_sharded(
+    mesh: Mesh,
+    scene,
+    mats,
+    atlas,
+    lights,
+    view: jax.Array,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config=None,
+    axis: str = "spp",
+):
+    """Sample-parallel scale-out: each device renders DIFFERENT samples of
+    the FULL frame; the accumulated radiance reduces with one psum on ICI.
+
+    The complementary strategy to film-tile DP: film tiles shard pixels
+    (zero collectives, load-imbalanced when scene complexity is uneven
+    across the frame), spp sharding replicates pixels (one (R,3) psum per
+    batch, perfectly load-balanced because every chip renders the whole
+    frame). spp must divide by the mesh size. Returns the (R,3) mean
+    radiance, fully replicated.
+    """
+    from jax.experimental.shard_map import shard_map
+
+    from rfw_tpu.render.wavefront import RenderConfig, render_sample
+
+    config = config or RenderConfig()
+    n_dev = int(np.prod(mesh.devices.shape))
+    assert spp % n_dev == 0, f"spp {spp} must divide the {n_dev}-device mesh"
+    keys = jax.random.split(key, spp)
+
+    scene_r = replicate(mesh, scene)
+    mats_r = replicate(mesh, mats)
+    atlas_r = replicate(mesh, atlas)
+    lights_r = replicate(mesh, lights)
+    view_r = jax.device_put(view, NamedSharding(mesh, P()))
+    R = width * height
+
+    def body(keys_local):
+        def one(i, acc):
+            r = render_sample(
+                scene_r, mats_r, atlas_r, lights_r, view_r, keys_local[i],
+                width, height, config,
+            )
+            return acc + r.radiance
+
+        acc = jax.lax.fori_loop(
+            0, keys_local.shape[0], one, jnp.zeros((R, 3), jnp.float32))
+        return jax.lax.psum(acc, axis)
+
+    f = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P(axis), out_specs=P(),
+        check_rep=False,
+    ))
+    with mesh:
+        return f(jax.device_put(keys, NamedSharding(mesh, P(axis)))) / spp

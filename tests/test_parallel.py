@@ -58,3 +58,29 @@ def test_radiance_sharded_over_film_axis(ctx):
     # each device holds exactly 1/8 of the rays
     shard_rows = {s.data.shape[0] for s in res.radiance.addressable_shards}
     assert shard_rows == {W * H // 8}
+
+
+def test_spp_sharded_matches_sequential(ctx):
+    """Sample-parallel scale-out: 8 samples sharded over the 8-device mesh
+    average to EXACTLY the sequential 8-sample mean (same keys, same
+    deterministic integrator) — one psum collective, perfect load balance."""
+    from rfw_tpu.parallel.mesh import render_spp_sharded
+
+    sd, dmats, atlas, dl, view = ctx
+    cfg = RenderConfig(max_bounces=1, clamp=50.0, sky_intensity=0.4,
+                       traversal="packet")
+    key = jax.random.PRNGKey(5)
+    spp = 8
+
+    mesh = film_mesh(axis="spp")
+    sharded = np.asarray(render_spp_sharded(
+        mesh, sd, dmats, atlas, dl, view, key, W, H, spp, cfg))
+
+
+    keys = jax.random.split(key, spp)
+    acc = jnp.zeros((W * H, 3), jnp.float32)
+    for i in range(spp):
+        acc = acc + render_sample(sd, dmats, atlas, dl, view, keys[i],
+                                  W, H, cfg).radiance
+    seq = np.asarray(acc / spp)
+    np.testing.assert_allclose(sharded, seq, rtol=1e-5, atol=1e-6)
