@@ -28,6 +28,7 @@ planned on top.
 from __future__ import annotations
 
 import functools
+import os as _os
 from dataclasses import dataclass
 from typing import NamedTuple, Optional, Tuple
 
@@ -78,6 +79,10 @@ def _block_swizzle(width: int, height: int, lanes: int):
     return px, py, inv
 
 PI = 3.14159265358979
+
+#: secondary-ray sort key: True prepends the previous hit instance to the
+#: (octant, origin-morton) key (A/B knob; see docs/ROUND2.md)
+SORT_BY_INSTANCE = _os.environ.get("RFW_SORT_INST", "0") == "1"
 
 
 @dataclass(frozen=True)
@@ -450,6 +455,9 @@ class _PathState(NamedTuple):
     alive: jax.Array
     spec_or_first: jax.Array
     prev_bsdf_pdf: jax.Array
+    sort_hint: jax.Array  # previous bounce's hit instance (-1 first bounce):
+    #   the strongest locality signal for re-tiling — rays leaving the same
+    #   instance walk the same BLAS
     ray_o: jax.Array
     ray_d: jax.Array
     aov_albedo: jax.Array
@@ -590,11 +598,21 @@ def render_sample(
                 + 4 * (st.ray_d[:, 2] >= 0).astype(jnp.int32)
             )
             cell = morton_codes(st.ray_o, scene_mn, scene_mx).astype(jnp.int32)
-            key = jnp.where(
-                st.alive,
-                octant * (1 << 27) + (cell >> 5),
-                jnp.int32(1 << 30),
-            )
+            if SORT_BY_INSTANCE:
+                # instance-major key: rays leaving the same instance share
+                # origin locality AND walk the same BLAS next
+                hint = jnp.clip(st.sort_hint, -1, 254) + 1  # 0..255
+                key = jnp.where(
+                    st.alive,
+                    hint * (1 << 22) + octant * (1 << 19) + (cell >> 11),
+                    jnp.int32(1 << 30),
+                )
+            else:
+                key = jnp.where(
+                    st.alive,
+                    octant * (1 << 27) + (cell >> 5),
+                    jnp.int32(1 << 30),
+                )
             # carry ray fields through lax.sort instead of argsort+gather:
             # XLA TPU gathers cost ~670ms per (2M,3) array while a 9-operand
             # sort is ~220ms total (measured) — 4x on the whole sort path
@@ -771,6 +789,7 @@ def render_sample(
             alive=ok,
             spec_or_first=(params.roughness < 0.05) | delta_b,
             prev_bsdf_pdf=pdf_b,
+            sort_hint=jnp.where(found, hit.inst, -1),
             ray_o=new_o,
             ray_d=new_d,
             aov_albedo=aov_albedo,
@@ -786,6 +805,7 @@ def render_sample(
         alive=jnp.ones(R, bool),
         spec_or_first=jnp.ones(R, bool),
         prev_bsdf_pdf=jnp.zeros(R, jnp.float32),
+        sort_hint=jnp.full(R, -1, jnp.int32),
         ray_o=ray_o,
         ray_d=ray_d,
         aov_albedo=jnp.zeros((R, 3), jnp.float32),
