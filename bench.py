@@ -20,6 +20,10 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+# remote Mosaic/XLA compiles take minutes (and occasionally wedge); the
+# persistent cache makes repeat runs — including the driver's scoreboard
+# run — hit warm compiles
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/.jax_cache")
 
 import numpy as np
 

@@ -73,8 +73,8 @@ class _Store:
 
 class Batch:
     """One query result: matching entities + their component columns as
-    dense arrays. Mutate by assigning into the arrays you got from
-    `cols` — or compute fresh arrays and `set` them back."""
+    dense arrays. `col` returns a gathered COPY — compute new values and
+    scatter them back with `set` (in-place writes on the copy are lost)."""
 
     def __init__(self, world: "World", entities: np.ndarray,
                  rows: Dict[str, np.ndarray]) -> None:

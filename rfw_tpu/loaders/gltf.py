@@ -182,12 +182,13 @@ def _load_textures(g: _Gltf, materials: Materials) -> List[int]:
                 entries.append((ti, None))
                 continue
             path = g.image_path(src)
-            key = (path, ti in srgb_set) if path else None
+            # dedup decodes by file path when there is one, else by the
+            # glTF source index (embedded images shared by several textures)
+            key = (path if path else ("src", src), ti in srgb_set)
             fut = by_path.get(key)
             if fut is None:
                 fut = pool.spawn(decode, src, ti in srgb_set, path)
-                if key is not None:
-                    by_path[key] = fut
+                by_path[key] = fut
             entries.append((ti, fut))
         out = []
         for ti, fut in entries:

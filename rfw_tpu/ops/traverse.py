@@ -65,6 +65,7 @@ LANE = 128
 #: env override is an experiment knob: 8 walks of (1,128)-ray sub-tiles
 #: shrink the shared-stack visit union at the cost of more unrolled code.
 NSTREAM = int(_os.environ.get("RFW_NSTREAM", "4"))
+assert NSTREAM in (1, 2, 4, 8), f"RFW_NSTREAM={NSTREAM} must divide 8"
 SSUB = 8 // NSTREAM  # sublanes per stream (walk owns a (SSUB,128) sub-tile)
 SUB = NSTREAM * SSUB
 LANES = SUB * LANE  # rays per grid program (1024)

@@ -284,9 +284,11 @@ def disney_sample(
     )
     wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
     f = disney_eval(p, wo, wi)
+    # disney_pdf already folds in the (1 - trans_w) share the reflective
+    # mixture gets of the sample picks — scaling again here double-counted
+    # it (pdf ~ (1-t)^2) and overbrightened partially-transmissive
+    # materials (caught by review; pinned by test_partial_transmission)
     pdf = disney_pdf(p, wo, wi)
-    # the reflective-lobe mixture only spends (1 - trans_w) of the picks
-    pdf = pdf * (1.0 - trans_w)
 
     # ---- transmission lobe (delta-style) -----------------------------------
     h_t = h_spec  # same GTR2 microfacet roughens the glass

@@ -84,6 +84,27 @@ PI = 3.14159265358979
 #: (octant, origin-morton) key (A/B knob; see docs/ROUND2.md)
 SORT_BY_INSTANCE = _os.environ.get("RFW_SORT_INST", "0") == "1"
 
+#: table-row fetches ride the MXU as one-hot matmuls for tables in this
+#: size band: gathers cost 14-25ns/row on this TPU, the matmul streams;
+#: K <= 8 stays a gather (tiny-K dot_generals have miscompiled AND wedged
+#: this toolchain), K > max would blow up the (R,K) one-hot operand.
+ONEHOT_MIN = 8
+ONEHOT_MAX = int(_os.environ.get("RFW_ONEHOT_MAX", "1024"))
+
+
+def _fetch_rows(table: jax.Array, idx: jax.Array) -> jax.Array:
+    """table[idx] for a (N,C) float table and (R,) int indices — the one
+    shared gather/MXU crossover (lights, materials, instances)."""
+    n = table.shape[0]
+    if ONEHOT_MIN < n <= ONEHOT_MAX:
+        onehot = (idx[:, None] == jnp.arange(n, dtype=idx.dtype)[None]
+                  ).astype(jnp.float32)
+        return jax.lax.dot_general(
+            onehot, table, (((1,), (0,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+        )
+    return table[idx]
+
 
 @dataclass(frozen=True)
 class RenderConfig:
@@ -197,19 +218,8 @@ def _sample_light(
     )
 
     # ONE fetch of the unified per-light record replaces ~16 per-type table
-    # gathers (each 14-25ns/row on this TPU). Mid-size pools ride the MXU;
-    # tiny pools (K <= 8) gather — a K=4 one-hot matmul buys nothing and
-    # tiny-K dot_generals have miscompiled/wedged this toolchain before.
-    L = lights.light_table.shape[0]
-    if 8 < L <= 1024:
-        onehot = (pick[:, None] == jnp.arange(L, dtype=pick.dtype)[None]
-                  ).astype(jnp.float32)
-        row = jax.lax.dot_general(
-            onehot, lights.light_table, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (R,20)
-    else:
-        row = lights.light_table[pick]
+    # gathers (each 14-25ns/row on this TPU)
+    row = _fetch_rows(lights.light_table, pick)  # (R,20)
     pick_p = jnp.maximum(row[:, 18], 1e-12)
     r_pos = row[:, 0:3]   # pos | v0
     r_dir = row[:, 3:6]   # dir | v1
@@ -298,26 +308,16 @@ def _fetch_material(
     untextured emission, absorption_rgb). `entering` (R,) bool resolves the
     relative IOR side for the transmission lobe (True = front-face hit)."""
     mat_id = scene.tri_mat[prim]
-    n_mat = mats.color.shape[0]
-    if 0 < n_mat <= ONEHOT_INST_MAX:
-        # one-hot MXU matmul resolves the float material block in one
-        # streaming pass; only the small int tex-id table still gathers
-        table = jnp.concatenate(
-            [mats.color, mats.params, mats.absorption[:, :3]], axis=1)
-        onehot = (mat_id[:, None]
-                  == jnp.arange(n_mat, dtype=mat_id.dtype)[None]
-                  ).astype(jnp.float32)
-        blk = jax.lax.dot_general(
-            onehot, table, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (R, 4+16+3)
-        color = blk[:, 0:4]
-        params = blk[:, 4:20]
-        absorption = blk[:, 20:23]
-    else:
-        color = mats.color[mat_id]
-        params = mats.params[mat_id]
-        absorption = mats.absorption[mat_id][:, :3]
+    # the float material block resolves in one fetch (one-hot MXU matmul
+    # for mid-size tables); only the small int tex-id table still gathers
+    blk = _fetch_rows(
+        jnp.concatenate([mats.color, mats.params, mats.absorption[:, :3]],
+                        axis=1),
+        mat_id,
+    )  # (R, 4+16+3)
+    color = blk[:, 0:4]
+    params = blk[:, 4:20]
+    absorption = blk[:, 20:23]
     tex = mats.tex[mat_id]
 
     R = mat_id.shape[0]
@@ -382,13 +382,6 @@ def _fetch_material(
 
 
 # -------------------------------------------------------------- integrator
-#: instance pools up to this size resolve their transform rows via a
-#: one-hot MXU matmul instead of an XLA gather (gathers are row-latency
-#: bound; the matmul streams). Above it the onehot matrix gets too large.
-#: Env override is a perf-diagnostic A/B knob.
-import os as _os
-
-ONEHOT_INST_MAX = int(_os.environ.get("RFW_ONEHOT_MAX", "1024"))
 
 
 def _shading_basis(scene, hit, ray_d):
@@ -413,21 +406,14 @@ def _shading_basis(scene, hit, ray_d):
     lodf = rec[:, 25]
 
     n_inst = scene.inst_matrix.shape[0]
-    if 0 < n_inst <= ONEHOT_INST_MAX:
-        table = jnp.concatenate(
+    m = _fetch_rows(
+        jnp.concatenate(
             [scene.inst_normal.reshape(n_inst, 9),
-             scene.inst_matrix[:, :3, :3].reshape(n_inst, 9)], axis=1)
-        onehot = (inst[:, None] == jnp.arange(n_inst, dtype=inst.dtype)[None]
-                  ).astype(jnp.float32)
-        m = jax.lax.dot_general(
-            onehot, table, (((1,), (0,)), ((), ())),
-            precision=jax.lax.Precision.HIGHEST,
-        )  # (R,18)
-        nm = m[:, 0:9].reshape(-1, 3, 3)
-        rot = m[:, 9:18].reshape(-1, 3, 3)
-    else:
-        nm = scene.inst_normal[inst]
-        rot = scene.inst_matrix[inst][:, :3, :3]
+             scene.inst_matrix[:, :3, :3].reshape(n_inst, 9)], axis=1),
+        inst,
+    )  # (R,18)
+    nm = m[:, 0:9].reshape(-1, 3, 3)
+    rot = m[:, 9:18].reshape(-1, 3, 3)
     ns = jnp.einsum("rij,rj->ri", nm, ns_obj)
     ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
     e1w = jnp.einsum("rij,rj->ri", rot, e1_obj)

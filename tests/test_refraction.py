@@ -112,3 +112,55 @@ class TestGlass:
         assert center[0] > 0.8, center  # red passes
         assert center[1] < 0.55 * center[0], center  # green absorbed
         assert center[2] < 0.55 * center[0], center
+
+
+class TestPartialTransmission:
+    def test_reflective_samples_match_eval_pdf(self):
+        """transmission=0.5: for NON-delta (reflective) samples,
+        disney_sample's returned (f, pdf) must equal disney_eval/disney_pdf
+        at the sampled direction — the invariant MIS and the throughput
+        update rest on. (Pinned after a review caught the reflective pdf
+        double-scaled by (1 - trans_w), overbrightening partial glass.)"""
+        rng = np.random.default_rng(3)
+        R = 512
+        p = disney.MatParams(
+            base_color=jnp.full((R, 3), 0.6),
+            metallic=jnp.zeros(R),
+            roughness=jnp.full(R, 0.5),
+            specular_f=jnp.full(R, 0.5),
+            specular_tint=jnp.zeros(R),
+            sheen=jnp.zeros(R),
+            sheen_tint=jnp.zeros(R),
+            clearcoat=jnp.zeros(R),
+            clearcoat_gloss=jnp.zeros(R),
+            subsurface=jnp.zeros(R),
+            anisotropic=jnp.zeros(R),
+            transmission=jnp.full(R, 0.5),
+            eta_rel=jnp.full(R, 1.0 / 1.5),
+        )
+        wo = rng.normal(size=(R, 3)).astype(np.float32)
+        wo[:, 2] = np.abs(wo[:, 2]) + 0.1
+        wo /= np.linalg.norm(wo, axis=-1, keepdims=True)
+        u = rng.random((R, 3)).astype(np.float32)
+        wi, f, pdf, delta = disney.disney_sample(p, jnp.asarray(wo), jnp.asarray(u))
+        refl = ~np.asarray(delta) & (np.asarray(pdf) > 1e-8)
+        assert refl.sum() > 100  # half the picks are reflective
+        f_eval = np.asarray(disney.disney_eval(p, jnp.asarray(wo), wi))
+        pdf_eval = np.asarray(disney.disney_pdf(p, jnp.asarray(wo), wi))
+        np.testing.assert_allclose(
+            np.asarray(pdf)[refl], pdf_eval[refl], rtol=1e-5, atol=1e-7)
+        np.testing.assert_allclose(
+            np.asarray(f)[refl], f_eval[refl], rtol=1e-5, atol=1e-7)
+
+    def test_partial_glass_furnace(self):
+        """transmission=0.5 in a unit furnace must not amplify (the pdf
+        double-scaling produced ~2x-bright reflective bounces)."""
+        ctx = _glass_ctx(eta=1.5, transmission=0.5, roughness=0.4)
+        cfg = RenderConfig(max_bounces=10, clamp=1e9, sky_intensity=1.0)
+        img = render(*ctx, CAM, 24, 16, cfg).reshape(24, 24, 3)
+        # individual pixels can spike (GTR2 D-sampling fireflies, clamp
+        # off) — the MEAN is the energy gate: the pdf double-scaling bug
+        # pushed it well above 1
+        center = img[6:18, 6:18]
+        assert 0.80 < center.mean() <= 1.03, center.mean()
+        assert img.mean() <= 1.03, img.mean()
