@@ -25,8 +25,7 @@ permutation. For n == 1 a single-leaf root is emitted.
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -16,7 +16,7 @@ back through `Batch.set`, which scatters into the stores.
 from __future__ import annotations
 
 import enum
-from typing import Any, Callable, Dict, List, Optional, Tuple, Type, TypeVar
+from typing import Any, Callable, Dict, List, Optional, Type, TypeVar
 
 import numpy as np
 

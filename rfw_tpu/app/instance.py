@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import enum
 import os
-from typing import Callable, List, Optional, Protocol, Union
+from typing import Callable, Optional, Protocol, Union
 
 import numpy as np
 

@@ -21,7 +21,7 @@ equivalent of the reference's struct-size layout guards
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional, Tuple
+from typing import List, Optional
 
 import jax
 import numpy as np

@@ -6,7 +6,7 @@ backend's 2D compositor after tonemapping.
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 
 import numpy as np
 

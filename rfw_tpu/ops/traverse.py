@@ -47,7 +47,7 @@ Node-code encoding (same as render.packet):
 from __future__ import annotations
 
 import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ textures (normal maps) stay exact.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence, Tuple
+from typing import List, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -9,7 +9,6 @@ under jit; tonemap produces uint8 RGBA for host streaming.
 from __future__ import annotations
 
 import functools
-from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp

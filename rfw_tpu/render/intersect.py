@@ -24,7 +24,6 @@ Design notes (TPU):
 
 from __future__ import annotations
 
-import functools
 from typing import NamedTuple, Tuple
 
 import jax

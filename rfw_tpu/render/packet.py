@@ -34,8 +34,7 @@ Node-code encoding inside the loop (int32 per tile):
 
 from __future__ import annotations
 
-import functools
-from typing import NamedTuple, Tuple
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

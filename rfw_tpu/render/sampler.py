@@ -14,7 +14,6 @@ decorrelated across slots and pixels.
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

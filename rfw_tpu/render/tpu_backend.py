@@ -21,12 +21,12 @@ RenderMode::Reset semantics, gpu-rt lib.rs:1690-1692).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from rfw_tpu.accel.bvh_cpu import BvhNodes, build_bvh_sah, triangle_aabbs
+from rfw_tpu.accel.bvh_cpu import BvhNodes
 from rfw_tpu.accel.tlas_device import build_tlas8_device, tlas8_node_count
 
 #: instance-count threshold for the on-device TLAS build in the

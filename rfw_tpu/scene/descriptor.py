@@ -11,7 +11,7 @@ The rebuild defines its own equivalents; loaders fill these and
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import List, Optional
 
 import numpy as np
 

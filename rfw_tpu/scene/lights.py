@@ -13,8 +13,8 @@ Shadow matrices remain host-side (they are per-light scalars).
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Tuple
 
 import numpy as np
 

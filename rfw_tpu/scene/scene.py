@@ -10,8 +10,7 @@ skins, materials, lights, cameras; every mutation flips dirty state that
 from __future__ import annotations
 
 import os
-from dataclasses import dataclass
-from typing import Dict, List, Optional, Sequence, Tuple, Union
+from typing import Dict, Optional, Union
 
 import numpy as np
 

@@ -16,7 +16,7 @@ Differences from the reference by design:
 
 from __future__ import annotations
 
-from typing import Callable, Generic, Iterator, List, Optional, Set, TypeVar
+from typing import Generic, Iterator, List, Optional, Set, TypeVar
 
 T = TypeVar("T")
 

@@ -11,7 +11,6 @@ the reference demo does. Vectorized numpy, no per-body loops.
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Optional
 
 import numpy as np
 
