@@ -195,3 +195,47 @@ class TestMIS:
         a = img_nee[20:28, 8:24].mean()
         b = img_bsdf[20:28, 8:24].mean()
         assert abs(a - b) / max(b, 1e-6) < 0.15, (a, b)
+
+
+def test_vmem_budget_fallback_renders():
+    """A scene over the Pallas VMEM budget must auto-select the jnp packet
+    tier and still render (the large-scene fallback path had no coverage)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from rfw_tpu.models import sphere
+    from rfw_tpu.ops.traverse import VMEM_SCENE_BUDGET, pallas_scene_bytes
+    from rfw_tpu.render import pack_trace_scene
+    from rfw_tpu.render.pack import TraceScene
+
+    # DISTINCT meshes grow the shared tri arena (instances alone do not);
+    # enough dense spheres push the packed arena past the kernel budget
+    # (~64 B/tri kernel footprint)
+    mesh = sphere(quality=4)  # ~20k tris
+    n_meshes = int(VMEM_SCENE_BUDGET / (mesh.num_triangles * 64)) + 2
+    meshes = [(i, sphere(quality=4, radius=0.4 + 0.01 * i), None)
+              for i in range(n_meshes)]
+    mats = np.eye(4, dtype=np.float32)[None]
+    insts = []
+    for i in range(n_meshes):
+        m = mats.copy()
+        m[0, 0, 3] = (i % 4) * 1.5 - 2.25
+        m[0, 1, 3] = (i // 4) * 1.5 - 1.5
+        insts.append((i, m))
+    scene = pack_trace_scene(meshes, insts)
+    assert pallas_scene_bytes(scene) > VMEM_SCENE_BUDGET
+
+    from tests.test_integrator import make_ctx, render
+    from rfw_tpu.render.wavefront import RenderConfig
+    from rfw_tpu.scene.camera import Camera3D
+
+    from rfw_tpu.scene.materials import Materials
+
+    ctx = make_ctx(meshes, insts, Materials())
+    cam = Camera3D(fov=40).look_at(np.array([0, 0, 6.0], np.float32),
+                                   np.zeros(3, np.float32))
+    cfg = RenderConfig(max_bounces=0, sky_intensity=1.0, traversal="auto")
+    img = render(*ctx, cam, 16, 1, cfg)
+    assert np.isfinite(img).all()
+    assert img.min() < 0.9  # spheres occlude part of the sky
