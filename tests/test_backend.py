@@ -156,3 +156,40 @@ def test_skybox_renders_on_miss():
     border = frame[2:6, 2:6, :3].mean(axis=(0, 1))
     assert border[1] > 100, border  # sky green dominates
     assert border[1] > 3 * max(border[0], 1) and border[1] > 3 * max(border[2], 1)
+
+
+def test_ssao_modes_render():
+    """RenderMode.SSAO / FILTERED_SSAO produce [0,255] occlusion maps with
+    geometry contact regions darker than open floor (reference ssao.comp)."""
+    import numpy as np
+
+    from rfw_tpu.scene import Material, Scene
+    from rfw_tpu.scene.camera import Camera3D
+    from rfw_tpu.models import cube, quad3d
+
+    scene = Scene()
+    fid = scene.add_3d_object(quad3d(normal=(0, 1, 0), position=(0, 0, 0),
+                                     width=8, height=8))
+    scene.add_3d_instance(fid)
+    cid = scene.add_3d_object(cube(position=(0, 0.5, 0), size=(1, 1, 1)))
+    scene.add_3d_instance(cid)
+
+    be = TpuBackend(48, 48, TpuSettings(samples_per_frame=4, max_bounces=0,
+                                        sky_intensity=0.5))
+    scene.meshes_3d.trigger_changed_all()
+    scene._instances_changed = True
+    scene.materials.materials.trigger_changed_all()
+    scene.synchronize(be)
+    view = Camera3D(fov=45).look_at(np.array([2.5, 2.5, 2.5], np.float32),
+                                    np.array([0, 0.3, 0], np.float32)).get_view(48, 48)
+    ao = be.render(None, view, RenderMode.SSAO).astype(np.float32)[..., 0]
+    fao = be.render(None, view, RenderMode.FILTERED_SSAO).astype(np.float32)[..., 0]
+    for img in (ao, fao):
+        assert img.shape == (48, 48)
+        assert img.min() >= 0 and img.max() <= 255
+    # open floor regions are mostly unoccluded (bright)
+    assert ao.mean() > 80, ao.mean()
+    # the frame contains genuinely occluded (dark) pixels near the cube
+    assert (ao < 100).sum() > 5, (ao < 100).sum()
+    # filtering smooths: fewer extreme-dark pixels, similar mean
+    assert abs(fao.mean() - ao.mean()) < 40
