@@ -472,6 +472,15 @@ class TpuBackend:
         self.scale = scale
         self._reset_film()
 
+    def hdr_frame(self) -> Optional[np.ndarray]:
+        """The linear-radiance mean of the progressive film as (H,W,3)
+        float32 — the pre-tonemap HDR frame (EXR-style output the LDR-only
+        reference lacks). None before the first render()."""
+        if self._film is None or self._spp == 0:
+            return None
+        return (np.asarray(self._film).reshape(self.height, self.width, 3)
+                / float(self._spp))
+
     # ================= internals =================
     def _reset_film(self) -> None:
         self._film = None

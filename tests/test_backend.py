@@ -193,3 +193,27 @@ def test_ssao_modes_render():
     assert (ao < 100).sum() > 5, (ao < 100).sum()
     # filtering smooths: fewer extreme-dark pixels, similar mean
     assert abs(fao.mean() - ao.mean()) < 40
+
+
+def test_hdr_frame(app_scene):
+    """hdr_frame() exposes the linear pre-tonemap radiance mean — values
+    above 1.0 survive (the uint8 render() clamps them)."""
+    import numpy as np
+
+    scene, _ = app_scene
+    be = TpuBackend(32, 32, TpuSettings(samples_per_frame=2, max_bounces=1,
+                                        sky_intensity=2.5, clamp=50.0))
+    assert be.hdr_frame() is None
+    scene.meshes_3d.trigger_changed_all()
+    scene._instances_changed = True
+    scene.materials.materials.trigger_changed_all()
+    scene.synchronize(be)
+    from rfw_tpu.scene.camera import Camera3D
+
+    view = Camera3D(fov=45).look_at(np.array([0, 1, 4], np.float32),
+                                    np.zeros(3, np.float32)).get_view(32, 32)
+    be.render(None, view)
+    hdr = be.hdr_frame()
+    assert hdr.shape == (32, 32, 3) and hdr.dtype == np.float32
+    assert hdr.max() > 1.0  # sky_intensity 2.5 passes through linearly
+    assert np.isfinite(hdr).all()
