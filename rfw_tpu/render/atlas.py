@@ -98,6 +98,12 @@ def sample_bilinear(
     valid = tex_id >= 0
     t = jnp.maximum(tex_id, 0)
     max_mip = (atlas.mip_count[t] - 1).astype(jnp.float32)
+    # the integrator's footprint is in 1024-reference texels (wavefront
+    # lod = log2(t*spread*lodf*1024)); rebase to THIS texture's actual
+    # resolution or small textures over-blur (an 8x8 map sampled at a 3m
+    # viewing distance landed on its 1x1 mip) and >1024 maps under-filter
+    w0 = jnp.maximum(atlas.width[t, 0].astype(jnp.float32), 1.0)
+    lod = lod + jnp.log2(w0) - 10.0
     lod = jnp.clip(lod, 0.0, max_mip)
     if trilinear:
         m0 = jnp.floor(lod).astype(jnp.int32)

@@ -227,3 +227,43 @@ class TestMixedLightTypes:
         mad = float(np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1))).max())
         assert mad < 0.035, f"channel-mean abs diff {mad:.4f}"
         assert float(np.abs(a - b).mean()) < 0.07
+
+
+class TestTexturedAlbedoParity:
+    def test_checker_texture_albedo(self):
+        """Textured base color: the oracle's numpy bilinear sampler must
+        match the TPU atlas (same wrap/half-texel/sRGB math) on the ALBEDO
+        AOV at the exact bar (tiny texture keeps both at mip 0)."""
+        from rfw_tpu.scene.materials import Texture
+
+        scene = Scene()
+        checker = np.zeros((8, 8, 4), np.uint8)
+        checker[::2, ::2] = (230, 40, 40, 255)
+        checker[1::2, 1::2] = (230, 40, 40, 255)
+        checker[checker[..., 3] == 0] = (40, 40, 230, 255)
+        checker[..., 3] = 255
+        tid = scene.materials.push_texture(
+            Texture.from_array(checker, srgb=True))
+        m = scene.add_material(Material(
+            color=np.array([1, 1, 1, 1], np.float32), roughness=1.0,
+            diffuse_tex=tid))
+        qid = scene.add_3d_object(quad3d(normal=(0, 0, 1), position=(0, 0, 0),
+                                         width=2, height=2, material_id=m))
+        scene.add_3d_instance(qid)
+
+        settings = TpuSettings(samples_per_frame=1, max_bounces=0,
+                               pixel_center=True)
+        bt, bc = _pair(scene, settings)
+        cam = Camera3D(fov=40).look_at(np.array([0, 0, 3.0], np.float32),
+                                       np.zeros(3, np.float32))
+        view = cam.get_view(W, H)
+        ft = bt.render(None, view, RenderMode.ALBEDO)
+        fc = bc.render(None, view, RenderMode.ALBEDO)
+        e = rmse(ft, fc)
+        # filtering parity: within ~1 uint8 step per pixel (bilinear
+        # weight rounding differs in the last ulp between numpy and XLA)
+        assert e <= 4e-3, f"textured albedo RMSE {e:.5f}"
+        # and the checker actually shows (two distinct colors present)
+        reds = (ft[..., 0] > 150) & (ft[..., 2] < 100)
+        blues = (ft[..., 2] > 150) & (ft[..., 0] < 100)
+        assert reds.sum() > 50 and blues.sum() > 50
