@@ -1,0 +1,160 @@
+"""Two-phase (treelet-binned) traversal — phase A: TLAS entry enumeration.
+
+The round-3 attack on the incoherent-ray gap (docs/ROUND2.md): bounce rays
+re-binned not by a spatial sort key but by the actual BLAS they are about
+to walk. Phase A walks ONLY the TLAS per ray (the pica TLAS is ~1.3k
+binary wide-nodes — microseconds of work per front) and emits each ray's
+K nearest instance entries (slab entry t + instance id). Phase B (round
+3) expands to (ray, entry) items, sorts by instance, and traces each item
+against a single BLAS with sub-tiles that are coherent by construction.
+
+This module lands phase A standalone and CPU-validated so the round-3
+kernel work starts from a tested building block. Pure jnp; vectorized
+per-ray walk with a fixed-depth stack and a branchless K-nearest insert.
+
+Reference anchor: the reference's TLAS/BLAS split itself
+(backends/gpu-rt/src/lib.rs two-level MBVH; intersection.glsl:106-167) —
+the *binning* of rays by BLAS is the TPU-specific addition.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from rfw_tpu.render.intersect import T_MAX, T_MIN
+
+#: fixed walk stack depth: the TLAS over I instances is ~2*log2(I) deep
+#: with SAH splits; 48 covers far beyond 10k instances
+STACK_DEPTH = 48
+#: while-loop safety cap (wrong-but-terminating on malformed trees)
+MAX_ITERS = 1 << 14
+
+
+class TlasEntries(NamedTuple):
+    t_entry: jax.Array  # (R,K) f32 slab entry t, ascending; +inf = none
+    inst: jax.Array  # (R,K) i32 instance id; -1 = none
+
+
+def _slab(o, inv_d, box, t_limit):
+    """Entry t of ray vs (R,6) [min3|max3] box; +inf on miss. Inverted
+    (empty-marker) boxes slab as tn=-inf/tf=+inf and would always 'hit' —
+    gate on box validity."""
+    t0 = (box[:, 0:3] - o) * inv_d
+    t1 = (box[:, 3:6] - o) * inv_d
+    tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+    tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+    valid = jnp.all(box[:, 0:3] <= box[:, 3:6], axis=-1)
+    hit = valid & (tn <= tf) & (tf > T_MIN) & (tn < t_limit)
+    return jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def tlas_entries(
+    tlas_wide_f: jax.Array,  # (N,12) [lmin,lmax,rmin,rmax]
+    tlas_wide_i: jax.Array,  # (N,4)  [l_code, r_code, ...]; code<0: inst -c-1
+    ray_o: jax.Array,  # (R,3)
+    ray_d: jax.Array,  # (R,3)
+    t_limit=T_MAX,
+    K: int = 8,
+) -> TlasEntries:
+    """Per ray, the K nearest TLAS leaf (instance) entries, sorted by slab
+    entry t. Rays intersecting more than K instance boxes keep the K
+    nearest — phase B must treat a FULL K-list as possibly truncated (the
+    closest true hit is still inside the kept K when every kept entry is
+    nearer than the first dropped one; a full list with a hit beyond
+    t_entry[K-1] falls back to the classic kernel)."""
+    R = ray_o.shape[0]
+    i32 = jnp.int32
+    t_lim = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(ray_d) < 1e-20, jnp.where(ray_d < 0, -1e-20, 1e-20), ray_d
+    )
+
+    class _S(NamedTuple):
+        node: jax.Array
+        sp: jax.Array
+        stack: jax.Array
+        done: jax.Array
+        ts: jax.Array
+        ins: jax.Array
+        iters: jax.Array
+
+    def insert(ts, ins, tn, iid, do):
+        """Branchless sorted insert of (tn, iid) where `do`; keeps K
+        smallest. ts (R,K) ascending."""
+        tn = jnp.where(do, tn, jnp.inf)
+        iid = jnp.where(do, iid, -1)
+        for j in range(K):
+            take = tn < ts[:, j]
+            # swap (tn,iid) with slot j where take; the displaced value
+            # bubbles to later slots
+            old_t, old_i = ts[:, j], ins[:, j]
+            ts = ts.at[:, j].set(jnp.where(take, tn, old_t))
+            ins = ins.at[:, j].set(jnp.where(take, iid, old_i))
+            tn = jnp.where(take, old_t, tn)
+            iid = jnp.where(take, old_i, iid)
+        return ts, ins
+
+    def body(st: _S) -> _S:
+        need = (st.node == -1) & ~st.done
+        can_pop = need & (st.sp > 0)
+        newly_done = need & (st.sp == 0)
+        sp = jnp.where(can_pop, st.sp - 1, st.sp)
+        popped = st.stack[jnp.arange(R), jnp.maximum(sp, 0)]
+        node = jnp.where(can_pop, popped, st.node)
+        done = st.done | newly_done
+        active = ~done & (node >= 0)
+
+        n = jnp.maximum(node, 0)
+        wf = tlas_wide_f[n]  # (R,12)
+        wi = tlas_wide_i[n]  # (R,4)
+        tl = _slab(ray_o, inv_d, wf[:, 0:6], t_lim)
+        tr = _slab(ray_o, inv_d, wf[:, 6:12], t_lim)
+        l_code = wi[:, 0]
+        r_code = wi[:, 1]
+
+        ts, ins = st.ts, st.ins
+        # leaf children record entries
+        l_leaf = active & (l_code < 0) & jnp.isfinite(tl)
+        r_leaf = active & (r_code < 0) & jnp.isfinite(tr)
+        ts, ins = insert(ts, ins, tl, -l_code - 1, l_leaf)
+        ts, ins = insert(ts, ins, tr, -r_code - 1, r_leaf)
+
+        # internal children continue the walk (near one descends, far one
+        # pushes — order only matters for stack depth here)
+        l_int = active & (l_code >= 0) & jnp.isfinite(tl)
+        r_int = active & (r_code >= 0) & jnp.isfinite(tr)
+        both = l_int & r_int
+        l_near = tl <= tr
+        first = jnp.where(both, jnp.where(l_near, l_code, r_code),
+                          jnp.where(l_int, l_code, r_code))
+        second = jnp.where(l_near, r_code, l_code)
+        next_node = jnp.where(l_int | r_int, first, -1)
+        stack = st.stack.at[jnp.arange(R), jnp.minimum(sp, STACK_DEPTH - 1)].set(
+            jnp.where(both, second, st.stack[jnp.arange(R),
+                                             jnp.minimum(sp, STACK_DEPTH - 1)])
+        )
+        sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+
+        node = jnp.where(active, next_node, jnp.where(done, node, -1))
+        return _S(node=node, sp=sp, stack=stack, done=done, ts=ts, ins=ins,
+                  iters=st.iters + 1)
+
+    def cond(st: _S):
+        return jnp.any(~st.done) & (st.iters < MAX_ITERS)
+
+    init = _S(
+        node=jnp.zeros(R, i32),  # pack asserts the wide TLAS root is 0
+        sp=jnp.zeros(R, i32),
+        stack=jnp.zeros((R, STACK_DEPTH), i32),
+        done=jnp.zeros(R, bool),
+        ts=jnp.full((R, K), jnp.inf, jnp.float32),
+        ins=jnp.full((R, K), -1, i32),
+        iters=jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return TlasEntries(t_entry=out.ts, inst=out.ins)

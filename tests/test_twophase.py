@@ -1,0 +1,103 @@
+"""Two-phase traversal, phase A: per-ray TLAS entry enumeration vs a
+numpy all-instances oracle (round-3 building block; docs/ROUND2.md)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from rfw_tpu.mathx import Aabb, aabb_transform, compose_trs, quat_identity
+from rfw_tpu.models import cube, sphere
+from rfw_tpu.render import pack_trace_scene
+from rfw_tpu.render.twophase import tlas_entries
+
+from tests.test_traversal import make_rays
+from tests.test_tlas_device import _random_instances
+
+
+def _oracle_entries(o, d, wmin, wmax, K):
+    """All-instance slab entries, K nearest per ray."""
+    inv = 1.0 / np.where(np.abs(d) < 1e-20, np.where(d < 0, -1e-20, 1e-20), d)
+    t0 = (wmin[None] - o[:, None]) * inv[:, None]
+    t1 = (wmax[None] - o[:, None]) * inv[:, None]
+    tn = np.minimum(t0, t1).max(-1)
+    tf = np.maximum(t0, t1).min(-1)
+    hit = (tn <= tf) & (tf > 1e-5)
+    te = np.where(hit, np.maximum(tn, 0.0), np.inf)
+    order = np.argsort(te, axis=1)[:, :K]
+    ts = np.take_along_axis(te, order, axis=1)
+    ins = np.where(np.isfinite(ts), order, -1)
+    return ts, ins
+
+
+def test_entries_match_oracle(rng):
+    n_a, n_b = 11, 6
+    mesh = sphere(quality=1)
+    box = cube()
+    mats_a = _random_instances(rng, n_a)
+    mats_b = _random_instances(rng, n_b)
+    scene = pack_trace_scene(
+        [(0, mesh, None), (1, box, None)],
+        [(0, mats_a), (1, mats_b)],
+    )
+    # instance world boxes exactly as pack computes them
+    lmin = np.stack([(mesh if s == 0 else box).aabb_min
+                     for s in scene.inst_mesh[:n_a + n_b]])
+    lmax = np.stack([(mesh if s == 0 else box).aabb_max
+                     for s in scene.inst_mesh[:n_a + n_b]])
+    wb = aabb_transform(Aabb(lmin, lmax), scene.inst_matrix[:n_a + n_b])
+
+    K = 8
+    o, d = make_rays(512, rng, origin_box=8.0, target_box=6.0)
+    got = tlas_entries(jnp.asarray(scene.tlas_wide_f),
+                       jnp.asarray(scene.tlas_wide_i),
+                       jnp.asarray(o), jnp.asarray(d), K=K)
+    g_ts = np.asarray(got.t_entry)
+    g_in = np.asarray(got.inst)
+    e_ts, e_in = _oracle_entries(o, d, wb.min, wb.max, K)
+
+    # entry COUNTS and the sorted t values agree; instance SETS agree
+    # (ties can permute ids at equal t)
+    np.testing.assert_allclose(
+        np.where(np.isfinite(g_ts), g_ts, 1e30),
+        np.where(np.isfinite(e_ts), e_ts, 1e30), rtol=1e-4, atol=1e-4)
+    for r in range(0, 512, 7):
+        got_set = set(int(i) for i in g_in[r] if i >= 0)
+        exp_set = set(int(i) for i in e_in[r] if i >= 0)
+        assert got_set == exp_set, (r, got_set, exp_set)
+
+
+def test_single_instance_and_misses(rng):
+    mesh = cube()
+    scene = pack_trace_scene(
+        [(0, mesh, None)], [(0, np.eye(4, dtype=np.float32)[None])])
+    o = np.array([[0, 0, 4], [9, 9, 9]], np.float32)
+    d = np.array([[0, 0, -1], [1, 0, 0]], np.float32)
+    got = tlas_entries(jnp.asarray(scene.tlas_wide_f),
+                       jnp.asarray(scene.tlas_wide_i),
+                       jnp.asarray(o), jnp.asarray(d), K=4)
+    ins = np.asarray(got.inst)
+    ts = np.asarray(got.t_entry)
+    assert ins[0, 0] == 0 and np.isfinite(ts[0, 0])
+    assert (ins[0, 1:] == -1).all()
+    assert (ins[1] == -1).all() and not np.isfinite(ts[1]).any()
+
+
+def test_truncation_keeps_nearest(rng):
+    """More overlapping instances than K: the kept K are the nearest."""
+    n = 12
+    mats = []
+    for i in range(n):  # boxes stacked along the ray
+        t = np.array([0, 0, -float(i)], np.float32)
+        mats.append(compose_trs(t, quat_identity(), np.ones(3, np.float32)))
+    mesh = cube()
+    scene = pack_trace_scene([(0, mesh, None)], [(0, np.stack(mats))])
+    o = np.array([[0, 0, 6.0]], np.float32)
+    d = np.array([[0, 0, -1.0]], np.float32)
+    K = 4
+    got = tlas_entries(jnp.asarray(scene.tlas_wide_f),
+                       jnp.asarray(scene.tlas_wide_i),
+                       jnp.asarray(o), jnp.asarray(d), K=K)
+    ins = np.asarray(got.inst)[0]
+    ts = np.asarray(got.t_entry)[0]
+    assert np.isfinite(ts).all()
+    assert (np.diff(ts) >= -1e-6).all()  # ascending
+    assert set(ins.tolist()) == {0, 1, 2, 3}  # the 4 nearest boxes
