@@ -158,3 +158,175 @@ def tlas_entries(
     )
     out = jax.lax.while_loop(cond, body, init)
     return TlasEntries(t_entry=out.ts, inst=out.ins)
+
+
+# --------------------------------------------------------- phase B (reference)
+def _blas_walk_items(scene, o_obj, d_obj, roots, valid, t_limit):
+    """Vectorized single-BLAS walk for N independent items (object-space
+    rays + per-item wide-BLAS roots). The reference implementation of
+    phase B's inner trace: every item walks ONE tree from its root — the
+    coherence the Pallas phase-B kernel will exploit by tiling items of
+    the same instance together. Returns per-item (t, prim, u, v).
+
+    Leaf encoding matches render.packet: pack TREELET-aligns leaf firsts,
+    so a leaf child packs as -(first + count-1) - 2 and decodes from the
+    low bits."""
+    from rfw_tpu.accel.bvh_cpu import TREELET
+    from rfw_tpu.render.intersect import _moller_trumbore
+
+    TSHIFT = TREELET.bit_length() - 1
+    N = o_obj.shape[0]
+    i32 = jnp.int32
+    wf = jnp.asarray(scene.blas_wide_f)
+    wi = jnp.asarray(scene.blas_wide_i)
+    tri_v0 = jnp.asarray(scene.tri_v0)
+    tri_e1 = jnp.asarray(scene.tri_e1)
+    tri_e2 = jnp.asarray(scene.tri_e2)
+    n_tri = tri_v0.shape[0]
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(d_obj) < 1e-20, jnp.where(d_obj < 0, -1e-20, 1e-20), d_obj
+    )
+
+    class _S(NamedTuple):
+        node: jax.Array
+        sp: jax.Array
+        stack: jax.Array
+        done: jax.Array
+        t: jax.Array
+        prim: jax.Array
+        u: jax.Array
+        v: jax.Array
+        iters: jax.Array
+
+    def slab(box6, t_best):
+        t0 = (box6[:, 0:3] - o_obj) * inv_d
+        t1 = (box6[:, 3:6] - o_obj) * inv_d
+        tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
+        tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
+        ok = jnp.all(box6[:, 0:3] <= box6[:, 3:6], axis=-1)
+        return ok & (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+
+    rows = jnp.arange(N)
+
+    def body(st: _S) -> _S:
+        need = (st.node == -1) & ~st.done
+        can_pop = need & (st.sp > 0)
+        newly_done = need & (st.sp == 0)
+        sp = jnp.where(can_pop, st.sp - 1, st.sp)
+        node = jnp.where(can_pop, st.stack[rows, jnp.maximum(sp, 0)], st.node)
+        done = st.done | newly_done
+        active = ~done & (node != -1)
+
+        # ---- internal: test both children ----
+        is_int = active & (node >= 0)
+        n = jnp.maximum(node, 0)
+        f = wf[n]
+        w = wi[n]
+        lh = is_int & slab(f[:, 0:6], st.t)
+        rh = is_int & slab(f[:, 6:12], st.t)
+
+        def enc(code, cnt):
+            first = -code - 1
+            leaf = -(first + jnp.minimum(cnt - 1, TREELET - 1)) - 2
+            return jnp.where(code >= 0, code, leaf)
+
+        le = enc(w[:, 0], w[:, 2])
+        re_ = enc(w[:, 1], w[:, 3])
+        both = lh & rh
+        nxt = jnp.where(lh, le, jnp.where(rh, re_, -1))
+        stack = st.stack.at[rows, jnp.minimum(sp, STACK_DEPTH - 1)].set(
+            jnp.where(both, re_,
+                      st.stack[rows, jnp.minimum(sp, STACK_DEPTH - 1)]))
+        sp = jnp.where(both, jnp.minimum(sp + 1, STACK_DEPTH), sp)
+
+        # ---- leaf (node <= -2): test its triangles ----
+        is_leaf = active & (node <= -2)
+        lv = jnp.maximum(-node - 2, 0)
+        first = (lv >> TSHIFT) << TSHIFT
+        count = jnp.where(is_leaf, (lv & (TREELET - 1)) + 1, 0)
+        t_best, prim, uu, vv = st.t, st.prim, st.u, st.v
+
+        def leaf_step(k, carry):
+            t_best, prim, uu, vv = carry
+            tri = jnp.minimum(first + k, max(n_tri - 1, 0))
+            ok, tq, uq, vq = _moller_trumbore(
+                o_obj, d_obj, tri_v0[tri], tri_e1[tri], tri_e2[tri])
+            ok = ok & (k < count) & (tq > T_MIN) & (tq < t_best)
+            t_best = jnp.where(ok, tq, t_best)
+            prim = jnp.where(ok, tri.astype(i32), prim)
+            uu = jnp.where(ok, uq, uu)
+            vv = jnp.where(ok, vq, vv)
+            return t_best, prim, uu, vv
+
+        t_best, prim, uu, vv = jax.lax.fori_loop(
+            0, TREELET, leaf_step, (t_best, prim, uu, vv))
+
+        node = jnp.where(is_int, nxt, jnp.where(active, -1, node))
+        return _S(node=node, sp=sp, stack=stack, done=done,
+                  t=t_best, prim=prim, u=uu, v=vv, iters=st.iters + 1)
+
+    def cond(st: _S):
+        return jnp.any(~st.done) & (st.iters < MAX_ITERS)
+
+    t_lim = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (N,))
+    init = _S(
+        node=jnp.where(valid, roots, -1),
+        sp=jnp.zeros(N, i32),
+        stack=jnp.zeros((N, STACK_DEPTH), i32),
+        done=~valid,
+        t=t_lim,
+        prim=jnp.full(N, -1, i32),
+        u=jnp.zeros(N, jnp.float32),
+        v=jnp.zeros(N, jnp.float32),
+        iters=jnp.int32(0),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+    return out.t, out.prim, out.u, out.v
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def twophase_closest_hit(scene, ray_o, ray_d, t_limit=T_MAX, K: int = 8):
+    """Reference two-phase closest hit: phase A TLAS entries -> (ray,
+    entry) items -> per-item single-BLAS walks -> per-ray min-t merge.
+
+    Semantics note on truncation: rays whose K-list filled AND whose best
+    hit lies beyond the last kept entry t may have missed a nearer hit in
+    a dropped instance; `truncated` marks them for a fallback retrace.
+    Returns (Hit-tuple fields, truncated mask)."""
+    from rfw_tpu.render.intersect import Hit
+
+    R = ray_o.shape[0]
+    ents = tlas_entries(
+        jnp.asarray(scene.tlas_wide_f), jnp.asarray(scene.tlas_wide_i),
+        ray_o, ray_d, t_limit, K=K)
+
+    # expand to items (R*K): object-space rays per entry instance
+    inst = ents.inst.reshape(-1)
+    valid = inst >= 0
+    iid = jnp.maximum(inst, 0)
+    inv = jnp.asarray(scene.inst_inv)[iid][:, :3, :]  # (N,3,4)
+    o_rep = jnp.repeat(ray_o, K, axis=0)
+    d_rep = jnp.repeat(ray_d, K, axis=0)
+    o_obj = jnp.einsum("nab,nb->na", inv[:, :, :3], o_rep) + inv[:, :, 3]
+    d_obj = jnp.einsum("nab,nb->na", inv[:, :, :3], d_rep)
+    roots = jnp.asarray(scene.blas_wide_root)[iid]
+
+    t, prim, u, v = _blas_walk_items(scene, o_obj, d_obj, roots, valid,
+                                     t_limit)
+
+    # per-ray min-t merge over the K item slots
+    t = t.reshape(R, K)
+    prim = prim.reshape(R, K)
+    u = u.reshape(R, K)
+    v = v.reshape(R, K)
+    j = jnp.argmin(t, axis=1)
+    rows = jnp.arange(R)
+    prim_sel = prim[rows, j]
+    hit = Hit(
+        t[rows, j], prim_sel,
+        jnp.where(prim_sel >= 0, ents.inst[rows, j], -1),
+        u[rows, j], v[rows, j],
+    )
+    full = ents.inst[:, K - 1] >= 0
+    truncated = full & (hit.t > ents.t_entry[:, K - 1])
+    return hit, truncated

@@ -101,3 +101,62 @@ def test_truncation_keeps_nearest(rng):
     assert np.isfinite(ts).all()
     assert (np.diff(ts) >= -1e-6).all()  # ascending
     assert set(ins.tolist()) == {0, 1, 2, 3}  # the 4 nearest boxes
+
+
+def test_twophase_matches_classic(rng):
+    """Phase A+B end-to-end: the two-phase closest hit equals the classic
+    two-level walker on multi-instance scenes (K large enough)."""
+    from rfw_tpu.render import bvh_closest_hit
+    from rfw_tpu.render.twophase import twophase_closest_hit
+    from tests.test_traversal import scene_dev
+
+    mesh = sphere(quality=1)
+    box = cube()
+    scene = pack_trace_scene(
+        [(0, mesh, None), (1, box, None)],
+        [(0, _random_instances(rng, 7)), (1, _random_instances(rng, 4))],
+    )
+    sd = scene_dev(scene)
+    o, d = make_rays(512, rng, origin_box=8.0, target_box=6.0)
+    ref = bvh_closest_hit(sd, jnp.asarray(o), jnp.asarray(d))
+    got, trunc = twophase_closest_hit(sd, jnp.asarray(o), jnp.asarray(d), K=8)
+
+    m_ref = np.asarray(ref.prim) >= 0
+    m_got = np.asarray(got.prim) >= 0
+    tr = np.asarray(trunc)
+    # non-truncated rays agree exactly
+    ok = ~tr
+    assert (m_ref[ok] == m_got[ok]).all()
+    both = ok & m_ref & m_got
+    np.testing.assert_allclose(np.asarray(got.t)[both],
+                               np.asarray(ref.t)[both],
+                               rtol=1e-4, atol=1e-4)
+    assert (np.asarray(got.prim)[both] == np.asarray(ref.prim)[both]).all()
+    assert tr.mean() < 0.2  # truncation is the exception at K=8
+
+
+def test_twophase_truncation_flag(rng):
+    """With K smaller than the overlap depth, truncated rays are flagged
+    (and the fallback contract is: retrace those with the classic kernel)."""
+    from rfw_tpu.render import bvh_closest_hit
+    from rfw_tpu.render.twophase import twophase_closest_hit
+    from tests.test_traversal import scene_dev
+
+    # 12 boxes stacked along -z; a ray entering all of them with K=2 can
+    # only prove hits inside its nearest 2 entries
+    n = 12
+    mats = []
+    for i in range(n):
+        t = np.array([0, 0, -2.0 * i], np.float32)
+        mats.append(compose_trs(t, quat_identity(), np.ones(3, np.float32)))
+    mesh = cube()
+    scene = pack_trace_scene([(0, mesh, None)], [(0, np.stack(mats))])
+    sd = scene_dev(scene)
+    o = jnp.asarray(np.array([[0, 0, 6.0]], np.float32))
+    d = jnp.asarray(np.array([[0, 0, -1.0]], np.float32))
+    got, trunc = twophase_closest_hit(sd, o, d, K=2)
+    ref = bvh_closest_hit(sd, o, d)
+    # the nearest box IS within the first entries here, so the hit agrees
+    assert np.asarray(got.prim)[0] == np.asarray(ref.prim)[0]
+    # merge semantics: combined result never closer than the truth
+    assert np.asarray(got.t)[0] >= np.asarray(ref.t)[0] - 1e-5
