@@ -21,9 +21,9 @@ path:
   * plain numpy RNG (Philox via default_rng), no Sobol;
   * pixel-center primaries by default (deterministic AOVs).
 
-Not supported (documented scope): transmission/refraction lobes, normal
-mapping, skybox textures (constant sky only), 2D overlay. Oracle tests use
-scenes inside this envelope.
+Not supported (documented scope): transmission/refraction lobes, skybox
+textures (constant sky only), 2D overlay. Oracle tests use scenes inside
+this envelope.
 """
 
 from __future__ import annotations
@@ -207,6 +207,7 @@ class CpuReferenceBackend:
         v0s, e1s, e2s = [], [], []
         n0s, n1s, n2s = [], [], []
         uv0s, uv1s, uv2s = [], [], []
+        tgs = []
         mats, lids = [], []
         for slot, iv in self._instances.items():
             if slot not in self._meshes or iv.count == 0:
@@ -226,6 +227,7 @@ class CpuReferenceBackend:
             p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
             n0, n1, n2 = (mv.normals[idx[:, k]] for k in range(3))
             u0, u1, u2 = (mv.uvs[idx[:, k]] for k in range(3))
+            tg0 = mv.tangents[idx[:, 0]]  # corner-0 tangent xyz + handed
             for m in iv.matrices:
                 r, t = m[:3, :3], m[:3, 3]
                 nrm = np.linalg.inv(r).T  # normal matrix
@@ -239,6 +241,8 @@ class CpuReferenceBackend:
                 uv0s.append(u0)
                 uv1s.append(u1)
                 uv2s.append(u2)
+                tgs.append(np.concatenate(
+                    [tg0[:, :3] @ r.T, tg0[:, 3:4]], axis=1))
                 mats.append(mv.tri_material)
                 lids.append(mv.tri_light)
         if not v0s:
@@ -254,6 +258,7 @@ class CpuReferenceBackend:
             uv0=np.concatenate(uv0s).astype(np.float32),
             uv1=np.concatenate(uv1s).astype(np.float32),
             uv2=np.concatenate(uv2s).astype(np.float32),
+            tg=np.concatenate(tgs).astype(np.float32),
             mat=np.concatenate(mats).astype(np.int32),
             light=np.concatenate(lids).astype(np.int32),
         )
@@ -291,7 +296,17 @@ class CpuReferenceBackend:
         flip = np.sum(ng * ray_d, -1) > 0
         ng = np.where(flip[:, None], -ng, ng)
         ns = np.where(np.sum(ns * ng, -1)[:, None] < 0, -ns, ns)
-        return ns.astype(np.float32), ng.astype(np.float32), uv.astype(np.float32)
+        # tangent frame (matches wavefront._shading_basis: Gram-Schmidt the
+        # corner-0 tangent against ns, fallback frame where degenerate)
+        tg = w["tg"][prim]
+        tan = tg[:, :3] - ns * np.sum(tg[:, :3] * ns, -1, keepdims=True)
+        tlen = np.linalg.norm(tan, axis=-1, keepdims=True)
+        t_fb, _ = _frames(ns)
+        tan = np.where(tlen > 1e-6, tan / np.maximum(tlen, 1e-12), t_fb)
+        bitan = np.cross(ns, tan) * tg[:, 3:4]
+        ns = ns.astype(np.float32)
+        return ns, ng.astype(np.float32), uv.astype(np.float32), \
+            tan.astype(np.float32), bitan.astype(np.float32)
 
     def _albedo(self, mat_id, uv) -> np.ndarray:
         m = self._materials
@@ -392,6 +407,41 @@ class CpuReferenceBackend:
                 self._area.radiance[i][None] / np.maximum(pdf_sa, 1e-8)[:, None])
         return total
 
+    def _normal_map(self, mat_id, uv, ns, tan, bitan):
+        """Apply tangent-space normal maps (linear data; matches the
+        integrator's n_ts transform)."""
+        m = self._materials
+        tex_id = m.tex[mat_id][:, 1]
+        has = tex_id >= 0
+        if not has.any():
+            return ns
+        out = ns.copy()
+        for t in np.unique(tex_id[has]):
+            sel = np.where(tex_id == t)[0]
+            tv = self._textures.get(int(t))
+            if tv is None:
+                continue
+            img = tv.mips[0].astype(np.float32) / 255.0  # linear (srgb=False)
+            h, wd = img.shape[:2]
+            fu = (uv[sel, 0] % 1.0) * wd - 0.5
+            fv = (uv[sel, 1] % 1.0) * h - 0.5
+            x0 = np.floor(fu).astype(int) % wd
+            y0 = np.floor(fv).astype(int) % h
+            ax = (fu - np.floor(fu))[:, None]
+            ay = (fv - np.floor(fv))[:, None]
+            x1 = (x0 + 1) % wd
+            y1 = (y0 + 1) % h
+            texel = (img[y0, x0, :3] * (1 - ax) * (1 - ay)
+                     + img[y0, x1, :3] * ax * (1 - ay)
+                     + img[y1, x0, :3] * (1 - ax) * ay
+                     + img[y1, x1, :3] * ax * ay)
+            n_ts = texel * 2.0 - 1.0
+            nw = (n_ts[:, 0:1] * tan[sel] + n_ts[:, 1:2] * bitan[sel]
+                  + n_ts[:, 2:3] * ns[sel])
+            nw /= np.maximum(np.linalg.norm(nw, axis=-1, keepdims=True), 1e-12)
+            out[sel] = nw
+        return out.astype(np.float32)
+
     def _mat_cols(self, mat_id, uv):
         m = self._materials
         par = m.params[mat_id]
@@ -431,8 +481,9 @@ class CpuReferenceBackend:
         t, prim, u, v = brute_force_closest(o, d, w["v0"], w["e1"], w["e2"])
         found = prim >= 0
         prim_s = np.maximum(prim, 0)
-        ns, ng, uv = self._shade_point(w, d, prim_s, u, v)
+        ns, ng, uv, tan, bitan = self._shade_point(w, d, prim_s, u, v)
         mat_id = w["mat"][prim_s]
+        ns = self._normal_map(mat_id, uv, ns, tan, bitan)
         cols = self._mat_cols(mat_id, uv)
 
         if mode == RenderMode.NORMAL:
@@ -483,9 +534,11 @@ class CpuReferenceBackend:
                 break
             prim_h = prim[found]
             dh = d[hit]
-            ns, ng, uv = self._shade_point(w, dh, prim_h, u[found], v[found])
+            ns, ng, uv, tan, bitan = self._shade_point(
+                w, dh, prim_h, u[found], v[found])
             p = o[hit] + t[found][:, None] * dh
             mat_id = w["mat"][prim_h]
+            ns = self._normal_map(mat_id, uv, ns, tan, bitan)
             cols = self._mat_cols(mat_id, uv)
             # emission: FIRST hit only (NEE covers later segments)
             if depth == 0:

@@ -267,3 +267,38 @@ class TestTexturedAlbedoParity:
         reds = (ft[..., 0] > 150) & (ft[..., 2] < 100)
         blues = (ft[..., 2] > 150) & (ft[..., 0] < 100)
         assert reds.sum() > 50 and blues.sum() > 50
+
+
+class TestNormalMapParity:
+    def test_tilted_normal_map(self):
+        """A constant tilted tangent-space normal map: both backends build
+        the same tangent frame and transform — NORMAL AOV at the exact
+        bar, and the normals genuinely tilt away from the geometric one."""
+        from rfw_tpu.scene.materials import Texture
+
+        scene = Scene()
+        nm = np.zeros((8, 8, 4), np.uint8)
+        # n_ts = (0.39, 0.0, 0.92) encoded as (n*0.5+0.5)*255
+        nm[...] = (177, 128, 245, 255)
+        tid = scene.materials.push_texture(
+            Texture.from_array(nm, srgb=False))
+        m = scene.add_material(Material(
+            color=np.array([0.7, 0.7, 0.7, 1], np.float32), roughness=1.0,
+            normal_tex=tid))
+        qid = scene.add_3d_object(quad3d(normal=(0, 0, 1), position=(0, 0, 0),
+                                         width=2, height=2, material_id=m))
+        scene.add_3d_instance(qid)
+
+        settings = TpuSettings(samples_per_frame=1, max_bounces=0,
+                               pixel_center=True)
+        bt, bc = _pair(scene, settings)
+        cam = Camera3D(fov=40).look_at(np.array([0, 0, 3.0], np.float32),
+                                       np.zeros(3, np.float32))
+        view = cam.get_view(W, H)
+        ft = bt.render(None, view, RenderMode.NORMAL)
+        fc = bc.render(None, view, RenderMode.NORMAL)
+        e = rmse(ft, fc)
+        assert e <= 2e-3, f"normal-mapped NORMAL RMSE {e:.5f}"
+        # the mapped normal tilts: red channel (x) well above the 0.5 mid
+        center = ft[H // 2 - 4:H // 2 + 4, W // 2 - 4:W // 2 + 4, 0]
+        assert center.mean() > 150, center.mean()
