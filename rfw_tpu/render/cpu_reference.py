@@ -21,9 +21,8 @@ path:
   * plain numpy RNG (Philox via default_rng), no Sobol;
   * pixel-center primaries by default (deterministic AOVs).
 
-Not supported (documented scope): transmission/refraction lobes, skybox
-textures (constant sky only), 2D overlay. Oracle tests use scenes inside
-this envelope.
+Not supported (documented scope): transmission/refraction lobes and the
+2D overlay. Oracle tests use scenes inside this envelope.
 """
 
 from __future__ import annotations
@@ -149,6 +148,7 @@ class CpuReferenceBackend:
         self._spot = SpotLightsView.empty()
         self._area = AreaLightsView.empty()
         self._directional = DirectionalLightsView.empty()
+        self._skybox: Optional[TextureView] = None
 
         self._world = None  # flattened scene dict after synchronize()
 
@@ -180,7 +180,7 @@ class CpuReferenceBackend:
             self._textures[i] = v
 
     def set_skybox(self, skybox: Optional[TextureView]) -> None:
-        pass  # constant sky only
+        self._skybox = skybox
 
     def set_point_lights(self, lights: PointLightsView) -> None:
         self._point = lights
@@ -343,6 +343,34 @@ class CpuReferenceBackend:
                 )
                 color[sel] *= texel
         return color.astype(np.float32)
+
+    def _sky(self, d: np.ndarray) -> np.ndarray:
+        """Sky radiance for miss directions: constant, or the equirect
+        env map (same mapping as the integrator: u = atan2(z,x)/2pi+0.5,
+        v = acos(y)/pi; bilinear, sRGB-decoded)."""
+        base = float(self.settings.sky_intensity)
+        if self._skybox is None:
+            return np.full((d.shape[0], 3), base, np.float32)
+        img = self._skybox.mips[0].astype(np.float32) / 255.0
+        if getattr(self._skybox, "srgb", True):
+            img = np.where(img <= 0.04045, img / 12.92,
+                           ((img + 0.055) / 1.055) ** 2.4)
+        h, wd = img.shape[:2]
+        u = np.arctan2(d[:, 2], d[:, 0]) / (2.0 * np.pi) + 0.5
+        v = np.arccos(np.clip(d[:, 1], -1.0, 1.0)) / np.pi
+        fu = (u % 1.0) * wd - 0.5
+        fv = (v % 1.0) * h - 0.5
+        x0 = np.floor(fu).astype(int) % wd
+        y0 = np.floor(fv).astype(int) % h
+        ax = (fu - np.floor(fu))[:, None]
+        ay = (fv - np.floor(fv))[:, None]
+        x1 = (x0 + 1) % wd
+        y1 = (y0 + 1) % h
+        texel = (img[y0, x0, :3] * (1 - ax) * (1 - ay)
+                 + img[y0, x1, :3] * ax * (1 - ay)
+                 + img[y1, x0, :3] * (1 - ax) * ay
+                 + img[y1, x1, :3] * ax * ay)
+        return (texel * base).astype(np.float32)
 
     def _occluded(self, o, d, dist) -> np.ndarray:
         w = self._world
@@ -526,9 +554,9 @@ class CpuReferenceBackend:
             idx = np.where(alive)[0]
             t, prim, u, v = brute_force_closest(o[idx], d[idx], w["v0"], w["e1"], w["e2"])
             found = prim >= 0
-            # sky on miss
-            radiance[idx[~found]] += (throughput[idx[~found]]
-                                      * self.settings.sky_intensity)
+            # sky on miss (constant or equirect env map)
+            miss = idx[~found]
+            radiance[miss] += throughput[miss] * self._sky(d[miss])
             hit = idx[found]
             if hit.size == 0:
                 break

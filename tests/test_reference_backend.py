@@ -28,6 +28,7 @@ def sync_full(scene: Scene, backend) -> None:
     scene.lights.spot.trigger_changed_all()
     scene.lights.directional.trigger_changed_all()
     scene.lights.area_changed = True
+    scene.skybox.trigger_changed()
     scene.skins.trigger_changed_all()
     scene.synchronize(backend)
 
@@ -302,3 +303,30 @@ class TestNormalMapParity:
         # the mapped normal tilts: red channel (x) well above the 0.5 mid
         center = ft[H // 2 - 4:H // 2 + 4, W // 2 - 4:W // 2 + 4, 0]
         assert center.mean() > 150, center.mean()
+
+
+class TestSkyboxParity:
+    def test_equirect_sky(self):
+        """Env-map sampling parity: a two-band sky (green up, blue down)
+        through both backends; miss pixels must agree at the exact bar."""
+        from rfw_tpu.scene.materials import Texture
+
+        scene = Scene()
+        cid = scene.add_3d_object(cube(position=(0, 0, -40), size=(1, 1, 1)))
+        scene.add_3d_instance(cid)
+        sky = np.zeros((8, 16, 4), np.uint8)
+        sky[:4, :, 1] = 220  # upper hemisphere green
+        sky[4:, :, 2] = 220  # lower hemisphere blue
+        sky[..., 3] = 255
+        scene.set_skybox(Texture.from_array(sky, srgb=True))
+
+        settings = TpuSettings(samples_per_frame=1, max_bounces=0,
+                               sky_intensity=1.0, pixel_center=True)
+        bt, bc = _pair(scene, settings)
+        view = Camera3D(fov=60).look_at(np.array([0, 0, 4], np.float32),
+                                        np.zeros(3, np.float32)).get_view(W, H)
+        ft = bt.render(None, view, RenderMode.DEFAULT)
+        fc = bc.render(None, view, RenderMode.DEFAULT)
+        e = rmse(ft, fc)
+        assert e <= 4e-3, f"skybox RMSE {e:.5f}"
+        assert ft[..., 1].mean() > 40  # the sky is actually visible
