@@ -14,15 +14,16 @@ path:
   * world-space triangle soup per frame (instances flattened, skinning
     applied) — no BVH, no packed arenas: brute-force O(R*T) closest hit
     (render.intersect.brute_force_closest);
-  * NEE-only estimator: emitted radiance is collected at the FIRST hit,
-    and every bounce adds direct light from an explicit loop over ALL
-    lights (one area sample each) — a different decomposition than the
-    integrator's power-CDF pick + MIS, unbiased for non-delta BSDFs;
+  * NEE-only estimator: emitted radiance is collected at the first hit
+    (and after delta glass bounces, where NEE cannot reach), and every
+    bounce adds direct light from an explicit loop over ALL lights (one
+    area sample each) — a different decomposition than the integrator's
+    power-CDF pick + MIS, unbiased for these BSDFs;
   * plain numpy RNG (Philox via default_rng), no Sobol;
   * pixel-center primaries by default (deterministic AOVs).
 
-Not supported (documented scope): transmission/refraction lobes and the
-2D overlay. Oracle tests use scenes inside this envelope.
+Not supported (documented scope): only the 2D overlay (composited on
+host by the product backend).
 """
 
 from __future__ import annotations
@@ -294,6 +295,7 @@ class CpuReferenceBackend:
         ng = np.cross(w["e1"][prim], w["e2"][prim])
         ng /= np.maximum(np.linalg.norm(ng, axis=-1, keepdims=True), 1e-12)
         flip = np.sum(ng * ray_d, -1) > 0
+        entering = ~flip  # front-face hit (pre-flip geometric normal)
         ng = np.where(flip[:, None], -ng, ng)
         ns = np.where(np.sum(ns * ng, -1)[:, None] < 0, -ns, ns)
         # tangent frame (matches wavefront._shading_basis: Gram-Schmidt the
@@ -306,7 +308,7 @@ class CpuReferenceBackend:
         bitan = np.cross(ns, tan) * tg[:, 3:4]
         ns = ns.astype(np.float32)
         return ns, ng.astype(np.float32), uv.astype(np.float32), \
-            tan.astype(np.float32), bitan.astype(np.float32)
+            tan.astype(np.float32), bitan.astype(np.float32), entering
 
     def _albedo(self, mat_id, uv) -> np.ndarray:
         m = self._materials
@@ -480,6 +482,9 @@ class CpuReferenceBackend:
             sheen=par[:, 6], sheen_tint=par[:, 7],
             emissive=(m.flags[mat_id] & MATFLAG_EMISSIVE) != 0,
             emission=m.color[mat_id][:, :3],
+            transmission=par[:, 10], eta=np.where(par[:, 11] > 1e-3,
+                                                  par[:, 11], 1.5),
+            absorption=m.absorption[mat_id][:, :3],
         )
 
     def _eval_bsdf(self, cols, ns, wo_world, wi_world):
@@ -509,7 +514,7 @@ class CpuReferenceBackend:
         t, prim, u, v = brute_force_closest(o, d, w["v0"], w["e1"], w["e2"])
         found = prim >= 0
         prim_s = np.maximum(prim, 0)
-        ns, ng, uv, tan, bitan = self._shade_point(w, d, prim_s, u, v)
+        ns, ng, uv, tan, bitan, _ = self._shade_point(w, d, prim_s, u, v)
         mat_id = w["mat"][prim_s]
         ns = self._normal_map(mat_id, uv, ns, tan, bitan)
         cols = self._mat_cols(mat_id, uv)
@@ -547,6 +552,7 @@ class CpuReferenceBackend:
         radiance = np.zeros((R, 3), np.float32)
         throughput = np.ones((R, 3), np.float32)
         alive = np.ones(R, bool)
+        was_delta = np.zeros(R, bool)  # previous bounce was the glass lobe
         eps = 1e-3
         for depth in range(self.settings.max_bounces + 1):
             if not alive.any():
@@ -562,25 +568,39 @@ class CpuReferenceBackend:
                 break
             prim_h = prim[found]
             dh = d[hit]
-            ns, ng, uv, tan, bitan = self._shade_point(
+            ns, ng, uv, tan, bitan, entering = self._shade_point(
                 w, dh, prim_h, u[found], v[found])
             p = o[hit] + t[found][:, None] * dh
             mat_id = w["mat"][prim_h]
             ns = self._normal_map(mat_id, uv, ns, tan, bitan)
             cols = self._mat_cols(mat_id, uv)
-            # emission: FIRST hit only (NEE covers later segments)
-            if depth == 0:
-                em = np.where(cols["emissive"][:, None], cols["emission"], 0.0)
-                radiance[hit] += throughput[hit] * em
-            # direct light
+            trans_w = np.clip(cols["transmission"], 0, 1) * (1 - cols["metallic"])
+            # Beer-Lambert: a backface hit on glass ends an inside segment
+            inside = ~entering & (trans_w > 0)
+            throughput[hit] *= np.where(
+                inside[:, None],
+                np.exp(-cols["absorption"] * t[found][:, None]), 1.0)
+            # emission: first hit, or after a delta (glass) bounce — NEE
+            # cannot reach an emitter through the interface, so the BSDF
+            # path is the sole estimator there (MIS weight 1, like the
+            # integrator's spec_or_first)
+            direct_em = (depth == 0) | was_delta[hit]
+            em = np.where((cols["emissive"] & direct_em)[:, None],
+                          cols["emission"], 0.0)
+            radiance[hit] += throughput[hit] * em
+            # direct light (reflective share only: the glass lobe replaces
+            # (1 - trans_w) of the BSDF, matching disney_eval's blend)
             direct = self._direct_light(p, ns, -dh, cols)
-            radiance[hit] += throughput[hit] * np.clip(
+            radiance[hit] += throughput[hit] * (1 - trans_w)[:, None] * np.clip(
                 direct, 0, self.settings.clamp)
-            # cosine bounce
             if depth == self.settings.max_bounces:
                 break
+            # branch: glass delta lobe with prob trans_w, else cosine bounce
+            pick = self.rng.random(hit.size).astype(np.float32)
+            glass = pick < trans_w
             u1 = self.rng.random(hit.size, dtype=np.float32)
             u2 = self.rng.random(hit.size, dtype=np.float32)
+            # cosine branch
             r = np.sqrt(u1)
             phi = 2 * np.pi * u2
             wi_l = np.stack([r * np.cos(phi), r * np.sin(phi),
@@ -590,13 +610,47 @@ class CpuReferenceBackend:
             f = self._eval_bsdf(cols, ns, -dh, wi)
             pdf = np.maximum(wi_l[:, 2] / np.pi, 1e-8)
             tp = f * (wi_l[:, 2] / pdf)[:, None]
+            # glass branch: GTR2 microfacet + exact Fresnel split (same math
+            # as disney_sample's delta transmission lobe)
+            eta_rel = np.where(entering, 1.0 / cols["eta"], cols["eta"])
+            alpha = np.maximum(1e-3, cols["roughness"] ** 2)
+            cos_h = np.sqrt(np.clip(
+                (1.0 - u1) / (1.0 + (alpha * alpha - 1.0) * u1), 0, 1))
+            sin_h = np.sqrt(np.clip(1 - cos_h ** 2, 0, 1))
+            phi_h = 2 * np.pi * u2
+            h_l = np.stack([sin_h * np.cos(phi_h), sin_h * np.sin(phi_h),
+                            cos_h], -1).astype(np.float32)
+            h = h_l[:, 0:1] * tt + h_l[:, 1:2] * bb + h_l[:, 2:3] * ns
+            wo_w = -dh
+            cos_i = np.clip(np.sum(wo_w * h, -1), 0, 1)
+            sin2_t = eta_rel ** 2 * (1 - cos_i ** 2)
+            tir = sin2_t >= 1.0
+            cos_t = np.sqrt(np.clip(1 - sin2_t, 0, 1))
+            rpar = (eta_rel * cos_i - cos_t) / np.maximum(
+                eta_rel * cos_i + cos_t, 1e-12)
+            rperp = (cos_i - eta_rel * cos_t) / np.maximum(
+                cos_i + eta_rel * cos_t, 1e-12)
+            fr = np.where(tir, 1.0, np.clip(0.5 * (rpar**2 + rperp**2), 0, 1))
+            pick_t = np.where(trans_w > 0, pick / np.maximum(trans_w, 1e-8), 0)
+            do_refl = tir | (pick_t < fr)
+            wi_refl = (2 * cos_i[:, None] * h + dh)
+            wi_refl /= np.maximum(
+                np.linalg.norm(wi_refl, axis=-1, keepdims=True), 1e-12)
+            wi_refr = (dh * eta_rel[:, None]
+                       + (eta_rel * cos_i - cos_t)[:, None] * h)
+            wi_refr /= np.maximum(
+                np.linalg.norm(wi_refr, axis=-1, keepdims=True), 1e-12)
+            wi_g = np.where(do_refl[:, None], wi_refl, wi_refr)
+            tp_g = np.where(do_refl[:, None], 1.0, cols["base"])
+            wi = np.where(glass[:, None], wi_g, wi).astype(np.float32)
+            tp = np.where(glass[:, None], tp_g, tp)
+            side = np.where(np.sum(wi * ng, -1) >= 0, 1.0, -1.0)
             new_alive = np.zeros(R, bool)
-            # emissive surfaces terminate (their light was counted via NEE/first hit)
-            cont = (wi_l[:, 2] > 1e-6) & ~cols["emissive"]
+            cont = (glass | (wi_l[:, 2] > 1e-6)) & ~cols["emissive"]
             new_alive[hit[cont]] = True
+            was_delta[hit] = glass
             throughput[hit] *= np.nan_to_num(tp)
-            o_new = p + ng * eps
-            o[hit] = o_new
+            o[hit] = p + ng * (eps * side)[:, None]
             d[hit] = wi
             alive = new_alive & (np.max(throughput, -1) > 1e-5)
         return radiance

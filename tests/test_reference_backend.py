@@ -330,3 +330,38 @@ class TestSkyboxParity:
         e = rmse(ft, fc)
         assert e <= 4e-3, f"skybox RMSE {e:.5f}"
         assert ft[..., 1].mean() > 40  # the sky is actually visible
+
+
+class TestGlassParity:
+    def test_glass_sphere_statistical(self):
+        """Transmission through both backends: a glass sphere over a lit
+        floor — different estimators, means agree."""
+        scene = Scene()
+        gray = scene.add_material(Material(
+            color=np.array([0.6, 0.6, 0.6, 1], np.float32), roughness=1.0))
+        glass = scene.add_material(Material(
+            color=np.array([1, 1, 1, 1], np.float32), roughness=0.0,
+            specular_f=0.0, transmission=1.0, eta=1.5))
+        fid = scene.add_3d_object(quad3d(normal=(0, 1, 0), position=(0, -1, 0),
+                                         width=8, height=8, material_id=gray))
+        scene.add_3d_instance(fid)
+        sid = scene.add_3d_object(sphere(quality=2, material_id=glass,
+                                         radius=0.6))
+        scene.add_3d_instance(sid)
+
+        w, h, spp = 40, 30, 48
+        settings = TpuSettings(samples_per_frame=spp, max_bounces=6,
+                               clamp=100.0, sky_intensity=1.2,
+                               sampler="sobol")
+        bt = TpuBackend(w, h, settings)
+        bc = CpuReferenceBackend(w, h, settings)
+        bc.pixel_center = False
+        sync_full(scene, bt)
+        sync_full(scene, bc)
+        view = Camera3D(fov=40).look_at(np.array([0, 0.6, 3.4], np.float32),
+                                        np.zeros(3, np.float32)).get_view(w, h)
+        a = bt.render(None, view).astype(np.float32)[..., :3] / 255
+        b = bc.render(None, view).astype(np.float32)[..., :3] / 255
+        mad = float(np.abs(a.mean(axis=(0, 1)) - b.mean(axis=(0, 1))).max())
+        assert mad < 0.04, f"channel-mean abs diff {mad:.4f}"
+        assert float(np.abs(a - b).mean()) < 0.08
