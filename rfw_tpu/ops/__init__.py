@@ -4,3 +4,4 @@ from rfw_tpu.ops.traverse import (
     pallas_occluded,
     prepare_pallas_scene,
 )
+from rfw_tpu.ops.traverse_items import pallas_twophase_closest_hit

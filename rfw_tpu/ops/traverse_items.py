@@ -1,0 +1,514 @@
+"""Pallas phase-B kernel: per-item single-BLAS walks (two-phase traversal).
+
+Round-3 groundwork for the incoherent-ray gap (docs/ROUND2.md "Still
+open"). Phase A (render.twophase.tlas_entries, jnp) walks ONLY the TLAS
+per bounce ray and emits each ray's K nearest instance entries. This
+module is phase B: the (ray, entry) items are sorted by instance and
+scattered into sub-tile-aligned runs, so every (SSUB, LANE) stream
+sub-tile walks EXACTLY ONE BLAS from its root — coherent by
+construction, which is what the shared-stack kernel needs (wall time per
+sub-tile scales with the visit UNION of its rays).
+
+The kernel is a strict subset of ops.traverse: same transposed scene
+columns (PallasScene, unchanged), same dense treelet leaf test, same
+8-wide internal descent — minus the TLAS level and minus mid-walk
+instance switching (each stream's instance is fixed for the whole walk,
+read once from SMEM). Less code per grid step also means a lower fixed
+step cost (the ~650us fixed cost is code-size-driven; see
+docs/ROUND2.md cost-model facts).
+
+Measured go/no-go stats backing this design (tools/bench_traverse on
+real pica bounce rays): 1.09 items/ray mean at K=8, p50 = 0, full-list
+truncation 0.7%, items concentrated per instance (#0: 36%) -> long
+single-instance runs, negligible expansion cost.
+
+Reference anchor: the reference's two-level MBVH traversal
+(backends/gpu-rt intersection.glsl:106-167); the ray-by-BLAS binning is
+the TPU-specific addition (no per-warp stacks to hide divergence with).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from rfw_tpu.accel.bvh_cpu import TREELET
+from rfw_tpu.ops.traverse import (
+    CHUNK_TILES,
+    LANE,
+    LANES,
+    NSTREAM,
+    PallasScene,
+    SSUB,
+    STACK_DEPTH,
+    SUB,
+    TGROUPS,
+    TLANES,
+    TSHIFT,
+    KERNEL_MAX_ITERS,
+)
+from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
+
+#: items per stream sub-tile; every run of same-instance items is padded
+#: to a STILE boundary so each stream walks exactly one BLAS
+STILE = SSUB * LANE
+
+
+class _W(NamedTuple):
+    """Per-stream fixed-instance walk state."""
+
+    node: jax.Array
+    sp: jax.Array
+    done: jax.Array
+
+
+def _items_kernel_factory(batch: int):
+    """One fixed-instance shared-stack walk per stream. Stream k's
+    instance comes from sinst_ref[tile, k] (SMEM); its walk starts at
+    that instance's BLAS root and never re-enters the TLAS."""
+
+    def kernel(
+        meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst, 0]
+        scene_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM/SMEM)
+        sinst_ref,  # SMEM (T_total, NSTREAM) i32: per-stream instance
+        o_ref, d_ref, tlim_ref,  # per-step inputs, leading dim = batch
+        t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-step outputs
+        obj_ref,  # VMEM scratch (9, SUB, LANE): object-space rays
+        stack_ref,  # SMEM scratch (NSTREAM, STACK_DEPTH) i32
+    ):
+        n_inst = meta_ref[0, 2]
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        n_grp = tri_ref.shape[1] // LANE
+        step0 = pl.program_id(0) * batch
+
+        def fetch_col(ref, idx):
+            # same one-hot aligned-block fetch as ops.traverse.fetch_col
+            base = pl.multiple_of((idx // LANE) * LANE, LANE)
+            block = ref[:, pl.ds(base, LANE)]
+            is_int = jnp.issubdtype(block.dtype, jnp.integer)
+            block_i = block if is_int else jax.lax.bitcast_convert_type(
+                block, jnp.int32
+            )
+            onehot = lane_iota == (idx - base)
+            col_i = jnp.sum(
+                jnp.where(onehot, block_i, jnp.zeros_like(block_i)),
+                axis=1, keepdims=True,
+            )
+            return col_i if is_int else jax.lax.bitcast_convert_type(
+                col_i, jnp.float32
+            )
+
+        def tile_walk(b, o_ref, d_ref, tlim_ref, t_ref, prim_ref,
+                      iout_ref, u_ref, v_ref):
+            insts = [sinst_ref[step0 + b, k] for k in range(NSTREAM)]
+            t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
+            prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+            iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+            u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+            v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+
+            def safe_inv(x):
+                return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
+                                       jnp.where(x < 0, -1e-20, 1e-20), x)
+
+            def set_obj(k, inst):
+                i = jnp.where(inst < 0, n_inst, inst)
+                col = fetch_col(inst_ref, i)  # (16,1)
+                m = [col[r, 0] for r in range(12)]
+                sl = slice(k * SSUB, (k + 1) * SSUB)
+                wox = o_ref[0, 0, sl, :]
+                woy = o_ref[0, 1, sl, :]
+                woz = o_ref[0, 2, sl, :]
+                wdx = d_ref[0, 0, sl, :]
+                wdy = d_ref[0, 1, sl, :]
+                wdz = d_ref[0, 2, sl, :]
+                obj_ref[0, sl, :] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                obj_ref[1, sl, :] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                obj_ref[2, sl, :] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                dx = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                dy = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                dz = m[8] * wdx + m[9] * wdy + m[10] * wdz
+                obj_ref[3, sl, :] = dx
+                obj_ref[4, sl, :] = dy
+                obj_ref[5, sl, :] = dz
+                obj_ref[6, sl, :] = safe_inv(dx)
+                obj_ref[7, sl, :] = safe_inv(dy)
+                obj_ref[8, sl, :] = safe_inv(dz)
+
+            for k in range(NSTREAM):
+                set_obj(k, insts[k])
+
+            def body(carry):
+                walks, iters = carry
+                new_walks = []
+
+                # ---- phase 1: pop + node fetch, all streams back-to-back
+                popped = []
+                for k in range(NSTREAM):
+                    w = walks[k]
+                    do_pop = (w.node == -1) & ~w.done
+                    sp = jnp.where(do_pop, w.sp - 1, w.sp)
+                    spc = jnp.maximum(sp, 0)
+                    node = jnp.where(do_pop, stack_ref[k, spc], w.node)
+                    popped.append(w._replace(node=node, sp=sp))
+
+                cols = [
+                    fetch_col(scene_ref, jnp.maximum(popped[k].node, 0))
+                    for k in range(NSTREAM)
+                ]
+
+                # ---- phase 2: dense treelet leaf test (per-stream gated)
+                firsts, blks, leafs = [], [], []
+                for k in range(NSTREAM):
+                    w = popped[k]
+                    lv = jnp.maximum(-w.node - 2, 0)
+                    leafs.append((w.node <= -2) & ~w.done)
+                    firsts.append((lv >> TSHIFT) << TSHIFT)
+                    blks.append(lv >> TSHIFT)
+
+                for k in range(NSTREAM):
+                    @pl.when(leafs[k])
+                    def _(k=k):
+                        gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
+                        base = pl.multiple_of(gb * LANE, LANE)
+                        blockk = tri_ref[:, pl.ds(base, LANE)]
+                        g = blks[k] % TGROUPS
+                        rec = jnp.where(g == 0, blockk[:, 0:TLANES], 0.0)
+                        for gg in range(1, TGROUPS):
+                            rec = rec + jnp.where(
+                                g == gg,
+                                blockk[:, TLANES * gg:TLANES * (gg + 1)], 0.0)
+                        ax = (rec[:, 0:1], rec[:, 1:2], rec[:, 2:3], rec[:, 3:4])
+                        ay = (rec[:, 4:5], rec[:, 5:6], rec[:, 6:7], rec[:, 7:8])
+                        az = (rec[:, 8:9], rec[:, 9:10], rec[:, 10:11],
+                              rec[:, 11:12])
+                        for s in range(SSUB):
+                            row = k * SSUB + s
+                            rsl = slice(row, row + 1)
+                            ox = obj_ref[0, rsl, :]
+                            oy = obj_ref[1, rsl, :]
+                            oz = obj_ref[2, rsl, :]
+                            dx = obj_ref[3, rsl, :]
+                            dy = obj_ref[4, rsl, :]
+                            dz = obj_ref[5, rsl, :]
+                            opu = ax[0] * ox + ax[1] * oy + ax[2] * oz + ax[3]
+                            opv = ay[0] * ox + ay[1] * oy + ay[2] * oz + ay[3]
+                            opw = az[0] * ox + az[1] * oy + az[2] * oz + az[3]
+                            dpu = ax[0] * dx + ax[1] * dy + ax[2] * dz
+                            dpv = ay[0] * dx + ay[1] * dy + ay[2] * dz
+                            dpw = az[0] * dx + az[1] * dy + az[2] * dz
+                            r0 = pl.reciprocal(dpw, approx=True)
+                            rw = r0 * (2.0 - dpw * r0)
+                            tq = -opw * rw
+                            uq = opu + tq * dpu
+                            vq = opv + tq * dpv
+                            tcur = t_ref[0, rsl, :]
+                            ok = (
+                                (uq >= -1e-7) & (vq >= -1e-7)
+                                & (uq + vq <= 1 + 1e-7)
+                                & (tq > T_MIN) & (tq < tcur)
+                            )
+                            score = jnp.where(ok, tq, jnp.float32(np.inf))
+                            tmin = jnp.min(score, axis=0, keepdims=True)
+                            hit_any = tmin < tcur
+                            jio = jax.lax.broadcasted_iota(
+                                jnp.int32, (TREELET, LANE), 0)
+                            jwin = jnp.min(
+                                jnp.where(score == tmin, jio, TREELET),
+                                axis=0, keepdims=True)
+                            onehot = jio == jwin
+                            uwin = jnp.sum(jnp.where(onehot, uq, 0.0),
+                                           axis=0, keepdims=True)
+                            vwin = jnp.sum(jnp.where(onehot, vq, 0.0),
+                                           axis=0, keepdims=True)
+                            t_ref[0, rsl, :] = jnp.where(hit_any, tmin, tcur)
+                            prim_ref[0, rsl, :] = jnp.where(
+                                hit_any, firsts[k] + jwin, prim_ref[0, rsl, :])
+                            iout_ref[0, rsl, :] = jnp.where(
+                                hit_any, insts[k], iout_ref[0, rsl, :])
+                            u_ref[0, rsl, :] = jnp.where(
+                                hit_any, uwin, u_ref[0, rsl, :])
+                            v_ref[0, rsl, :] = jnp.where(
+                                hit_any, vwin, v_ref[0, rsl, :])
+
+                # ---- phase 3: 8-wide internal test + nearest-first push
+                for k in range(NSTREAM):
+                    w = popped[k]
+                    col = cols[k]
+                    boxf = jax.lax.bitcast_convert_type(col[0:48], jnp.float32)
+                    sl = slice(k * SSUB, (k + 1) * SSUB)
+                    ox = obj_ref[0, sl, :]
+                    oy = obj_ref[1, sl, :]
+                    oz = obj_ref[2, sl, :]
+                    ix = obj_ref[6, sl, :]
+                    iy = obj_ref[7, sl, :]
+                    iz = obj_ref[8, sl, :]
+                    t_best = t_ref[0, sl, :]
+
+                    is_int = (w.node >= 0) & ~w.done
+
+                    def child_entry(code, cnt):
+                        # BLAS-only: a negative child is always a treelet leaf
+                        payload = -code - 1
+                        blas_entry = -(payload
+                                       + jnp.minimum(cnt - 1, TREELET - 1)) - 2
+                        return jnp.where(code < 0, blas_entry, code)
+
+                    next_code = jnp.int32(-1)
+                    sp = w.sp
+                    for c in range(8):
+                        mnx = boxf[6 * c + 0:6 * c + 1, 0:1]
+                        mny = boxf[6 * c + 1:6 * c + 2, 0:1]
+                        mnz = boxf[6 * c + 2:6 * c + 3, 0:1]
+                        mxx = boxf[6 * c + 3:6 * c + 4, 0:1]
+                        mxy = boxf[6 * c + 4:6 * c + 5, 0:1]
+                        mxz = boxf[6 * c + 5:6 * c + 6, 0:1]
+                        tx0 = (mnx - ox) * ix
+                        tx1 = (mxx - ox) * ix
+                        ty0 = (mny - oy) * iy
+                        ty1 = (mxy - oy) * iy
+                        tz0 = (mnz - oz) * iz
+                        tz1 = (mxz - oz) * iz
+                        tn = jnp.maximum(
+                            jnp.maximum(jnp.minimum(tx0, tx1),
+                                        jnp.minimum(ty0, ty1)),
+                            jnp.minimum(tz0, tz1),
+                        )
+                        tf = jnp.minimum(
+                            jnp.minimum(jnp.maximum(tx0, tx1),
+                                        jnp.maximum(ty0, ty1)),
+                            jnp.maximum(tz0, tz1),
+                        )
+                        okl = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+                        hitk = jnp.any(okl) & is_int
+
+                        e_code = child_entry(col[48 + c, 0], col[56 + c, 0])
+                        do_push = hitk & (next_code != -1)
+
+                        @pl.when(do_push)
+                        def _(k=k, sp=sp, next_code=next_code):
+                            slot = jnp.minimum(sp, STACK_DEPTH - 1)
+                            stack_ref[k, slot] = next_code
+
+                        sp = jnp.where(do_push,
+                                       jnp.minimum(sp + 1, STACK_DEPTH), sp)
+                        next_code = jnp.where(hitk, e_code, next_code)
+
+                    was_int = w.node >= 0
+                    node = jnp.where(was_int & ~w.done, next_code,
+                                     jnp.int32(-1))
+                    exhausted = (node == -1) & (sp <= 0)
+                    done = w.done | exhausted
+                    new_walks.append(w._replace(node=node, sp=sp, done=done))
+
+                return tuple(new_walks), iters + 1
+
+            def cond(carry):
+                walks, iters = carry
+                fin = walks[0].done
+                for k in range(1, NSTREAM):
+                    fin = fin & walks[k].done
+                return (~fin) & (iters < KERNEL_MAX_ITERS)
+
+            init = []
+            for k in range(NSTREAM):
+                inst = insts[k]
+                iid = jnp.clip(inst, 0, jnp.maximum(n_inst - 1, 0))
+                root = root_ref[0, iid]
+                empty = inst < 0
+                init.append(_W(node=jnp.where(empty, jnp.int32(-1), root),
+                               sp=jnp.int32(0), done=empty))
+            jax.lax.while_loop(cond, body, (tuple(init), jnp.int32(0)))
+
+        def per_batch(b, _):
+            s = pl.ds(b, 1)
+            tile_walk(b, o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                      t_ref.at[s], prim_ref.at[s], iout_ref.at[s],
+                      u_ref.at[s], v_ref.at[s])
+            return 0
+
+        jax.lax.fori_loop(0, batch, per_batch, 0)
+
+    return kernel
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "batch"))
+def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
+                      o4, d4, tl3, interpret: bool = False, batch: int = 1):
+    T = o4.shape[0]
+    assert T % batch == 0
+    kernel = _items_kernel_factory(batch)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(T // batch,),
+        in_specs=[smem_spec] + [scene_spec] * 3 + [smem_spec, smem_spec]
+        + [tile3, tile3, tile1],
+        out_specs=(tile1, tile1, tile1, tile1, tile1),
+        out_shape=out_shapes,
+        scratch_shapes=[
+            pltpu.VMEM((9, SUB, LANE), jnp.float32),
+            pltpu.SMEM((NSTREAM, STACK_DEPTH), jnp.int32),
+        ],
+        interpret=interpret,
+    )(meta, scene_t, tri_t, inst_t, root_t, sinst, o4, d4, tl3)
+
+
+@functools.partial(jax.jit, static_argnames=("n_inst", "capacity"))
+def _pack_items(inst, n_inst: int, capacity: int):
+    """Sort (ray, entry) items by instance and scatter them into runs
+    aligned to STILE slots, so each stream sub-tile is single-instance.
+
+    Returns (slot_item (C,) i32 item index or -1, stream_inst (C/STILE,)
+    i32 instance or -1, overflow (N,) bool: valid item dropped for
+    capacity). All shapes static; capacity must be a LANES multiple."""
+    N = inst.shape[0]
+    i32 = jnp.int32
+    valid = inst >= 0
+    key = jnp.where(valid, inst, n_inst).astype(i32)
+    order = jnp.argsort(key)  # stable: keeps ray order within a run
+    s = key[order]
+    iota = jnp.arange(N, dtype=i32)
+
+    counts = jnp.zeros(n_inst + 1, i32).at[key].add(1)
+    padded = -(-counts[:n_inst] // STILE) * STILE
+    starts = jnp.concatenate(
+        [jnp.zeros(1, i32), jnp.cumsum(padded).astype(i32)])  # (n_inst+1,)
+
+    new = jnp.concatenate(
+        [jnp.ones(1, bool), s[1:] != s[:-1]]) if N > 1 else jnp.ones(1, bool)
+    run_start = jax.lax.cummax(jnp.where(new, iota, 0))
+    rank = iota - run_start
+    dest = starts[jnp.minimum(s, n_inst)] + rank
+    ok = (s < n_inst) & (dest < capacity)
+    overflow_sorted = (s < n_inst) & ~ok
+    dest = jnp.where(ok, dest, capacity)  # sacrificial slot
+
+    slot_item = jnp.full(capacity + 1, -1, i32).at[dest].set(order)[:capacity]
+    overflow = jnp.zeros(N, bool).at[order].set(overflow_sorted)
+
+    # a run fills contiguously from its aligned start, so any stream range
+    # holding items holds one at its first slot
+    first = slot_item[jnp.arange(capacity // STILE, dtype=i32) * STILE]
+    stream_inst = jnp.where(first >= 0, inst[jnp.maximum(first, 0)], -1)
+    return slot_item, stream_inst.astype(i32), overflow
+
+
+def pallas_twophase_closest_hit(ps: PallasScene, scene, ray_o, ray_d,
+                                t_limit=T_MAX, K: int = 8,
+                                capacity_tiles: int | None = None,
+                                interpret: bool = False):
+    """Two-phase closest hit, phase B on the Pallas kernel.
+
+    Phase A (jnp TLAS walk) -> pack items into single-instance stream
+    sub-tiles -> fixed-instance kernel walks -> per-ray min-t merge.
+    Returns (Hit, truncated): `truncated` rays (full K-list with a hit
+    beyond the last kept entry, or items dropped for capacity) must be
+    retraced with the classic kernel — same fallback contract as
+    render.twophase.twophase_closest_hit.
+
+    Not yet the product path: the glue between the jitted pieces runs
+    eagerly (dispatch overhead over the axon tunnel); round 3 fuses it.
+    """
+    from rfw_tpu.render.twophase import tlas_entries
+
+    R = ray_o.shape[0]
+    if ps.n_inst == 0:
+        t = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+        miss = jnp.full(R, -1, jnp.int32)
+        z = jnp.zeros(R, jnp.float32)
+        return Hit(t, miss, miss, z, z), jnp.zeros(R, bool)
+
+    ents = tlas_entries(
+        jnp.asarray(scene.tlas_wide_f), jnp.asarray(scene.tlas_wide_i),
+        ray_o, ray_d, t_limit, K=K)
+    inst_flat = ents.inst.reshape(-1)
+    N = R * K
+    if capacity_tiles is None:
+        # N item slots (mostly empty at the measured 1.09 items/ray) plus
+        # 16 tiles of alignment-padding allowance (~64 instance runs);
+        # `truncated` + the classic-kernel fallback cover pathological
+        # scenes, so the default optimizes grid-step count, not worst case
+        # (ps.n_inst is the padded arena capacity — NOT the live count)
+        capacity_tiles = max(1, -(-N // LANES)) + 16
+    C = capacity_tiles * LANES
+    slot_item, stream_inst, overflow = _pack_items(inst_flat, ps.n_inst, C)
+
+    # per-slot world rays (the kernel re-bases into object space once per
+    # stream); empty slots get t_limit = -inf so nothing can pass a test
+    ray_id = jnp.maximum(slot_item, 0) // K
+    o_s = ray_o[ray_id]
+    d_s = ray_d[ray_id]
+    tl_s = jnp.where(slot_item >= 0,
+                     jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (C,)),
+                     -jnp.inf)
+
+    T = C // LANES
+    o4 = o_s.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    d4 = d_s.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    tl3 = tl_s.reshape(T, SUB, LANE)
+    sinst = stream_inst.reshape(T, NSTREAM)
+
+    batch = min(CHUNK_TILES, T)
+    n_steps = -(-T // batch)
+    pad = n_steps * batch - T
+    if pad:
+        o4 = jnp.concatenate([o4, jnp.zeros((pad,) + o4.shape[1:], o4.dtype)])
+        d4 = jnp.concatenate([d4, jnp.ones((pad,) + d4.shape[1:], d4.dtype)])
+        tl3 = jnp.concatenate(
+            [tl3, jnp.full((pad,) + tl3.shape[1:], -jnp.inf, tl3.dtype)])
+        sinst = jnp.concatenate(
+            [sinst, jnp.full((pad, NSTREAM), -1, sinst.dtype)])
+
+    meta = jnp.asarray([[ps.tlas_root, ps.n_tri, ps.n_inst, 0]], jnp.int32)
+    t_s, prim_s, inst_s, u_s, v_s = _run_items_arrays(
+        meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
+        o4, d4, tl3, interpret=interpret, batch=batch)
+    if pad:
+        t_s, prim_s, inst_s, u_s, v_s = (
+            x[:T] for x in (t_s, prim_s, inst_s, u_s, v_s))
+
+    # slot results -> item results (N+1 scratch row absorbs empty slots)
+    idx = jnp.where(slot_item >= 0, slot_item, N)
+    def unpack(x, fill, dtype):
+        return jnp.full(N + 1, fill, dtype).at[idx].set(x.reshape(C))[:N]
+    t_i = unpack(t_s, jnp.inf, jnp.float32).reshape(R, K)
+    prim_i = unpack(prim_s, -1, jnp.int32).reshape(R, K)
+    u_i = unpack(u_s, 0.0, jnp.float32).reshape(R, K)
+    v_i = unpack(v_s, 0.0, jnp.float32).reshape(R, K)
+
+    # per-ray min-t merge; misses carry t_limit (kernel init), dropped
+    # slots inf — prefer real hits, clamp the final t back to t_limit
+    t_rank = jnp.where(prim_i >= 0, t_i, jnp.inf)
+    j = jnp.argmin(t_rank, axis=1)
+    rows = jnp.arange(R)
+    prim_sel = prim_i[rows, j]
+    t_lim_b = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+    hit = Hit(
+        jnp.where(prim_sel >= 0, t_i[rows, j], t_lim_b),
+        prim_sel,
+        jnp.where(prim_sel >= 0, ents.inst[rows, j], -1),
+        u_i[rows, j], v_i[rows, j],
+    )
+    full = ents.inst[:, K - 1] >= 0
+    truncated = (full & (hit.t > ents.t_entry[:, K - 1])
+                 | overflow.reshape(R, K).any(axis=1))
+    return hit, truncated

@@ -160,3 +160,106 @@ def test_twophase_truncation_flag(rng):
     assert np.asarray(got.prim)[0] == np.asarray(ref.prim)[0]
     # merge semantics: combined result never closer than the truth
     assert np.asarray(got.t)[0] >= np.asarray(ref.t)[0] - 1e-5
+
+
+# ------------------------------------------------- phase B: Pallas items path
+class TestPallasItems:
+    """ops.traverse_items: item packing + the fixed-instance Pallas kernel
+    (interpret mode on CPU) vs the classic two-level walker."""
+
+    def test_pack_invariants(self, rng):
+        from rfw_tpu.ops.traverse_items import STILE, _pack_items
+
+        N = 2048
+        inst = rng.integers(-1, 5, N).astype(np.int32)
+        C = 4096
+        slot_item, stream_inst, ovf = _pack_items(jnp.asarray(inst), 5, C)
+        slot_item = np.asarray(slot_item)
+        stream_inst = np.asarray(stream_inst)
+        ovf = np.asarray(ovf)
+        placed = slot_item[slot_item >= 0]
+        valid = set(np.where(inst >= 0)[0].tolist())
+        # every valid item placed exactly once (no overflow at this size)
+        assert len(placed) == len(set(placed.tolist()))
+        assert set(placed.tolist()) == valid and not ovf.any()
+        for s in range(C // STILE):
+            seg = slot_item[s * STILE:(s + 1) * STILE]
+            ins = set(inst[i] for i in seg if i >= 0)
+            assert len(ins) <= 1  # stream sub-tiles are single-instance
+            assert stream_inst[s] == (ins.pop() if ins else -1)
+            occ = seg >= 0  # runs fill contiguously from the aligned start
+            k = occ.sum()
+            assert occ[:k].all() and not occ[k:].any()
+
+    def test_pack_overflow_drops_not_corrupts(self, rng):
+        from rfw_tpu.ops.traverse_items import _pack_items
+
+        inst = rng.integers(-1, 5, 2048).astype(np.int32)
+        slot_item, _, ovf = _pack_items(jnp.asarray(inst), 5, 1024)
+        slot_item = np.asarray(slot_item)
+        ovf = np.asarray(ovf)
+        placed = slot_item[slot_item >= 0]
+        assert len(placed) == len(set(placed.tolist()))
+        assert len(placed) + ovf.sum() == (inst >= 0).sum()
+
+    def test_matches_classic_interpret(self, rng):
+        from rfw_tpu.render import bvh_closest_hit
+        from rfw_tpu.ops import prepare_pallas_scene
+        from rfw_tpu.ops.traverse_items import pallas_twophase_closest_hit
+        from tests.test_traversal import scene_dev
+
+        scene = pack_trace_scene(
+            [(0, sphere(quality=1), None), (1, cube(), None)],
+            [(0, _random_instances(rng, 7)), (1, _random_instances(rng, 4))],
+        )
+        sd = scene_dev(scene)
+        ps = prepare_pallas_scene(sd)
+        o, d = make_rays(256, rng, origin_box=8.0, target_box=6.0)
+        got, trunc = pallas_twophase_closest_hit(
+            ps, sd, jnp.asarray(o), jnp.asarray(d), K=4, capacity_tiles=4,
+            interpret=True)
+        ref = bvh_closest_hit(sd, jnp.asarray(o), jnp.asarray(d))
+
+        tr = np.asarray(trunc)
+        ok = ~tr
+        m_ref = np.asarray(ref.prim) >= 0
+        m_got = np.asarray(got.prim) >= 0
+        assert (m_ref[ok] == m_got[ok]).all()
+        both = ok & m_ref & m_got
+        assert both.any()
+        np.testing.assert_allclose(np.asarray(got.t)[both],
+                                   np.asarray(ref.t)[both],
+                                   rtol=1e-4, atol=1e-4)
+        assert (np.asarray(got.prim)[both] == np.asarray(ref.prim)[both]).all()
+        assert (np.asarray(got.inst)[both] == np.asarray(ref.inst)[both]).all()
+        assert tr.mean() < 0.2
+
+    def test_capacity_overflow_flags_truncated(self, rng):
+        """A capacity too small for the item list drops items — affected
+        rays must be flagged, unaffected rays still correct."""
+        from rfw_tpu.render import bvh_closest_hit
+        from rfw_tpu.ops import prepare_pallas_scene
+        from rfw_tpu.ops.traverse_items import pallas_twophase_closest_hit
+        from tests.test_traversal import scene_dev
+
+        scene = pack_trace_scene(
+            [(0, sphere(quality=1), None), (1, cube(), None)],
+            [(0, _random_instances(rng, 7)), (1, _random_instances(rng, 4))],
+        )
+        sd = scene_dev(scene)
+        ps = prepare_pallas_scene(sd)
+        o, d = make_rays(256, rng, origin_box=8.0, target_box=6.0)
+        got, trunc = pallas_twophase_closest_hit(
+            ps, sd, jnp.asarray(o), jnp.asarray(d), K=4, capacity_tiles=1,
+            interpret=True)
+        ref = bvh_closest_hit(sd, jnp.asarray(o), jnp.asarray(d))
+        tr = np.asarray(trunc)
+        assert tr.any()  # 1 tile cannot hold 11 aligned runs
+        ok = ~tr
+        m_ref = np.asarray(ref.prim) >= 0
+        m_got = np.asarray(got.prim) >= 0
+        assert (m_ref[ok] == m_got[ok]).all()
+        both = ok & m_ref & m_got
+        np.testing.assert_allclose(np.asarray(got.t)[both],
+                                   np.asarray(ref.t)[both],
+                                   rtol=1e-4, atol=1e-4)
