@@ -431,7 +431,11 @@ def pallas_twophase_closest_hit(ps: PallasScene, scene, ray_o, ray_d,
     from rfw_tpu.render.twophase import tlas_entries
 
     R = ray_o.shape[0]
-    if ps.n_inst == 0:
+    # under jax.jit(prepare_pallas_scene) the int fields come back as
+    # device scalars; coerce (JAX caches the host copy per array object,
+    # so repeat calls don't re-pull over the tunnel)
+    n_inst = int(ps.n_inst)
+    if n_inst == 0:
         t = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
         miss = jnp.full(R, -1, jnp.int32)
         z = jnp.zeros(R, jnp.float32)
@@ -450,7 +454,7 @@ def pallas_twophase_closest_hit(ps: PallasScene, scene, ray_o, ray_d,
         # (ps.n_inst is the padded arena capacity — NOT the live count)
         capacity_tiles = max(1, -(-N // LANES)) + 16
     C = capacity_tiles * LANES
-    slot_item, stream_inst, overflow = _pack_items(inst_flat, ps.n_inst, C)
+    slot_item, stream_inst, overflow = _pack_items(inst_flat, n_inst, C)
 
     # per-slot world rays (the kernel re-bases into object space once per
     # stream); empty slots get t_limit = -inf so nothing can pass a test
@@ -478,7 +482,8 @@ def pallas_twophase_closest_hit(ps: PallasScene, scene, ray_o, ray_d,
         sinst = jnp.concatenate(
             [sinst, jnp.full((pad, NSTREAM), -1, sinst.dtype)])
 
-    meta = jnp.asarray([[ps.tlas_root, ps.n_tri, ps.n_inst, 0]], jnp.int32)
+    meta = jnp.asarray(
+        [[int(ps.tlas_root), int(ps.n_tri), n_inst, 0]], jnp.int32)
     t_s, prim_s, inst_s, u_s, v_s = _run_items_arrays(
         meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
         o4, d4, tl3, interpret=interpret, batch=batch)
