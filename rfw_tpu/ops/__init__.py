@@ -4,4 +4,5 @@ from rfw_tpu.ops.traverse import (
     pallas_occluded,
     prepare_pallas_scene,
 )
+from rfw_tpu.ops.traverse_entries import pallas_tlas_entries
 from rfw_tpu.ops.traverse_items import pallas_twophase_closest_hit

@@ -263,3 +263,35 @@ class TestPallasItems:
         np.testing.assert_allclose(np.asarray(got.t)[both],
                                    np.asarray(ref.t)[both],
                                    rtol=1e-4, atol=1e-4)
+
+    def test_pallas_entries_match_jnp(self, rng):
+        """ops.traverse_entries (phase-A Pallas kernel, interpret) agrees
+        exactly with the jnp tlas_entries, including the empty-child-slot
+        validity gate (inverted boxes must not insert phantom entries)."""
+        from rfw_tpu.ops import prepare_pallas_scene
+        from rfw_tpu.ops.traverse_entries import pallas_tlas_entries
+
+        scene = pack_trace_scene(
+            [(0, sphere(quality=1), None), (1, cube(), None)],
+            [(0, _random_instances(rng, 7)), (1, _random_instances(rng, 4))],
+        )
+        from tests.test_traversal import scene_dev
+        sd = scene_dev(scene)
+        ps = prepare_pallas_scene(sd)
+        R, K = 640, 4  # non-multiple of LANES exercises ray padding
+        o, d = make_rays(R, rng, origin_box=8.0, target_box=6.0)
+        got = pallas_tlas_entries(ps, jnp.asarray(o), jnp.asarray(d), K=K,
+                                  interpret=True)
+        ref = tlas_entries(jnp.asarray(sd.tlas_wide_f),
+                           jnp.asarray(sd.tlas_wide_i),
+                           jnp.asarray(o), jnp.asarray(d), K=K)
+        g_ts = np.asarray(got.t_entry)
+        g_in = np.asarray(got.inst)
+        e_ts = np.asarray(ref.t_entry)
+        np.testing.assert_allclose(
+            np.where(np.isfinite(g_ts), g_ts, 1e30),
+            np.where(np.isfinite(e_ts), e_ts, 1e30), rtol=1e-5, atol=1e-5)
+        e_in = np.asarray(ref.inst)
+        for r in range(0, R, 3):
+            assert (set(i for i in g_in[r] if i >= 0)
+                    == set(i for i in e_in[r] if i >= 0)), r

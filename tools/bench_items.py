@@ -41,6 +41,9 @@ def main():
                     choices=["coherent", "sorted", "unsorted"])
     ap.add_argument("--breakdown", action="store_true",
                     help="also time phase A / pack / kernel in isolation")
+    ap.add_argument("--pallas-A", action="store_true",
+                    help="with --breakdown: also time the Pallas phase-A "
+                         "kernel and count entry-set disagreements")
     args = ap.parse_args()
 
     import jax
@@ -135,6 +138,19 @@ def main():
         twi = jnp.asarray(sdev.tlas_wide_i)
         timed("A.entries", lambda: jnp.sum(
             tlas_entries(twf, twi, o, d, K=args.K).inst))
+
+        if args.pallas_A:
+            from rfw_tpu.ops.traverse_entries import pallas_tlas_entries
+            timed("A.pallas", lambda: jnp.sum(
+                pallas_tlas_entries(ps, o, d, K=args.K).inst))
+            gp = pallas_tlas_entries(ps, o, d, K=args.K)
+            gj = tlas_entries(twf, twi, o, d, K=args.K)
+            ent_mis = jnp.sum((jnp.sort(gp.inst, axis=1)
+                               != jnp.sort(gj.inst, axis=1)).any(axis=1)
+                              .astype(jnp.int32))
+            results["A_entry_set_mismatch"] = int(np.asarray(ent_mis))
+            print(f"A.pallas entry-set mismatches "
+                  f"{results['A_entry_set_mismatch']}", file=sys.stderr)
 
         ents = tlas_entries(twf, twi, o, d, K=args.K)
         inst_flat = jax.block_until_ready(ents.inst.reshape(-1))
