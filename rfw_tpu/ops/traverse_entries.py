@@ -130,39 +130,50 @@ def _entries_kernel_factory(K: int, batch: int):
                                         jnp.maximum(ty0, ty1)),
                             jnp.maximum(tz0, tz1),
                         )
-                        # cull against the per-lane K-th best AND t_limit.
-                        # Unused child slots carry INVERTED boxes (+inf min,
-                        # -inf max) which slab as tn=-inf/tf=+inf and would
-                        # insert phantom instance-0 entries at t=0 (their
-                        # code is -1) — gate on box validity. (The closest-
-                        # hit kernels survive without this gate only because
-                        # their phantom visits re-test real geometry.)
-                        box_ok = ((mnx <= mxx) & (mny <= mxy)
-                                  & (mnz <= mxz))  # (1,1)
+                        # cull against the per-lane K-th best AND t_limit
                         t_cull = jnp.minimum(ts_ref[0, K - 1, sl, :], tlim)
-                        okl = (box_ok & (tn <= tf) & (tf > T_MIN)
-                               & (tn < t_cull))
+                        okl = ((tn <= tf) & (tf > T_MIN) & (tn < t_cull))
                         hitk = jnp.any(okl) & is_int
 
                         code = col[48 + c, 0]
                         leaf = code < 0
+                        # Unused child slots carry INVERTED boxes (+inf min,
+                        # -inf max) which slab as tn=-inf/tf=+inf and would
+                        # insert phantom instance-0 entries at t=0 (their
+                        # code is -1) — gate inserts on box validity. (The
+                        # closest-hit kernels survive without this gate only
+                        # because their phantom visits re-test real geometry.)
+                        box_ok = (mnx <= mxx) & (mny <= mxy) & (mnz <= mxz)
 
                         @pl.when(hitk & leaf)
-                        def _(k=k, okl=okl, tn=tn, code=code, sl=sl):
-                            iid = -code - 1
-                            tq = jnp.where(okl, jnp.maximum(tn, 0.0),
-                                           jnp.float32(jnp.inf))
-                            idq = jnp.where(okl, iid, jnp.int32(-1))
-                            for j in range(K):
-                                cur_t = ts_ref[0, j, sl, :]
-                                cur_i = ins_ref[0, j, sl, :]
-                                take = tq < cur_t
-                                ts_ref[0, j, sl, :] = jnp.where(
-                                    take, tq, cur_t)
-                                ins_ref[0, j, sl, :] = jnp.where(
-                                    take, idq, cur_i)
-                                tq = jnp.where(take, cur_t, tq)
-                                idq = jnp.where(take, cur_i, idq)
+                        def _(k=k, okl=okl, tn=tn, code=code,
+                              box_ok=box_ok):
+                            # Per sublane row: `code`/`box_ok` are lane
+                            # extracts — (1,1) vectors in Mosaic, which
+                            # cannot broadcast into both sublanes and lanes
+                            # at once (and XLA folds any (1,LANE) staging
+                            # right back). With (1,LANE) row operands every
+                            # broadcast is lane-only.
+                            for s_ in range(SSUB):
+                                row = k * SSUB + s_
+                                rsl = slice(row, row + 1)
+                                oklr = okl[s_:s_ + 1, :] & box_ok
+                                tq = jnp.where(
+                                    oklr,
+                                    jnp.maximum(tn[s_:s_ + 1, :], 0.0),
+                                    jnp.float32(jnp.inf))
+                                idq = jnp.where(oklr, -code - 1,
+                                                jnp.int32(-1))
+                                for j in range(K):
+                                    cur_t = ts_ref[0, j, rsl, :]
+                                    cur_i = ins_ref[0, j, rsl, :]
+                                    take = tq < cur_t
+                                    ts_ref[0, j, rsl, :] = jnp.where(
+                                        take, tq, cur_t)
+                                    ins_ref[0, j, rsl, :] = jnp.where(
+                                        take, idq, cur_i)
+                                    tq = jnp.where(take, cur_t, tq)
+                                    idq = jnp.where(take, cur_i, idq)
 
                         hit_int = hitk & ~leaf
                         do_push = hit_int & (next_code != -1)

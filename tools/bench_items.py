@@ -41,6 +41,9 @@ def main():
                     choices=["coherent", "sorted", "unsorted"])
     ap.add_argument("--breakdown", action="store_true",
                     help="also time phase A / pack / kernel in isolation")
+    ap.add_argument("--skip-main", action="store_true",
+                    help="skip the classic/twophase end-to-end timings "
+                         "(fast re-runs of single breakdown stages)")
     ap.add_argument("--pallas-A", action="store_true",
                     help="with --breakdown: also time the Pallas phase-A "
                          "kernel and count entry-set disagreements")
@@ -116,14 +119,16 @@ def main():
         print(f"{name:9s} {best*1e3:8.1f} ms {mrays:8.2f} Mrays/s",
               file=sys.stderr)
 
-    timed("classic", lambda: jnp.sum(pallas_closest_hit(ps, o, d).t))
+    if not args.skip_main:
+        timed("classic", lambda: jnp.sum(pallas_closest_hit(ps, o, d).t))
 
     def two():
         hit, trunc = pallas_twophase_closest_hit(
             ps, sdev, o, d, K=args.K, capacity_tiles=cap_tiles)
         return jnp.sum(hit.t)
 
-    timed("twophase", two)
+    if not args.skip_main:
+        timed("twophase", two)
 
     if args.breakdown:
         # isolate the pipeline stages (every sub-jit shares shapes with the
@@ -191,6 +196,10 @@ def main():
                                           .astype(jnp.int32))))
         print(f"occupied streams {occupied}/{C // STILE}", file=sys.stderr)
         results["occupied_streams"] = occupied
+
+    if args.skip_main:
+        print(json.dumps(results))
+        return
 
     # agreement on non-truncated rays (device-side counts only)
     ref = pallas_closest_hit(ps, o, d)
