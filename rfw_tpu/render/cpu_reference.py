@@ -52,9 +52,42 @@ from rfw_tpu.backend.structs import (
     TextureView,
 )
 from rfw_tpu.render.intersect import T_MAX, T_MIN, brute_force_closest
-from rfw_tpu.render.tpu_backend import TpuSettings, apply_skin
+from rfw_tpu.render.tpu_backend import TpuSettings
 
 PI = np.float32(np.pi)
+
+
+def _oracle_skin(mv: MeshView3D, joint_matrices: np.ndarray,
+                 positions: np.ndarray):
+    """Independent LBS (positions + normals + tangents) for the oracle —
+    deliberately NOT shared with tpu_backend.apply_skin/skin_mesh_attributes
+    so a skinning bug on the product path cannot hide behind a correlated
+    oracle. Normal matrix built from the explicit adjugate (cofactor)
+    rather than np.linalg.inv; reference semantics structs.rs:785-877."""
+    B4 = np.einsum("vj,vjab->vab", mv.weights,
+                   joint_matrices[mv.joints])  # (V,4,4)
+    pos = np.einsum("vab,vb->va", B4[:, :3, :3], positions) + B4[:, :3, 3]
+
+    m = B4[:, :3, :3]
+    # adjugate^T rows = cross products of m's rows: adjT = cof(m), and
+    # n' ~ cof(m) @ n  (== det * inv(m)^T @ n, same direction up to det sign)
+    c0 = np.cross(m[:, 1], m[:, 2])
+    c1 = np.cross(m[:, 2], m[:, 0])
+    c2 = np.cross(m[:, 0], m[:, 1])
+    cof = np.stack([c0, c1, c2], axis=1)  # (V,3,3) rows r1xr2, r2xr0, r0xr1
+    det = np.einsum("va,va->v", m[:, 0], c0)
+    n = np.einsum("vab,vb->va", cof, mv.normals) * np.sign(det)[:, None]
+    nl = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(nl > 1e-12, n / np.maximum(nl, 1e-12), mv.normals)
+
+    t = np.einsum("vab,vb->va", m, mv.tangents[:, :3])
+    tl = np.linalg.norm(t, axis=-1, keepdims=True)
+    t = np.where(tl > 1e-12, t / np.maximum(tl, 1e-12), mv.tangents[:, :3])
+    tan = np.concatenate(
+        [t, mv.tangents[:, 3:4] * np.where(det[:, None] < 0, -1.0, 1.0)],
+        axis=1)
+    return (pos.astype(np.float32), n.astype(np.float32),
+            tan.astype(np.float32))
 
 
 # --------------------------------------------------------------- BSDF (numpy)
@@ -215,6 +248,7 @@ class CpuReferenceBackend:
                 continue
             mv = self._meshes[slot]
             pos = mv.positions
+            nrm, tangents = mv.normals, mv.tangents
             if mv.has_morphs and iv.morph_weights is not None and iv.morph_weights.shape[0]:
                 w = iv.morph_weights[0, : mv.morph_targets.shape[0]]
                 if np.any(w):  # glTF: morphs before the skin
@@ -222,13 +256,13 @@ class CpuReferenceBackend:
             if mv.has_skin and self.settings.enable_skinning:
                 sid = int(iv.skin_ids[0]) if len(iv.skin_ids) else -1
                 if sid >= 0 and sid in self._skins:
-                    pos = apply_skin(mv, self._skins[sid].joint_matrices,
-                                     positions=pos)
+                    pos, nrm, tangents = _oracle_skin(
+                        mv, self._skins[sid].joint_matrices, pos)
             idx = mv.indices
             p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
-            n0, n1, n2 = (mv.normals[idx[:, k]] for k in range(3))
+            n0, n1, n2 = (nrm[idx[:, k]] for k in range(3))
             u0, u1, u2 = (mv.uvs[idx[:, k]] for k in range(3))
-            tg0 = mv.tangents[idx[:, 0]]  # corner-0 tangent xyz + handed
+            tg0 = tangents[idx[:, 0]]  # corner-0 tangent xyz + handed
             for m in iv.matrices:
                 r, t = m[:3, :3], m[:3, 3]
                 nrm = np.linalg.inv(r).T  # normal matrix

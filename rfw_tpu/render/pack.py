@@ -255,6 +255,7 @@ def pack_trace_scene(
     instances: Sequence[Tuple[int, np.ndarray]],
     deformed_positions: Optional[dict] = None,
     built_blas_out: Optional[dict] = None,
+    deformed_attrs: Optional[dict] = None,
 ) -> TraceScene:
     """Build a TraceScene.
 
@@ -262,10 +263,15 @@ def pack_trace_scene(
     instances: (mesh_slot, (I,4,4) world matrices).
     deformed_positions: {mesh_slot: (V,3)} skinned vertex override (BLAS is
     then rebuilt for those meshes).
+    deformed_attrs: {mesh_slot: (normals (V,3), tangents (V,4))} skinned
+    shading-attribute override — baked into tri_shade so posed characters
+    shade with posed normals (reference structs.rs:785-877 transforms
+    normals/tangents through the blended joint inverse-transpose).
     built_blas_out: optional dict filled with {slot: BvhNodes} for every
     BLAS built here — callers cache them to skip rebuilds next pack.
     """
     deformed_positions = deformed_positions or {}
+    deformed_attrs = deformed_attrs or {}
 
     # ---- per-mesh: triangles + BLAS ---------------------------------------
     mesh_index = {}
@@ -321,10 +327,11 @@ def pack_trace_scene(
         # filled with degenerate triangles) so leaves are contiguous and no
         # extra indirection is needed at trace time.
         po = bvh.prim_order.astype(np.int64)
+        nrm, tangents = deformed_attrs.get(slot, (mesh.normals, mesh.tangents))
         shade = np.concatenate([
-            mesh.normals[i0[po]], mesh.normals[i1[po]], mesh.normals[i2[po]],
+            nrm[i0[po]], nrm[i1[po]], nrm[i2[po]],
             mesh.uvs[i0[po]], mesh.uvs[i1[po]], mesh.uvs[i2[po]],
-            mesh.tangents[i0[po]],  # xyz + handedness
+            tangents[i0[po]],  # xyz + handedness
             e1[po], e2[po],
             _tri_lod_factor(mesh, po)[:, None],
             np.zeros((len(po), 6), np.float32),
@@ -344,7 +351,7 @@ def pack_trace_scene(
             )
         )
         vtx_chunks.append(
-            dict(normal=mesh.normals, uv=mesh.uvs, tangent=mesh.tangents)
+            dict(normal=nrm, uv=mesh.uvs, tangent=tangents)
         )
         # wide mirror (leaf first-tri pre-offset into the packed arena)
         wf, wi, wroot = build_wide_nodes(bvh, tlas=False, leaf_base_offset=tri_offset)

@@ -114,6 +114,42 @@ def apply_skin(mesh: MeshView3D, joint_matrices: np.ndarray,
     ).astype(np.float32)
 
 
+def skin_mesh_attributes(
+    mesh: MeshView3D, joint_matrices: np.ndarray,
+    positions: Optional[np.ndarray] = None,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """LBS of positions AND shading attributes -> (positions, normals,
+    tangents4). The reference transforms normals/tangents through the
+    blended joint matrix inverse-transpose (SkinnedMesh3D::apply,
+    rfw-backend/src/structs.rs:785-877); skinning positions alone leaves
+    a posed character shading with rest-pose normals.
+
+    Normals use inverse-transpose(B) (correct under non-uniform scale);
+    tangents transform like directions by B itself; handedness flips with
+    a mirrored blend (sign of det). Degenerate blends (all-zero weights)
+    keep the rest-pose attributes."""
+    pos = apply_skin(mesh, joint_matrices, positions=positions)
+
+    jm = joint_matrices[mesh.joints][:, :, :3, :3]  # (V,4,3,3)
+    B = np.einsum("vj,vjab->vab", mesh.weights, jm)  # (V,3,3)
+    det = np.linalg.det(B)
+    ok = np.abs(det) > 1e-12
+    B_safe = np.where(ok[:, None, None], B, np.eye(3, dtype=B.dtype))
+    n_mat = np.linalg.inv(B_safe).transpose(0, 2, 1)  # (V,3,3) inv-transpose
+
+    n = np.einsum("vab,vb->va", n_mat, mesh.normals)
+    nlen = np.linalg.norm(n, axis=-1, keepdims=True)
+    n = np.where(nlen > 1e-12, n / np.maximum(nlen, 1e-12), mesh.normals)
+
+    t_xyz = np.einsum("vab,vb->va", B_safe, mesh.tangents[:, :3])
+    tlen = np.linalg.norm(t_xyz, axis=-1, keepdims=True)
+    t_xyz = np.where(tlen > 1e-12, t_xyz / np.maximum(tlen, 1e-12),
+                     mesh.tangents[:, :3])
+    handed = mesh.tangents[:, 3:4] * np.where(det[:, None] < 0, -1.0, 1.0)
+    tan = np.concatenate([t_xyz, handed], axis=1)
+    return (pos, n.astype(np.float32), tan.astype(np.float32))
+
+
 class TpuBackend:
     """Backend implementation (see module docstring)."""
 
@@ -490,6 +526,7 @@ class TpuBackend:
         import jax
 
         deformed: Dict[int, np.ndarray] = {}
+        deformed_attrs: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
         meshes = []
         for slot, mv in self._meshes.items():
             pos = None
@@ -508,8 +545,9 @@ class TpuBackend:
                 skin_ids = self._instances[slot].skin_ids
                 sid = int(skin_ids[0]) if len(skin_ids) else -1
                 if sid >= 0 and sid in self._skins:
-                    pos = apply_skin(mv, self._skins[sid].joint_matrices,
-                                     positions=pos)
+                    pos, nrm, tan = skin_mesh_attributes(
+                        mv, self._skins[sid].joint_matrices, positions=pos)
+                    deformed_attrs[slot] = (nrm, tan)
             if pos is not None:
                 deformed[slot] = pos.astype(np.float32)
             blas = self._blas_cache.get(slot)
@@ -522,10 +560,12 @@ class TpuBackend:
         ]
         scene = pack_trace_scene(
             meshes, instances, deformed_positions=deformed,
+            deformed_attrs=deformed_attrs,
             built_blas_out=self._blas_cache,
         )
         # equality-gated upload: a skinned rebuild leaves most arenas
-        # byte-identical (uvs/normals/tangents/materials/static segments);
+        # byte-identical (uvs/materials/static segments; skinned meshes'
+        # tri_shade rows change with the pose and re-upload);
         # re-upload only fields that actually changed (the tunnel transfer
         # dominates the per-frame sync cost)
         if self._scene_host is not None and self._scene_dev is not None:
