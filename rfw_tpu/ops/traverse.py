@@ -102,6 +102,9 @@ class PallasScene(NamedTuple):
     #   aligned (TREELET, 128) block fetch covering TGROUPS treelets.
     inst_t: jax.Array  # (16, Ipad+1) f32: world->object; last col = identity
     root_t: jax.Array  # (1, Ipad) i32 in SMEM: blas8 root per instance
+    inst_box_min: jax.Array  # (Iarena,3) world instance AABBs (arena-padded;
+    inst_box_max: jax.Array  #   padding rows inverted +inf/-inf) — consumed
+    #   by the dense phase-A entry scan, not by the kernels
     tlas_root: int
     n_tri: int
     n_inst: int
@@ -223,6 +226,8 @@ def prepare_pallas_scene(scene) -> PallasScene:
         tri_t=tri_t,
         inst_t=inst_t,
         root_t=root_t,
+        inst_box_min=jnp.asarray(scene.inst_aabb_min, jnp.float32),
+        inst_box_max=jnp.asarray(scene.inst_aabb_max, jnp.float32),
         tlas_root=nb8,
         n_tri=n_tri,
         n_inst=ident_col,

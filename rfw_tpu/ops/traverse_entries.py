@@ -130,9 +130,12 @@ def _entries_kernel_factory(K: int, batch: int):
                                         jnp.maximum(ty0, ty1)),
                             jnp.maximum(tz0, tz1),
                         )
-                        # cull against the per-lane K-th best AND t_limit
+                        # cull against the per-lane K-th best AND t_limit,
+                        # comparing the CLAMPED entry t (origin-inside
+                        # nodes must not pass on dead lanes, t_limit 0)
                         t_cull = jnp.minimum(ts_ref[0, K - 1, sl, :], tlim)
-                        okl = ((tn <= tf) & (tf > T_MIN) & (tn < t_cull))
+                        okl = ((tn <= tf) & (tf > T_MIN)
+                               & (jnp.maximum(tn, 0.0) < t_cull))
                         hitk = jnp.any(okl) & is_int
 
                         code = col[48 + c, 0]
@@ -264,14 +267,16 @@ def pallas_tlas_entries(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
     tile_n = LANES
     T = -(-R // tile_n)
     pad = T * tile_n - R
+    tl = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
     if pad:
         ray_o = jnp.concatenate(
             [ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
         ray_d = jnp.concatenate(
             [ray_d, jnp.ones((pad, 3), ray_d.dtype)])
+        tl = jnp.concatenate(
+            [tl, jnp.full((pad,), -jnp.inf, tl.dtype)])  # padding lanes dead
     o4 = ray_o.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
     d4 = ray_d.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
-    tl = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (T * tile_n,))
     tl3 = tl.reshape(T, SUB, LANE)
 
     batch = min(CHUNK_TILES, T)
@@ -285,7 +290,9 @@ def pallas_tlas_entries(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
         tl3 = jnp.concatenate(
             [tl3, jnp.full((padT,) + tl3.shape[1:], -jnp.inf, tl3.dtype)])
 
-    meta = jnp.asarray([[int(ps.tlas_root), 0, 0, 0]], jnp.int32)
+    z = jnp.zeros((), jnp.int32)
+    meta = jnp.stack(
+        [jnp.asarray(ps.tlas_root, jnp.int32), z, z, z])[None]
     ts, ins = _run_entries_arrays(meta, ps.scene_t, o4, d4, tl3,
                                   K=K, interpret=interpret, batch=batch)
     ts = ts[:T].transpose(0, 2, 3, 1).reshape(-1, K)[:R]

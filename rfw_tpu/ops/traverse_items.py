@@ -59,6 +59,10 @@ from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 #: to a STILE boundary so each stream walks exactly one BLAS
 STILE = SSUB * LANE
 
+#: instance-arena threshold for the dense (R,I) phase-A scan; above it the
+#: quadratic slab grid loses to the Pallas TLAS-walk kernel
+DENSE_A_MAX_INST = int(__import__("os").environ.get("RFW_DENSE_A_MAX", "512"))
+
 
 class _W(NamedTuple):
     """Per-stream fixed-instance walk state."""
@@ -76,7 +80,7 @@ def _items_kernel_factory(batch: int):
     def kernel(
         meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst, 0]
         scene_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM/SMEM)
-        sinst_ref,  # SMEM (T_total, NSTREAM) i32: per-stream instance
+        sinst_ref,  # SMEM (batch, NSTREAM) i32 window: per-stream instance
         o_ref, d_ref, tlim_ref,  # per-step inputs, leading dim = batch
         t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-step outputs
         obj_ref,  # VMEM scratch (9, SUB, LANE): object-space rays
@@ -85,7 +89,6 @@ def _items_kernel_factory(batch: int):
         n_inst = meta_ref[0, 2]
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         n_grp = tri_ref.shape[1] // LANE
-        step0 = pl.program_id(0) * batch
 
         def fetch_col(ref, idx):
             # same one-hot aligned-block fetch as ops.traverse.fetch_col
@@ -106,7 +109,7 @@ def _items_kernel_factory(batch: int):
 
         def tile_walk(b, o_ref, d_ref, tlim_ref, t_ref, prim_ref,
                       iout_ref, u_ref, v_ref):
-            insts = [sinst_ref[step0 + b, k] for k in range(NSTREAM)]
+            insts = [sinst_ref[b, k] for k in range(NSTREAM)]
             t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
             prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
             iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
@@ -346,6 +349,10 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
     kernel = _items_kernel_factory(batch)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # windowed SMEM: the full (T, NSTREAM) table blew the 1MB SMEM budget
+    # at 1080p capacities; each step only needs its own batch rows
+    sinst_spec = pl.BlockSpec((batch, NSTREAM), lambda i: (i, 0),
+                              memory_space=pltpu.SMEM)
     tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
@@ -360,7 +367,7 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
     return pl.pallas_call(
         kernel,
         grid=(T // batch,),
-        in_specs=[smem_spec] + [scene_spec] * 3 + [smem_spec, smem_spec]
+        in_specs=[smem_spec] + [scene_spec] * 3 + [smem_spec, sinst_spec]
         + [tile3, tile3, tile1],
         out_specs=(tile1, tile1, tile1, tile1, tile1),
         out_shape=out_shapes,
@@ -370,6 +377,235 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
         ],
         interpret=interpret,
     )(meta, scene_t, tri_t, inst_t, root_t, sinst, o4, d4, tl3)
+
+
+def _compact_entries(ents_inst, compact_cap: int):
+    """Scatter the valid (ray, entry) items of an (R,K) entry table into a
+    dense compact buffer of static size `compact_cap` (ray-major order).
+
+    Valid entries form a PREFIX of each ray's K-list (the K-nearest insert
+    keeps ascending t with +inf empties), so item (r,k)'s compact position
+    is exclusive_cumsum(counts)[r] + k — no sort needed. Returns
+    (citem (compact_cap,) i32 item index r*K+k or -1,
+     ray_overflow (R,) bool: ray had a valid item dropped)."""
+    R, K = ents_inst.shape
+    i32 = jnp.int32
+    valid = ents_inst >= 0
+    cnt = jnp.sum(valid.astype(i32), axis=1)
+    offs = jnp.cumsum(cnt) - cnt  # exclusive
+    dest = offs[:, None] + jnp.arange(K, dtype=i32)[None]
+    ray_overflow = jnp.any(valid & (dest >= compact_cap), axis=1)
+    dest = jnp.where(valid & (dest < compact_cap), dest, compact_cap)
+    item_idx = jnp.arange(R * K, dtype=i32).reshape(R, K)
+    citem = (jnp.full(compact_cap + 1, -1, i32)
+             .at[dest.reshape(-1)].set(item_idx.reshape(-1))[:compact_cap])
+    return citem, ray_overflow
+
+
+def _pack_compact(citem, inst_flat, n_inst: int, capacity: int):
+    """Instance-sort the COMPACT item buffer and scatter into STILE-aligned
+    runs (same output contract as _pack_items but the sort touches only
+    compact_cap slots, not R*K — the round-2 pack argsorted 4.2M mostly-
+    empty slots for 181ms; this is the compact-before-sort fix).
+
+    Returns (slot_item (C,), stream_inst (C/STILE,), cap_overflow_sorted
+    (compact_cap,) bool + sitem (compact_cap,) for mapping overflow back
+    to rays)."""
+    Ccap = citem.shape[0]
+    i32 = jnp.int32
+    ckey = jnp.where(citem >= 0,
+                     inst_flat[jnp.maximum(citem, 0)], n_inst).astype(i32)
+    # stable: preserves ray-major order inside each instance run (phase-B
+    # sub-tiles then hold consecutive rays — coherent origins)
+    skey, sitem = jax.lax.sort((ckey, citem), num_keys=1, is_stable=True)
+
+    counts = jnp.zeros(n_inst + 1, i32).at[ckey].add(1)
+    padded = -(-counts[:n_inst] // STILE) * STILE
+    starts = jnp.concatenate(
+        [jnp.zeros(1, i32), jnp.cumsum(padded).astype(i32)])
+    iota = jnp.arange(Ccap, dtype=i32)
+    new = jnp.concatenate(
+        [jnp.ones(1, bool), skey[1:] != skey[:-1]]
+    ) if Ccap > 1 else jnp.ones(1, bool)
+    run_start = jax.lax.cummax(jnp.where(new, iota, 0))
+    rank = iota - run_start
+    dest = starts[jnp.minimum(skey, n_inst)] + rank
+    ok = (skey < n_inst) & (dest < capacity)
+    cap_overflow = (skey < n_inst) & ~ok
+    dest = jnp.where(ok, dest, capacity)
+    slot_item = jnp.full(capacity + 1, -1, i32).at[dest].set(sitem)[:capacity]
+    first = slot_item[jnp.arange(capacity // STILE, dtype=i32) * STILE]
+    stream_inst = jnp.where(
+        first >= 0, inst_flat[jnp.maximum(first, 0)], -1).astype(i32)
+    return slot_item, stream_inst, cap_overflow, sitem
+
+
+def twophase_closest_fused(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
+                           K: int = 8, items_per_ray: float = 1.5,
+                           n_inst_static: int | None = None,
+                           interpret: bool = False):
+    """Fully-traceable two-phase closest hit: Pallas TLAS-entries kernel ->
+    compact-before-sort pack -> fixed-instance Pallas item walks ->
+    scatter-min per-ray merge. No host syncs (safe inside render_sample's
+    jit); per-ray `t_limit` supported (dead lanes pass 0 and cost nothing
+    in either kernel).
+
+    Returns (Hit, truncated). `truncated` rays (full K-list with the best
+    hit beyond the last kept entry, or items dropped at either static
+    capacity) need a classic-kernel retrace —
+    twophase_closest_with_fallback does that with a compacted buffer.
+
+    Reference anchor: two-level MBVH traversal (backends/gpu-rt
+    intersection.glsl:106-167); binning rays by BLAS is the TPU-specific
+    design (docs/ROUND2.md two-phase plan + measurements)."""
+    from rfw_tpu.ops.traverse_entries import pallas_tlas_entries
+    from rfw_tpu.render.twophase import dense_tlas_entries
+
+    R = ray_o.shape[0]
+    i32 = jnp.int32
+    # static instance alphabet for the counting/alignment arrays: the
+    # instance-arena capacity (inst_box rows); root_t's SMEM lane padding
+    # (2048) would over-size the per-instance STILE allowance badly
+    n_inst = n_inst_static or ps.inst_box_min.shape[0]
+    tl_ray = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+
+    if ps.inst_box_min.shape[0] <= DENSE_A_MAX_INST:
+        # small instance pools: the dense (R,I) slab scan beats the TLAS
+        # walk kernel outright (no dependent fetches, no visit unions)
+        ents = dense_tlas_entries(ps.inst_box_min, ps.inst_box_max,
+                                  ray_o, ray_d, tl_ray, K=K)
+    else:
+        ents = pallas_tlas_entries(ps, ray_o, ray_d, tl_ray, K=K,
+                                   interpret=interpret)
+    inst_flat = ents.inst.reshape(-1)
+
+    # static capacities from the ray count: the kernel capacity covers the
+    # compact items plus worst-case per-instance STILE alignment padding
+    Ccap = max(LANES, -(-int(R * items_per_ray) // LANES) * LANES)
+    C = Ccap + n_inst * STILE
+    C = -(-C // LANES) * LANES
+
+    citem, ray_ovf = _compact_entries(ents.inst, Ccap)
+    slot_item, stream_inst, cap_ovf_sorted, sitem = _pack_compact(
+        citem, inst_flat, n_inst, C)
+    cap_ovf_ray = (jnp.zeros(R + 1, i32)
+                   .at[jnp.where(cap_ovf_sorted, sitem // K, R)]
+                   .max(cap_ovf_sorted.astype(i32))[:R] > 0)
+
+    # per-slot world rays; empty slots get t_limit -inf (nothing passes).
+    # ONE (R,7) table gather instead of three: XLA row-gather cost is per
+    # ROW, not per element (measured 159ms for split o/d/tl gathers at
+    # C=3.2M; fusing the table halves the row count)
+    ray_id = jnp.maximum(slot_item, 0) // K
+    od = jnp.concatenate([ray_o, ray_d, tl_ray[:, None]], axis=1)  # (R,7)
+    od_s = od[ray_id]
+    o_s = od_s[:, 0:3]
+    d_s = od_s[:, 3:6]
+    tl_s = jnp.where(slot_item >= 0, od_s[:, 6], -jnp.inf)
+
+    T = C // LANES
+    o4 = o_s.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    d4 = d_s.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    tl3 = tl_s.reshape(T, SUB, LANE)
+    sinst = stream_inst.reshape(T, NSTREAM)
+
+    batch = min(CHUNK_TILES, T)
+    n_steps = -(-T // batch)
+    pad = n_steps * batch - T
+    if pad:
+        o4 = jnp.concatenate([o4, jnp.zeros((pad,) + o4.shape[1:], o4.dtype)])
+        d4 = jnp.concatenate([d4, jnp.ones((pad,) + d4.shape[1:], d4.dtype)])
+        tl3 = jnp.concatenate(
+            [tl3, jnp.full((pad,) + tl3.shape[1:], -jnp.inf, tl3.dtype)])
+        sinst = jnp.concatenate(
+            [sinst, jnp.full((pad, NSTREAM), -1, sinst.dtype)])
+
+    meta = jnp.stack([jnp.asarray(ps.tlas_root, i32),
+                      jnp.asarray(ps.n_tri, i32),
+                      jnp.asarray(ps.n_inst, i32),
+                      jnp.zeros((), i32)])[None]
+    t_s, prim_s, inst_s, u_s, v_s = _run_items_arrays(
+        meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
+        o4, d4, tl3, interpret=interpret, batch=batch)
+    t_f = t_s[:T].reshape(C)
+    prim_f = prim_s[:T].reshape(C)
+    inst_f = inst_s[:T].reshape(C)
+    u_f = u_s[:T].reshape(C)
+    v_f = v_s[:T].reshape(C)
+
+    # ---- per-ray merge by scatter-min (no R*K unpack: the round-2 merge
+    # materialized 4 (R,K) arrays; this touches C slots + R rows) ----
+    hit_ok = (slot_item >= 0) & (prim_f >= 0)
+    rid = jnp.where(hit_ok, slot_item // K, R)
+    tmin = jnp.full(R + 1, jnp.inf, jnp.float32).at[rid].min(
+        jnp.where(hit_ok, t_f, jnp.inf))
+    is_win = hit_ok & (t_f == tmin[rid])
+    slot_iota = jnp.arange(C, dtype=i32)
+    win_slot = jnp.full(R + 1, C, i32).at[rid].min(
+        jnp.where(is_win, slot_iota, C))[:R]
+    has = win_slot < C
+    ws = jnp.minimum(win_slot, C - 1)
+    hit = Hit(
+        jnp.where(has, t_f[ws], tl_ray),
+        jnp.where(has, prim_f[ws], -1),
+        jnp.where(has, inst_f[ws], -1),
+        jnp.where(has, u_f[ws], 0.0),
+        jnp.where(has, v_f[ws], 0.0),
+    )
+    full = ents.inst[:, K - 1] >= 0
+    truncated = ((full & (hit.t > ents.t_entry[:, K - 1]))
+                 | ray_ovf | cap_ovf_ray)
+    return hit, truncated
+
+
+def twophase_closest_with_fallback(ps: PallasScene, ray_o, ray_d,
+                                   t_limit=T_MAX, K: int = 8,
+                                   items_per_ray: float = 1.5,
+                                   n_inst_static: int | None = None,
+                                   fallback_frac: int = 64,
+                                   interpret: bool = False) -> Hit:
+    """Two-phase closest hit with the exact-result contract: truncated
+    rays (measured 0.7% on pica bounce rays at K=8) are compacted with a
+    static-size nonzero and retraced through the classic two-level kernel.
+
+    The fallback buffer holds R/fallback_frac rays (>=20x the measured
+    truncation rate at the default K); in the pathological overflow case
+    the surplus rays keep their two-phase hit, which is the nearest hit
+    among each ray's K nearest instances — a sane approximation, never
+    garbage."""
+    from rfw_tpu.ops.traverse import pallas_closest_hit
+
+    R = ray_o.shape[0]
+    hit, trunc = twophase_closest_fused(
+        ps, ray_o, ray_d, t_limit, K=K, items_per_ray=items_per_ray,
+        n_inst_static=n_inst_static, interpret=interpret)
+
+    F = max(LANES, -(-(R // fallback_frac) // LANES) * LANES)
+    idx = jnp.nonzero(trunc, size=F, fill_value=R)[0].astype(jnp.int32)
+    sel = idx < R
+    ic = jnp.minimum(idx, R - 1)
+    o_f = ray_o[ic]
+    d_f = ray_d[ic]
+    # retrace bounded by the two-phase hit: it is an upper bound on the
+    # true t (a dropped instance can only contain a NEARER hit), so the
+    # classic kernel culls everything beyond it and exits early; a retrace
+    # miss then means "the two-phase hit was already correct"
+    tl_f = jnp.where(sel, hit.t[ic] * (1.0 + 1e-4) + 1e-5, 0.0)
+    fhit = pallas_closest_hit(ps, o_f, d_f, tl_f, interpret=interpret)
+    improved = sel & (fhit.prim >= 0)
+
+    def put(base, val):
+        base_f = base[ic]
+        return (jnp.concatenate([base, base[-1:]])
+                .at[idx].set(jnp.where(improved, val, base_f))[:R])
+
+    return Hit(
+        put(hit.t, fhit.t),
+        put(hit.prim, fhit.prim),
+        put(hit.inst, fhit.inst),
+        put(hit.u, fhit.u),
+        put(hit.v, fhit.v),
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("n_inst", "capacity"))

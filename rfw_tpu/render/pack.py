@@ -45,6 +45,8 @@ class TraceScene(NamedTuple):
     inst_inv: np.ndarray  # (I,4,4) world->object
     inst_normal: np.ndarray  # (I,3,3) inverse-transpose for normals
     inst_mesh: np.ndarray  # (I,) mesh slot
+    inst_aabb_min: np.ndarray  # (I,3) world-space instance bounds (padding
+    inst_aabb_max: np.ndarray  # (I,3)  rows are inverted: +inf/-inf)
 
     # BLAS node arena (offsets pre-applied)
     blas_min: np.ndarray  # (Nb,3)
@@ -431,11 +433,14 @@ def pack_trace_scene(
         local_min = np.stack([mesh_info[m][1] for m in inst_mesh])
         local_max = np.stack([mesh_info[m][2] for m in inst_mesh])
         wb = aabb_transform(Aabb(local_min, local_max), inst_matrix)
+        inst_wmin, inst_wmax = wb.min.astype(np.float32), wb.max.astype(np.float32)
         tlas = build_bvh_sah(wb.min, wb.max, max_leaf=1)
         tlas_wf, tlas_wi, tlas_wroot = build_wide_nodes(tlas, tlas=True)
         assert tlas_wroot == 0
         tlas8_box, tlas8_code, tlas8_cnt = build_wide8(tlas, tlas=True)
     else:
+        inst_wmin = np.zeros((0, 3), np.float32)
+        inst_wmax = np.zeros((0, 3), np.float32)
         tlas = build_bvh_sah(np.zeros((0, 3)), np.zeros((0, 3)))
         tlas_wf = np.zeros((1, 12), np.float32)
         tlas_wi = np.full((1, 4), -1, np.int32)
@@ -462,6 +467,8 @@ def pack_trace_scene(
         tlas_count=P(tlas.node_count), tlas_prim=P(tlas.prim_order),
         inst_matrix=P(inst_matrix), inst_inv=P(inst_inv),
         inst_normal=P(inst_normal), inst_mesh=P(inst_mesh, fill=-1),
+        inst_aabb_min=P(inst_wmin, fill=np.inf),
+        inst_aabb_max=P(inst_wmax, fill=-np.inf),
         blas_min=P(blas_min), blas_max=P(blas_max), blas_left=P(blas_left),
         blas_right=P(blas_right), blas_count=P(blas_count),
         blas_root=P(blas_root),
@@ -567,6 +574,8 @@ def repack_instances(
         tlas8_cnt=P(tlas8_cnt),
         inst_matrix=P(inst_matrix), inst_inv=P(inst_inv),
         inst_normal=P(inst_normal), inst_mesh=P(inst_mesh, fill=-1),
+        inst_aabb_min=P(wb.min.astype(np.float32), fill=np.inf),
+        inst_aabb_max=P(wb.max.astype(np.float32), fill=-np.inf),
         blas_root=P(blas_root), blas_wide_root=P(blas_wide_root),
         blas8_root=P(blas8_root),
     )

@@ -323,6 +323,7 @@ class TpuBackend:
                 "tlas_count", "tlas_prim", "tlas_wide_f", "tlas_wide_i",
                 "tlas8_box", "tlas8_code", "tlas8_cnt",
                 "inst_matrix", "inst_inv", "inst_normal", "inst_mesh",
+                "inst_aabb_min", "inst_aabb_max",
                 "blas_root", "blas_wide_root", "blas8_root",
             ]
             # device-TLAS path (SURVEY §7 stage 5: per-frame TLAS from

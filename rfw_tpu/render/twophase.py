@@ -48,8 +48,11 @@ def _slab(o, inv_d, box, t_limit):
     tn = jnp.max(jnp.minimum(t0, t1), axis=-1)
     tf = jnp.min(jnp.maximum(t0, t1), axis=-1)
     valid = jnp.all(box[:, 0:3] <= box[:, 3:6], axis=-1)
-    hit = valid & (tn <= tf) & (tf > T_MIN) & (tn < t_limit)
-    return jnp.where(hit, jnp.maximum(tn, 0.0), jnp.inf)
+    # compare the CLAMPED entry t against the limit: origin-inside boxes
+    # (tn < 0) must not emit entries for dead lanes (t_limit 0)
+    te = jnp.maximum(tn, 0.0)
+    hit = valid & (tn <= tf) & (tf > T_MIN) & (te < t_limit)
+    return jnp.where(hit, te, jnp.inf)
 
 
 @functools.partial(jax.jit, static_argnames=("K",))
@@ -158,6 +161,49 @@ def tlas_entries(
     )
     out = jax.lax.while_loop(cond, body, init)
     return TlasEntries(t_entry=out.ts, inst=out.ins)
+
+
+def dense_tlas_entries(inst_min, inst_max, ray_o, ray_d, t_limit=T_MAX,
+                       K: int = 8) -> TlasEntries:
+    """Phase A without a tree: slab-test EVERY instance AABB against every
+    ray and keep the K nearest entries per ray — pure fused VPU math on an
+    (R,I) grid, no walk, no stack, no divergence.
+
+    For instance counts in the hundreds this replaces the Pallas TLAS-walk
+    kernel outright: the walk pays ~1.5us per dependent node fetch times
+    the per-tile visit union (measured 290ms at 1080p on pica), while the
+    dense scan is a handful of (R,I) elementwise passes (~20GB of HBM
+    traffic at I=256, R=2M) that XLA fuses and pipelines. Above ~512
+    arena instances the quadratic term loses; callers gate on I.
+
+    Padding rows carry inverted boxes (+inf/-inf) which slab to
+    tn=-inf/tf=+inf and would false-hit — gated by a validity test, same
+    pitfall as _slab. Same output contract as tlas_entries."""
+    R = ray_o.shape[0]
+    inv_d = 1.0 / jnp.where(
+        jnp.abs(ray_d) < 1e-20, jnp.where(ray_d < 0, -1e-20, 1e-20), ray_d
+    )
+    t_lim = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+    valid_box = jnp.all(inst_min <= inst_max, axis=1)  # (I,)
+
+    tn = jnp.full((1, 1), -jnp.inf, jnp.float32)
+    tf = jnp.full((1, 1), jnp.inf, jnp.float32)
+    # per-axis accumulation keeps every intermediate (R,I), never (R,I,3)
+    for a in range(3):
+        t0 = (inst_min[None, :, a] - ray_o[:, None, a]) * inv_d[:, None, a]
+        t1 = (inst_max[None, :, a] - ray_o[:, None, a]) * inv_d[:, None, a]
+        tn = jnp.maximum(tn, jnp.minimum(t0, t1))
+        tf = jnp.minimum(tf, jnp.maximum(t0, t1))
+    te0 = jnp.maximum(tn, 0.0)  # clamped entry: dead lanes (t_limit 0)
+    #   must not collect origin-inside entries
+    hit = (valid_box[None] & (tn <= tf) & (tf > T_MIN)
+           & (te0 < t_lim[:, None]))
+    te = jnp.where(hit, te0, jnp.inf)  # (R,I)
+
+    neg_t, idx = jax.lax.top_k(-te, K)  # ascending entry t
+    ts = -neg_t
+    ins = jnp.where(jnp.isfinite(ts), idx.astype(jnp.int32), -1)
+    return TlasEntries(t_entry=ts, inst=ins)
 
 
 # --------------------------------------------------------- phase B (reference)

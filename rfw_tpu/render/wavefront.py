@@ -137,6 +137,19 @@ class RenderConfig:
     #   tiles need. Honest (materialized) timing shows ~2x end-to-end at
     #   1 bounce on v5e; an earlier "net negative" reading was a dispatch
     #   -timing artifact (block_until_ready does not block on this tunnel)
+    two_phase: str = "auto"  # "auto" | "on" | "off": two-phase (treelet
+    #   ray-binned) closest-hit for bounce rays — phase A enumerates each
+    #   ray's K nearest TLAS instance entries, items sort by instance, and
+    #   fixed-instance Pallas walks are coherent by construction (measured
+    #   6x the classic kernel on pica bounce rays, docs/ROUND2.md). auto =
+    #   on when the Pallas tier is selected. Truncated rays retrace through
+    #   the classic kernel (exact-result contract).
+    tp_K: int = 6  # phase-A entries kept per ray (mean real entries 1.09;
+    #   K=6 vs 8 cuts entry traffic while keeping truncation ~0.07% on
+    #   pica bounce rays; K=4 saved 20ms more but pushed truncation to 2%
+    #   and the fallback retrace ate the saving)
+    tp_items_per_ray: float = 1.25  # phase-B item capacity per ray (mean
+    #   measured 1.09 on pica bounce rays; overflow -> fallback retrace)
 
 
 class SampleResult(NamedTuple):
@@ -503,8 +516,39 @@ def render_sample(
         # in a larger jit (observed 95x slowdown)
         pps = jax.lax.optimization_barrier(prepare_pallas_scene(scene))
 
-        def trace_closest(o, d, tl):
-            return pallas_closest_hit(pps, o, d, tl)
+        use_tp = config.two_phase in ("auto", "on")
+        if _os.environ.get("RFW_TWO_PHASE") is not None:
+            use_tp = _os.environ["RFW_TWO_PHASE"] == "1"
+        if use_tp:
+            from rfw_tpu.ops.traverse_items import (
+                twophase_closest_with_fallback,
+            )
+
+            n_inst_static = scene.inst_matrix.shape[0]
+
+            def trace_closest(o, d, tl, depth=None):
+                def classic(args):
+                    return pallas_closest_hit(pps, *args)
+
+                def twophase(args):
+                    return twophase_closest_with_fallback(
+                        pps, *args, K=config.tp_K,
+                        items_per_ray=config.tp_items_per_ray,
+                        n_inst_static=n_inst_static)
+
+                if depth is None:
+                    return twophase((o, d, tl))
+                # primaries stay on the classic kernel: coherent camera
+                # rays trace near the per-step floor there (137ms/2M)
+                # while the two-phase pipeline pays its fixed R-scaled
+                # glue regardless of coherence (~500ms). Bounce rays are
+                # incoherent — two-phase wins 1.35x and rising (523 vs
+                # 707ms at 1080p, tools/bench_items --fused).
+                return jax.lax.cond(depth == 0, classic, twophase,
+                                    (o, d, tl))
+        else:
+            def trace_closest(o, d, tl, depth=None):
+                return pallas_closest_hit(pps, o, d, tl)
 
         def trace_occluded(o, d, tl):
             return pallas_occluded(pps, o, d, tl)
@@ -522,13 +566,13 @@ def render_sample(
                 pixel_ids = (px, py)
             ps = prepare_packet_scene(scene)
 
-            def trace_closest(o, d, tl):
+            def trace_closest(o, d, tl, depth=None):
                 return packet_closest_hit(ps, o, d, tl, lanes=lanes)
 
             def trace_occluded(o, d, tl):
                 return packet_occluded(ps, o, d, tl, lanes=lanes)
     if mode == "lockstep":
-        def trace_closest(o, d, tl):
+        def trace_closest(o, d, tl, depth=None):
             return bvh_closest_hit(scene, o, d, tl)
 
         def trace_occluded(o, d, tl):
@@ -613,6 +657,7 @@ def render_sample(
                 jnp.stack([ox_, oy_, oz_], axis=1),
                 jnp.stack([dx_, dy_, dz_], axis=1),
                 tl_,
+                depth=depth,
             )
             # un-permute the hit by sorting on the carried original ids
             (_, h_t, h_prim, h_inst, h_u, h_v) = jax.lax.sort(
@@ -620,7 +665,7 @@ def render_sample(
             )
             hit = type(hs)(h_t, h_prim, h_inst, h_u, h_v)
         else:
-            hit = trace_closest(st.ray_o, st.ray_d, live_lim)
+            hit = trace_closest(st.ray_o, st.ray_d, live_lim, depth=depth)
         found = (hit.prim >= 0) & st.alive
 
         # ---- miss: sky ---------------------------------------------------

@@ -18,6 +18,7 @@ Usage: python tools/bench_items.py [--width 960 --height 544 --reps 3
 from __future__ import annotations
 
 import argparse
+import functools
 import json
 import os
 import sys
@@ -47,6 +48,10 @@ def main():
     ap.add_argument("--pallas-A", action="store_true",
                     help="with --breakdown: also time the Pallas phase-A "
                          "kernel and count entry-set disagreements")
+    ap.add_argument("--fused", action="store_true",
+                    help="time the round-3 fused path "
+                         "(twophase_closest_fused / _with_fallback) "
+                         "instead of the round-2 eager pipeline")
     args = ap.parse_args()
 
     import jax
@@ -121,6 +126,40 @@ def main():
 
     if not args.skip_main:
         timed("classic", lambda: jnp.sum(pallas_closest_hit(ps, o, d).t))
+
+    if args.fused:
+        from rfw_tpu.ops.traverse_items import (
+            twophase_closest_fused, twophase_closest_with_fallback,
+        )
+
+        ni = sdev.inst_matrix.shape[0]
+        fused = jax.jit(functools.partial(
+            twophase_closest_fused, K=args.K,
+            items_per_ray=args.items_per_ray, n_inst_static=ni))
+        fusedf = jax.jit(functools.partial(
+            twophase_closest_with_fallback, K=args.K,
+            items_per_ray=args.items_per_ray, n_inst_static=ni))
+        timed("fused", lambda: jnp.sum(fused(ps, o, d)[0].t))
+        timed("fused+fb", lambda: jnp.sum(fusedf(ps, o, d).t))
+
+        # agreement of the fallback-complete path vs classic (device-side)
+        ref = pallas_closest_hit(ps, o, d)
+        got = fusedf(ps, o, d)
+        mask_mis = jnp.sum(((ref.prim >= 0) != (got.prim >= 0))
+                           .astype(jnp.int32))
+        both = (ref.prim >= 0) & (got.prim >= 0)
+        t_mis = jnp.sum((both & (jnp.abs(ref.t - got.t) > 1e-3))
+                        .astype(jnp.int32))
+        _, trunc = fused(ps, o, d)
+        results["trunc_frac"] = round(float(np.asarray(jnp.mean(
+            trunc.astype(jnp.float32)))), 4)
+        results["mask_mismatch"] = int(np.asarray(mask_mis))
+        results["t_mismatch"] = int(np.asarray(t_mis))
+        print(f"trunc {results['trunc_frac']}  mask_mis "
+              f"{results['mask_mismatch']}  t_mis {results['t_mismatch']}",
+              file=sys.stderr)
+        print(json.dumps(results))
+        return
 
     def two():
         hit, trunc = pallas_twophase_closest_hit(
