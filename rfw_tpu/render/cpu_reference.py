@@ -112,11 +112,18 @@ def _smith_ggx(ndv, a):
     return 1.0 / (ndv + np.sqrt(a2 + b - a2 * b) + 1e-12)
 
 
+def _gtr1(ndh, a):
+    a2 = a * a
+    t = 1.0 + (a2 - 1.0) * ndh * ndh
+    return np.where(a >= 1.0, 1.0 / PI, (a2 - 1.0) / (PI * np.log(a2) * t))
+
+
 def disney_eval_np(base_color, metallic, roughness, specular_f,
                    specular_tint, sheen, sheen_tint, subsurface,
-                   wo, wi) -> np.ndarray:
-    """Numpy transcription of render.disney.disney_eval (reflection lobes;
-    no clearcoat/transmission — oracle scenes stay inside that envelope).
+                   wo, wi, clearcoat=None, clearcoat_gloss=None) -> np.ndarray:
+    """Numpy transcription of render.disney.disney_eval (all reflection
+    lobes incl. the GTR1 clearcoat; transmission is blended externally by
+    the integrator loop, matching the product's trans_w factoring).
     Local frame, +z = shading normal."""
     ndv = wo[..., 2]
     ndl = wi[..., 2]
@@ -157,6 +164,12 @@ def disney_eval_np(base_color, metallic, roughness, specular_f,
     f_spec = ds[..., None] * fs * gs[..., None]
 
     f = (f_diffuse + f_sheen) * (1.0 - metallic[..., None]) + f_spec
+    if clearcoat is not None:
+        a_cc = 0.1 * (1.0 - clearcoat_gloss) + 0.001 * clearcoat_gloss
+        dr = _gtr1(ndh, a_cc)
+        fr = 0.04 + 0.96 * fh
+        gr = _smith_ggx(ndl, 0.25) * _smith_ggx(ndv, 0.25)
+        f = f + (0.25 * clearcoat * dr * fr * gr)[..., None]
     return np.where(up[..., None], f, 0.0).astype(np.float32)
 
 
@@ -247,23 +260,45 @@ class CpuReferenceBackend:
             if slot not in self._meshes or iv.count == 0:
                 continue
             mv = self._meshes[slot]
-            pos = mv.positions
-            nrm, tangents = mv.normals, mv.tangents
-            if mv.has_morphs and iv.morph_weights is not None and iv.morph_weights.shape[0]:
-                w = iv.morph_weights[0, : mv.morph_targets.shape[0]]
-                if np.any(w):  # glTF: morphs before the skin
+            idx = mv.indices
+            u0, u1, u2 = (mv.uvs[idx[:, k]] for k in range(3))
+
+            # per-INSTANCE deformation (reference instances carry their own
+            # skin_ids / node weights, rfw-scene/src/instances_3d.rs:10-322),
+            # memoized by (skin id, weight bytes) so identical poses skin once
+            deform_cache: Dict[Tuple[int, bytes], Tuple] = {}
+
+            def _deformed(i):
+                sid = -1
+                if (mv.has_skin and self.settings.enable_skinning
+                        and i < len(iv.skin_ids)):
+                    sid = int(iv.skin_ids[i])
+                wrow = b""
+                w = None
+                if (mv.has_morphs and iv.morph_weights is not None
+                        and i < iv.morph_weights.shape[0]):
+                    w = iv.morph_weights[i, : mv.morph_targets.shape[0]]
+                    wrow = w.tobytes()
+                key = (sid, wrow)
+                if key in deform_cache:
+                    return deform_cache[key]
+                pos = mv.positions
+                nrm, tangents = mv.normals, mv.tangents
+                if w is not None and np.any(w):  # glTF: morphs before the skin
                     pos = pos + np.einsum("k,kvc->vc", w, mv.morph_targets)
-            if mv.has_skin and self.settings.enable_skinning:
-                sid = int(iv.skin_ids[0]) if len(iv.skin_ids) else -1
                 if sid >= 0 and sid in self._skins:
                     pos, nrm, tangents = _oracle_skin(
                         mv, self._skins[sid].joint_matrices, pos)
-            idx = mv.indices
-            p0, p1, p2 = pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]]
-            n0, n1, n2 = (nrm[idx[:, k]] for k in range(3))
-            u0, u1, u2 = (mv.uvs[idx[:, k]] for k in range(3))
-            tg0 = tangents[idx[:, 0]]  # corner-0 tangent xyz + handed
-            for m in iv.matrices:
+                out = (
+                    pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]],
+                    nrm[idx[:, 0]], nrm[idx[:, 1]], nrm[idx[:, 2]],
+                    tangents[idx[:, 0]],  # corner-0 tangent xyz + handed
+                )
+                deform_cache[key] = out
+                return out
+
+            for i, m in enumerate(iv.matrices):
+                p0, p1, p2, n0, n1, n2, tg0 = _deformed(i)
                 r, t = m[:3, :3], m[:3, 3]
                 nrm = np.linalg.inv(r).T  # normal matrix
                 w0 = p0 @ r.T + t
@@ -514,6 +549,7 @@ class CpuReferenceBackend:
             metallic=par[:, 0], subsurface=par[:, 1], specular_f=par[:, 2],
             roughness=par[:, 3], specular_tint=par[:, 4],
             sheen=par[:, 6], sheen_tint=par[:, 7],
+            clearcoat=par[:, 8], clearcoat_gloss=par[:, 9],
             emissive=(m.flags[mat_id] & MATFLAG_EMISSIVE) != 0,
             emission=m.color[mat_id][:, :3],
             transmission=par[:, 10], eta=np.where(par[:, 11] > 1e-3,
@@ -532,6 +568,8 @@ class CpuReferenceBackend:
             cols["base"], cols["metallic"], cols["roughness"],
             cols["specular_f"], cols["specular_tint"], cols["sheen"],
             cols["sheen_tint"], cols["subsurface"], wo, wi,
+            clearcoat=cols["clearcoat"],
+            clearcoat_gloss=cols["clearcoat_gloss"],
         )
 
     def render(

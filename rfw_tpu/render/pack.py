@@ -258,6 +258,7 @@ def pack_trace_scene(
     deformed_positions: Optional[dict] = None,
     built_blas_out: Optional[dict] = None,
     deformed_attrs: Optional[dict] = None,
+    mesh_ranges_out: Optional[dict] = None,
 ) -> TraceScene:
     """Build a TraceScene.
 
@@ -271,6 +272,10 @@ def pack_trace_scene(
     normals/tangents through the blended joint inverse-transpose).
     built_blas_out: optional dict filled with {slot: BvhNodes} for every
     BLAS built here — callers cache them to skip rebuilds next pack.
+    mesh_ranges_out: optional dict filled with {slot: {"tri"|"node"|"wide"|
+    "w8"|"vtx"|"inst": (lo, hi)}} arena slice ranges (pre-padding) — the
+    static metadata render.refit_device needs to build on-device refit
+    plans for skinned/morphed meshes.
     """
     deformed_positions = deformed_positions or {}
     deformed_attrs = deformed_attrs or {}
@@ -374,6 +379,14 @@ def pack_trace_scene(
         pos_mx = pos.max(axis=0) if len(pos) else np.zeros(3, np.float32)
         mesh_info[slot] = (node_offset, pos_mn.astype(np.float32), pos_mx.astype(np.float32),
                            wroot + wide_offset, wide8_offset)
+        if mesh_ranges_out is not None:
+            mesh_ranges_out[slot] = {
+                "tri": (tri_offset, tri_offset + gather.shape[0]),
+                "node": (node_offset, node_offset + bvh.num_nodes),
+                "wide": (wide_offset, wide_offset + wf.shape[0]),
+                "w8": (wide8_offset, wide8_offset + b8.shape[0]),
+                "vtx": (vtx_offset, vtx_offset + pos.shape[0]),
+            }
         node_offset += bvh.num_nodes
         tri_offset += gather.shape[0]  # 8-aligned padded arena size
         vtx_offset += pos.shape[0]
@@ -408,6 +421,15 @@ def pack_trace_scene(
     else:
         inst_matrix = np.zeros((0, 4, 4), np.float32)
         inst_mesh = np.zeros(0, np.int32)
+    if mesh_ranges_out is not None:
+        lo = 0
+        for slot, mats in instances:
+            if slot not in mesh_info:
+                continue
+            n = np.asarray(mats).reshape(-1, 4, 4).shape[0]
+            if slot in mesh_ranges_out:
+                mesh_ranges_out[slot]["inst"] = (lo, lo + n)
+            lo += n
 
     n_inst = inst_matrix.shape[0]
     inst_inv = (
@@ -438,6 +460,11 @@ def pack_trace_scene(
         tlas_wf, tlas_wi, tlas_wroot = build_wide_nodes(tlas, tlas=True)
         assert tlas_wroot == 0
         tlas8_box, tlas8_code, tlas8_cnt = build_wide8(tlas, tlas=True)
+        if mesh_ranges_out is not None:
+            mesh_ranges_out["__tlas__"] = {
+                "nodes": tlas.num_nodes, "inst": n_inst,
+                "w8": tlas8_box.shape[0],
+            }
     else:
         inst_wmin = np.zeros((0, 3), np.float32)
         inst_wmax = np.zeros((0, 3), np.float32)

@@ -74,6 +74,10 @@ class TpuSettings:
     exposure: float = 1.0
     tonemap: str = "aces"
     enable_skinning: bool = True
+    device_dynamics: bool = True  # skin/morph + BVH refit ON DEVICE per
+    #   frame (render/refit_device.py): per-frame sync uploads only joint
+    #   matrices/morph weights instead of re-packing + re-uploading arenas
+    #   over the tunnel. Off -> round-2 host path (einsum + C++ refit).
     sampler: str = "sobol"  # "sobol" (low-discrepancy) | "random"
     fxaa: bool = False  # FXAA post-pass on the tonemapped frame (reference
     #   deferred_fxaa.frag)
@@ -150,6 +154,60 @@ def skin_mesh_attributes(
     return (pos, n.astype(np.float32), tan.astype(np.float32))
 
 
+#: pseudo mesh-slot base for per-instance deform groups: `inst_mesh` rows
+#: are int32 slot ids, so group copies of a skinned/morphed mesh pack
+#: under `_PSEUDO_BASE + (slot << 12) + group` — far above any real
+#: FlaggedStorage slot, still int32-safe
+_PSEUDO_BASE = 1 << 20
+
+
+def _pseudo_slot(slot: int, group: int) -> int:
+    return _PSEUDO_BASE + (slot << 12) + group
+
+
+def _group_keys(sids: np.ndarray, wrows: Optional[np.ndarray], count: int):
+    """Per-instance deform identity: (skin id, morph-weight bytes)."""
+    return [
+        (int(sids[i]), wrows[i].tobytes() if wrows is not None else b"")
+        for i in range(count)
+    ]
+
+
+def _pattern(keys) -> tuple:
+    """Grouping pattern: first-occurrence group index per instance. Weight
+    VALUES may change without changing the pattern (the device dynamic
+    path handles that); a pattern change needs a full repack (a new group
+    needs its own arena copy)."""
+    uniq: Dict = {}
+    return tuple(uniq.setdefault(k, len(uniq)) for k in keys)
+
+
+def _deform_sids_wrows(mv: MeshView3D, iv: InstancesView3D,
+                       skinning_enabled: bool):
+    """The (sids, wrows) arrays _group_keys sees for this mesh's instances
+    — gated exactly like _instance_layout so patterns compare stably."""
+    count = iv.count
+    skinnable = skinning_enabled and mv.has_skin
+    if (skinnable and iv.skin_ids is not None
+            and len(iv.skin_ids) == count):
+        sids = np.asarray(iv.skin_ids, np.int64)
+    else:
+        sids = np.full(count, -1, np.int64)
+    wrows = None
+    if (mv.has_morphs and iv.morph_weights is not None
+            and iv.morph_weights.shape[0] == count):
+        wrows = np.asarray(iv.morph_weights, np.float32)
+    return sids, wrows
+
+
+def _same_ids(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> bool:
+    if a is None and b is None:
+        return True
+    if a is None or b is None:
+        return False
+    return len(a) == len(b) and np.array_equal(a, b)
+
+
 class TpuBackend:
     """Backend implementation (see module docstring)."""
 
@@ -185,6 +243,19 @@ class TpuBackend:
         self._tex_dirty = True
         self._light_dirty = True
         self._skin_dirty: set = set()
+        self._morph_dirty: set = set()  # morph-weight-only changes (device
+        #   dynamic path); weight changes alongside count/topology changes
+        #   still raise _geo_dirty
+
+        # device dynamic-geometry state (render/refit_device.py):
+        # (unit_slots, plans, tlas_plan, jitted apply) or None
+        self._dyn = None
+        self._group_sig: Dict[int, tuple] = {}  # per-slot grouping pattern
+        #   of the last pack (_instance_layout); a pattern change forces a
+        #   full repack
+        self._dev_stale: set = set()  # TraceScene fields the device refit
+        #   rewrote; the next host pack must force-upload them (the
+        #   host-equality gate can no longer see the device values)
 
         # device state
         self._scene_dev: Optional[TraceScene] = None
@@ -234,13 +305,34 @@ class TpuBackend:
             morphed = not _same_morphs(
                 None if prev is None else prev.morph_weights, v.morph_weights
             )
+            # skin REBINDING (ids, not poses) changes which deform unit an
+            # instance belongs to -> repack; per-frame poses arrive via
+            # set_skins and stay on the fast path
+            rebound = known and not _same_ids(prev.skin_ids, v.skin_ids)
             self._instances[i] = v
-            if morphed:
-                self._geo_dirty = True  # weights deform geometry -> re-pack
-            elif same_count:
-                self._inst_dirty = True  # motion only -> TLAS/instance repack
-            else:
+            moved = not (known and same_count
+                         and np.array_equal(prev.matrices, v.matrices))
+            if rebound or not same_count:
                 self._geo_dirty = True
+            elif morphed:
+                mv = self._meshes.get(i)
+                pat = None
+                if mv is not None:
+                    sids, wrows = _deform_sids_wrows(
+                        mv, v, self.settings.enable_skinning)
+                    pat = _pattern(_group_keys(sids, wrows, v.count))
+                if pat is not None and pat == self._group_sig.get(i):
+                    # weight-only deformation, same grouping: the device
+                    # dynamic path handles it without a re-pack (falls
+                    # back to _geo_dirty in synchronize if no plan covers
+                    # the slot)
+                    self._morph_dirty.add(i)
+                    if moved:
+                        self._inst_dirty = True
+                else:
+                    self._geo_dirty = True  # grouping changed -> re-pack
+            elif moved:
+                self._inst_dirty = True  # motion only -> TLAS/instance repack
 
     def set_2d_meshes(self, changed: Sequence[Tuple[int, MeshView2D]]) -> None:
         for i, v in changed:
@@ -282,6 +374,11 @@ class TpuBackend:
 
     def set_skins(self, changed: Sequence[Tuple[int, SkinView]]) -> None:
         for i, v in changed:
+            if i not in self._skins:
+                # a NEW skin id can turn a packed-at-rest unit skinnable;
+                # its refit plan was built without joints -> full repack.
+                # Per-frame pose updates of a known skin stay fast.
+                self._geo_dirty = True
             self._skins[i] = v
             self._skin_dirty.add(i)
 
@@ -295,27 +392,74 @@ class TpuBackend:
         skinned_dirty = any(
             m.has_skin for m in self._meshes.values()
         ) and bool(self._skin_dirty)
-        if self._geo_dirty or skinned_dirty:
+        morph_dirty = bool(self._morph_dirty)
+        # device dynamic path: skins/morphs changed, geometry topology did
+        # not, and the last pack built refit plans covering every unit —
+        # upload KBs of joint matrices and run the on-device refit instead
+        # of re-packing + re-uploading arenas (render/refit_device.py)
+        dyn_ok = (
+            self._dyn is not None
+            and self.settings.device_dynamics
+            and not self._geo_dirty
+            and self._morph_dirty <= self._dyn["slots"]
+        )
+        # pure instance motion also re-runs the device refit when plans
+        # exist: the host instance repack only knows REST local AABBs, so
+        # without the refit a posed unit's TLAS boxes would snap back to
+        # the rest pose and rays could miss the deformed geometry
+        if (skinned_dirty or morph_dirty or self._inst_dirty) and dyn_ok:
+            if self._inst_dirty and self._scene_host is not None:
+                self._sync_instances()
+            self._apply_device_dynamics()
+            self._inst_dirty = False
+            self._skin_dirty.clear()
+            self._morph_dirty.clear()
+            self._reset_film()
+        elif self._geo_dirty or skinned_dirty or morph_dirty:
             self._rebuild_scene()
             self._geo_dirty = False
             self._inst_dirty = False
             self._skin_dirty.clear()
+            self._morph_dirty.clear()
             self._reset_film()
         elif self._inst_dirty and self._scene_host is not None:
-            # instance-only motion: rebuild TLAS + instance arrays, keep
-            # geometry arenas on device untouched (reference gpu-rt TLAS-only
-            # refit per synchronize)
-            import jax
+            self._sync_instances()
+            self._inst_dirty = False
+            self._reset_film()
+        if self._mat_dirty and self._materials is not None:
+            self._mats_dev = self._jax.device_put(self._materials)
+            self._mat_dirty = False
+            self._reset_film()
+        if self._tex_dirty:
+            self._sync_textures()
+        if self._light_dirty:
+            dl = pack_lights(self._point, self._spot, self._directional, self._area)
+            self._lights_dev = DeviceLights(*[jnp.asarray(x) for x in dl])
+            self._light_dirty = False
+            self._reset_film()
+        self.stats["sync_ms"].add((_time.perf_counter() - _t0) * 1e3)
 
+    def _sync_instances(self) -> None:
+        """Instance-only motion: rebuild TLAS + instance arrays, keep
+        geometry arenas on device untouched (reference gpu-rt TLAS-only
+        refit per synchronize)."""
+        import jax
+
+        if True:
+            # the packed scene's instance rows follow the GROUPED layout
+            # (per-instance deform units under pseudo slots); rebuild the
+            # same layout with the fresh matrices so rows stay aligned
+            # with the arenas and the refit plans' inst_rows
+            pack_meshes, instances, _units, sig = self._instance_layout()
+            if sig != self._group_sig:
+                # grouping drifted since the pack (defensive: normally
+                # set_3d_instances flags _geo_dirty first) -> full repack
+                self._rebuild_scene()
+                return
+            ps_to_slot = dict(pack_meshes)
             meshes_info = [
-                (slot, self._meshes[slot].aabb_min, self._meshes[slot].aabb_max)
-                for slot in self._instances
-                if slot in self._meshes
-            ]
-            instances = [
-                (slot, iv.matrices)
-                for slot, iv in self._instances.items()
-                if iv.count > 0 and slot in self._meshes
+                (ps, self._meshes[slot].aabb_min, self._meshes[slot].aabb_max)
+                for ps, slot in pack_meshes
             ]
             new_host = repack_instances(self._scene_host, meshes_info, instances)
             fields = [
@@ -340,16 +484,20 @@ class TpuBackend:
                 jax.default_backend() != "cpu"
                 and n_inst >= DEVICE_TLAS_MIN_INSTANCES
                 and tlas8_node_count(n_inst) <= new_host.tlas8_box.shape[0]
+                # with device dynamics active the refit plan refits tlas8
+                # boxes against the HOST topology — the device-built morton
+                # tlas8 would disagree with it, so keep host tlas8 here
+                and self._dyn is None
             )
             if use_device_tlas:
                 fields = [f for f in fields
                           if f not in ("tlas8_box", "tlas8_code", "tlas8_cnt")]
             changed = {f: jax.device_put(getattr(new_host, f)) for f in fields}
             if use_device_tlas:
-                lmin = np.stack([self._meshes[m].aabb_min
-                                 for m in new_host.inst_mesh[:n_inst]])
-                lmax = np.stack([self._meshes[m].aabb_max
-                                 for m in new_host.inst_mesh[:n_inst]])
+                lmin = np.stack([self._meshes[ps_to_slot.get(int(m), int(m))]
+                                 .aabb_min for m in new_host.inst_mesh[:n_inst]])
+                lmax = np.stack([self._meshes[ps_to_slot.get(int(m), int(m))]
+                                 .aabb_max for m in new_host.inst_mesh[:n_inst]])
                 box, code, cnt = build_tlas8_device(
                     changed["inst_matrix"][:n_inst], jax.device_put(lmin),
                     jax.device_put(lmax),
@@ -360,13 +508,17 @@ class TpuBackend:
                 changed["tlas8_cnt"] = cnt
             self._scene_dev = self._scene_dev._replace(**changed)
             self._scene_host = new_host
-            self._inst_dirty = False
-            self._reset_film()
-        if self._mat_dirty and self._materials is not None:
-            self._mats_dev = self._jax.device_put(self._materials)
-            self._mat_dirty = False
-            self._reset_film()
-        if self._tex_dirty:
+            if self._dyn is not None:
+                # instance set/TLAS topology changed: the refit plan's TLAS
+                # schedule is stale — rebuild it from the new host arrays
+                from rfw_tpu.render.refit_device import build_tlas_plan
+
+                prev = self._dyn["tlas_plan"].passes_shape.shape[0]
+                self._dyn["tlas_plan"] = jax.device_put(
+                    build_tlas_plan(new_host, min_passes=prev))
+
+    def _sync_textures(self) -> None:
+        if True:
             tex_list: List = []
             if self._textures:
                 cap = max(self._textures) + 1
@@ -395,12 +547,6 @@ class TpuBackend:
             self._atlas_dev = atlas_to_device(atlas)
             self._tex_dirty = False
             self._reset_film()
-        if self._light_dirty:
-            dl = pack_lights(self._point, self._spot, self._directional, self._area)
-            self._lights_dev = DeviceLights(*[jnp.asarray(x) for x in dl])
-            self._light_dirty = False
-            self._reset_film()
-        self.stats["sync_ms"].add((_time.perf_counter() - _t0) * 1e3)
 
     def render(
         self,
@@ -523,47 +669,119 @@ class TpuBackend:
         self._film = None
         self._spp = 0
 
+    def _instance_layout(self):
+        """Split instanced meshes into deform units.
+
+        The reference gives every INSTANCE its own skin id and morph
+        weights (rfw-scene/src/instances_3d.rs:10-322); a ray tracer needs
+        a distinct deformed arena copy per distinct pose, so instances of
+        a skinned/morphed mesh group by (skin_id, morph-weight bytes) and
+        each group packs under its own pseudo mesh slot sharing the real
+        slot's rest BLAS topology.
+
+        Returns (pack_meshes [(pack_slot, real_slot)],
+                 pack_instances [(pack_slot, matrices)],
+                 units [dict], sig {real_slot: grouping pattern}).
+        """
+        pack_meshes = []
+        pack_instances = []
+        units = []
+        sig = {}
+        for slot, mv in self._meshes.items():
+            iv = self._instances.get(slot)
+            skinnable = self.settings.enable_skinning and mv.has_skin
+            morphable = mv.has_morphs
+            if iv is None or iv.count == 0 or not (skinnable or morphable):
+                pack_meshes.append((slot, slot))
+                if iv is not None and iv.count > 0:
+                    pack_instances.append((slot, iv.matrices))
+                continue
+            count = iv.count
+            if (skinnable and iv.skin_ids is not None
+                    and len(iv.skin_ids) == count):
+                sids = np.asarray(iv.skin_ids, np.int64)
+            else:
+                sids = np.full(count, -1, np.int64)
+            wrows = None
+            if (morphable and iv.morph_weights is not None
+                    and iv.morph_weights.shape[0] == count):
+                wrows = np.asarray(iv.morph_weights, np.float32)
+            uniq: Dict = {}
+            gidx = []
+            for i in range(count):
+                k = (int(sids[i]),
+                     wrows[i].tobytes() if wrows is not None else b"")
+                if k not in uniq:
+                    uniq[k] = (len(uniq), i)
+                gidx.append(uniq[k][0])
+            sig[slot] = tuple(gidx)
+            gidx = np.asarray(gidx)
+            for (sid, _), (g, first) in uniq.items():
+                ps = slot if len(uniq) == 1 else _pseudo_slot(slot, g)
+                pack_meshes.append((ps, slot))
+                pack_instances.append((ps, iv.matrices[gidx == g]))
+                units.append(dict(
+                    pack_slot=ps, slot=slot, sid=sid, w_row=first,
+                    has_skin=skinnable and sid >= 0 and sid in self._skins,
+                ))
+        return pack_meshes, pack_instances, units, sig
+
+    def _unit_deform_host(self, unit) -> Optional[Tuple]:
+        """Host-side deformation for one unit at pack time -> (positions,
+        (normals, tangents) or None), or None if the unit is at rest."""
+        mv = self._meshes[unit["slot"]]
+        pos = None
+        if mv.has_morphs:
+            iv = self._instances[unit["slot"]]
+            mw = iv.morph_weights
+            if mw is not None and mw.shape[0]:
+                w = mw[min(unit["w_row"], mw.shape[0] - 1),
+                       : mv.morph_targets.shape[0]]
+                if np.any(w):  # glTF: morphs apply before the skin
+                    pos = (mv.positions
+                           + np.einsum("k,kvc->vc", w, mv.morph_targets))
+        attrs = None
+        if unit["has_skin"]:
+            pos, nrm, tan = skin_mesh_attributes(
+                mv, self._skins[unit["sid"]].joint_matrices, positions=pos)
+            attrs = (nrm, tan)
+        if pos is None:
+            return None
+        return pos.astype(np.float32), attrs
+
     def _rebuild_scene(self) -> None:
         import jax
 
+        pack_meshes, instances, units, sig = self._instance_layout()
+        self._group_sig = sig
         deformed: Dict[int, np.ndarray] = {}
         deformed_attrs: Dict[int, Tuple[np.ndarray, np.ndarray]] = {}
+        unit_by_ps = {u["pack_slot"]: u for u in units}
         meshes = []
-        for slot, mv in self._meshes.items():
-            pos = None
-            if mv.has_morphs and slot in self._instances:
-                mw = self._instances[slot].morph_weights
-                if mw is not None and mw.shape[0]:
-                    w = mw[0, : mv.morph_targets.shape[0]]
-                    if np.any(w):  # glTF: morphs apply before the skin
-                        pos = (mv.positions
-                               + np.einsum("k,kvc->vc", w, mv.morph_targets))
-            if (
-                self.settings.enable_skinning
-                and mv.has_skin
-                and slot in self._instances
-            ):
-                skin_ids = self._instances[slot].skin_ids
-                sid = int(skin_ids[0]) if len(skin_ids) else -1
-                if sid >= 0 and sid in self._skins:
-                    pos, nrm, tan = skin_mesh_attributes(
-                        mv, self._skins[sid].joint_matrices, positions=pos)
-                    deformed_attrs[slot] = (nrm, tan)
-            if pos is not None:
-                deformed[slot] = pos.astype(np.float32)
-            blas = self._blas_cache.get(slot)
-            meshes.append((slot, _mesh_from_view(mv), blas))
-
-        instances = [
-            (slot, iv.matrices)
-            for slot, iv in self._instances.items()
-            if iv.count > 0 and slot in self._meshes
-        ]
+        blas_out: Dict = {}
+        for ps, slot in pack_meshes:
+            mv = self._meshes[slot]
+            u = unit_by_ps.get(ps)
+            if u is not None:
+                d = self._unit_deform_host(u)
+                if d is not None:
+                    deformed[ps] = d[0]
+                    if d[1] is not None:
+                        deformed_attrs[ps] = d[1]
+            # groups share the real slot's rest-topology BLAS
+            meshes.append((ps, _mesh_from_view(mv), self._blas_cache.get(slot)))
+        ranges: Dict = {}
         scene = pack_trace_scene(
             meshes, instances, deformed_positions=deformed,
             deformed_attrs=deformed_attrs,
-            built_blas_out=self._blas_cache,
+            built_blas_out=blas_out,
+            mesh_ranges_out=ranges,
         )
+        # write fresh BLAS builds back under their REAL slot (groups of
+        # one mesh share the rest topology; first group's build wins)
+        ps_to_slot = dict(pack_meshes)
+        for ps, bvh in blas_out.items():
+            self._blas_cache.setdefault(ps_to_slot.get(ps, ps), bvh)
         # equality-gated upload: a skinned rebuild leaves most arenas
         # byte-identical (uvs/materials/static segments; skinned meshes'
         # tri_shade rows change with the pose and re-upload);
@@ -574,7 +792,8 @@ class TpuBackend:
             for f in scene._fields:
                 new = getattr(scene, f)
                 old = getattr(self._scene_host, f)
-                if (old.shape == new.shape and old.dtype == new.dtype
+                if (f not in self._dev_stale
+                        and old.shape == new.shape and old.dtype == new.dtype
                         and np.array_equal(old, new)):
                     fields[f] = getattr(self._scene_dev, f)
                 else:
@@ -582,11 +801,92 @@ class TpuBackend:
             self._scene_dev = TraceScene(**fields)
         else:
             self._scene_dev = jax.device_put(scene)
+        self._dev_stale.clear()
         self._scene_host = scene
+        self._build_dynamic_plans(scene, ranges, units)
         _LOG.info(
             "scene packed: %d tris, %d instances", scene.num_triangles,
             scene.num_instances,
         )
+
+    def _build_dynamic_plans(self, scene: TraceScene, ranges: Dict,
+                             units: List[Dict]) -> None:
+        """Build on-device refit plans (render/refit_device.py) for every
+        deform unit (one per distinct (mesh, skin, morph-weights) group —
+        _instance_layout) so later skin/morph updates skip the host repack
+        entirely. Plans are static per arena layout; rebuilt with every
+        full pack."""
+        self._dyn = None
+        if not self.settings.device_dynamics:
+            return
+        import jax
+
+        from rfw_tpu.render.refit_device import (
+            build_tlas_plan, build_unit_plan,
+        )
+
+        plans, dyn_units = [], []
+        for u in units:
+            mv = self._meshes[u["slot"]]
+            if not (u["has_skin"] or mv.has_morphs):
+                continue  # rest-pose unit: nothing to refit
+            ps = u["pack_slot"]
+            if ps not in ranges or "inst" not in ranges[ps]:
+                continue
+            plan = build_unit_plan(
+                scene, ranges[ps], mv.positions, mv.normals, mv.tangents,
+                mv.joints if u["has_skin"] else None,
+                mv.weights if u["has_skin"] else None,
+                mv.morph_targets if mv.has_morphs else None,
+            )
+            lo, hi = ranges[ps]["inst"]
+            plan = plan._replace(inst_rows=np.arange(lo, hi, dtype=np.int32))
+            plans.append(jax.device_put(plan))
+            dyn_units.append(u)
+        if not plans:
+            return
+        self._dyn = {
+            "slots": {u["slot"] for u in dyn_units},
+            "units": dyn_units,
+            "plans": tuple(plans),
+            "tlas_plan": jax.device_put(build_tlas_plan(scene)),
+        }
+
+    def _apply_device_dynamics(self) -> None:
+        """Per-frame dynamic sync: upload joint matrices/morph weights
+        (KBs) and run the fused on-device skin+refit jit."""
+        import jax.numpy as jnp
+
+        from rfw_tpu.render.refit_device import apply_dynamic_jit
+
+        poses, morphs = [], []
+        for u in self._dyn["units"]:
+            jm = None
+            if u["has_skin"]:
+                jm = jnp.asarray(
+                    self._skins[u["sid"]].joint_matrices, jnp.float32)
+            poses.append(jm)
+            mw = None
+            mv = self._meshes[u["slot"]]
+            if mv.has_morphs:
+                m = mv.morph_targets.shape[0]
+                w = self._instances[u["slot"]].morph_weights
+                if w is not None and w.shape[0]:
+                    row = min(u["w_row"], w.shape[0] - 1)
+                    mw = jnp.asarray(w[row, :m], jnp.float32)
+                else:
+                    mw = jnp.zeros((m,), jnp.float32)
+            morphs.append(mw)
+        self._scene_dev = apply_dynamic_jit()(
+            self._scene_dev, self._dyn["plans"], self._dyn["tlas_plan"],
+            tuple(poses), tuple(morphs),
+        )
+        self._dev_stale |= {
+            "tri_v0", "tri_e1", "tri_e2", "tri_shade",
+            "blas_min", "blas_max", "blas_wide_f", "blas8_box",
+            "tlas_min", "tlas_max", "tlas_wide_f", "tlas8_box",
+            "inst_aabb_min", "inst_aabb_max",
+        }
 
     def _aov_frame(self, res, mode: RenderMode) -> np.ndarray:
         H, W = self.height, self.width
