@@ -124,7 +124,8 @@ def main():
     sdev, dmats, atlas, dlights, view = build_scene(W, H)
     cfg = RenderConfig(max_bounces=args.bounces, clamp=20.0, sky_intensity=0.35,
                        sort_secondary=args.sort, sampler="sobol",
-                       tex_mask=tex_kinds_mask(dmats.tex))
+                       tex_mask=tex_kinds_mask(dmats.tex),
+                       has_area_lights=bool(np.asarray(dlights.n_area)[0] > 0))
     key = jax.random.PRNGKey(11)
 
     # warm-up / compile

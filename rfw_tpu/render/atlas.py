@@ -10,6 +10,14 @@ Layout: texel index = offset[tex, mip] + ty * width[tex, mip] + tx.
 sRGB decode happens at *pack* time into the pool? No — pool keeps raw
 RGBA8; decode after gather (cheap pow approximation) so linear-data
 textures (normal maps) stay exact.
+
+Quad rows: the pool is (N, 4) — row (x, y) holds the texel's whole
+wrapped 2x2 bilinear footprint [t(x,y), t(x+1,y), t(x,y+1), t(x+1,y+1)]
+(neighbors precomputed with wrap at pack time). TPU gathers are
+latency/burst-bound per ROW, not per byte: one 16-byte contiguous row
+costs the same as one 4-byte texel, so a bilinear fetch is ONE scattered
+gather instead of four, at 4x pool memory (~190MB for the pica set —
+HBM-resident, uploaded once). Bit-identical to the old 4-gather path.
 """
 
 from __future__ import annotations
@@ -24,7 +32,8 @@ MAX_MIPS = 16
 
 
 class TextureAtlas(NamedTuple):
-    texels: np.ndarray  # (N,) uint32 packed RGBA8 (r | g<<8 | b<<16 | a<<24)
+    texels: np.ndarray  # (N,4) uint32 packed RGBA8 quad rows (see module
+    #   docstring): [:,0]=t(x,y) [:,1]=t(x+1,y) [:,2]=t(x,y+1) [:,3]=t(x+1,y+1)
     offset: np.ndarray  # (T, MAX_MIPS) i32
     width: np.ndarray  # (T, MAX_MIPS) i32
     height: np.ndarray  # (T, MAX_MIPS) i32
@@ -52,19 +61,24 @@ def pack_atlas(textures: Sequence, pad_to: int = 1) -> TextureAtlas:
             rgba = mip.astype(np.uint32)
             packed = (
                 rgba[..., 0] | (rgba[..., 1] << 8) | (rgba[..., 2] << 16) | (rgba[..., 3] << 24)
-            ).reshape(-1)
-            chunks.append(packed)
+            )  # (h, w)
+            # bake the wrapped 2x2 bilinear footprint into each row
+            px = np.roll(packed, -1, axis=1)
+            py = np.roll(packed, -1, axis=0)
+            pxy = np.roll(px, -1, axis=0)
+            quad = np.stack([packed, px, py, pxy], axis=-1).reshape(-1, 4)
+            chunks.append(quad)
             offset[ti, mi] = cursor
             width[ti, mi] = w
             height[ti, mi] = h
-            cursor += packed.size
+            cursor += quad.shape[0]
     if not chunks:
-        chunks = [np.full(1, 0xFFFFFFFF, np.uint32)]
+        chunks = [np.full((1, 4), 0xFFFFFFFF, np.uint32)]
         cursor = 1
     texels = np.concatenate(chunks).astype(np.uint32)
-    if pad_to > 1 and texels.size % pad_to:
+    if pad_to > 1 and texels.shape[0] % pad_to:
         texels = np.concatenate(
-            [texels, np.zeros(pad_to - texels.size % pad_to, np.uint32)]
+            [texels, np.zeros((pad_to - texels.shape[0] % pad_to, 4), np.uint32)]
         )
     return TextureAtlas(texels, offset, width, height, mip_count, srgb)
 
@@ -91,10 +105,12 @@ def sample_bilinear(
 ) -> jax.Array:
     """Mip-mapped RGBA fetch. Returns (R,4) linear values.
 
-    Default is bilinear at the NEAREST mip (4 texel gathers); trilinear
-    blends two mips (8 gathers). Texel-pool gathers cost ~25-50ms per 2M
-    rays on this TPU, so the default halves the dominant sampling cost
-    for a visually minor mip-snap."""
+    Default is bilinear at the NEAREST mip (ONE quad-row gather brings the
+    whole 2x2 footprint — see module docstring); trilinear blends two mips
+    (2 gathers). Scattered texel-pool gathers are the dominant material-
+    stage cost at 2M rays, so quad rows are worth ~4x over per-corner
+    gathers; the nearest-mip default halves trilinear's cost again for a
+    visually minor mip-snap."""
     valid = tex_id >= 0
     t = jnp.maximum(tex_id, 0)
     max_mip = (atlas.mip_count[t] - 1).astype(jnp.float32)
@@ -126,15 +142,13 @@ def sample_bilinear(
         fx = (x - x0.astype(jnp.float32))[..., None]
         fy = (y - y0.astype(jnp.float32))[..., None]
 
-        def at(xi, yi):
-            xi = jnp.mod(xi, w)
-            yi = jnp.mod(yi, h)
-            return _unpack_rgba(atlas.texels[off + yi * w + xi])
-
-        c00 = at(x0, y0)
-        c10 = at(x0 + 1, y0)
-        c01 = at(x0, y0 + 1)
-        c11 = at(x0 + 1, y0 + 1)
+        xi = jnp.mod(x0, w)
+        yi = jnp.mod(y0, h)
+        quad = atlas.texels[off + yi * w + xi]  # (R,4) — the ONE gather
+        c00 = _unpack_rgba(quad[..., 0])
+        c10 = _unpack_rgba(quad[..., 1])
+        c01 = _unpack_rgba(quad[..., 2])
+        c11 = _unpack_rgba(quad[..., 3])
         return (
             (c00 * (1 - fx) + c10 * fx) * (1 - fy)
             + (c01 * (1 - fx) + c11 * fx) * fy

@@ -591,6 +591,9 @@ class TpuBackend:
             pixel_center=self.settings.pixel_center,
             tex_mask=(tex_kinds_mask(self._materials.tex)
                       if self._materials is not None else 0),
+            # static no-area-lights shortcut: delta-only scenes skip the
+            # NEE<->BSDF MIS machinery entirely (weights are 1)
+            has_area_lights=self._area.count > 0,
         )
         view_dev = jnp.asarray(view_arr)
         key = jax.random.PRNGKey(42)

@@ -144,6 +144,17 @@ class RenderConfig:
     #   6x the classic kernel on pica bounce rays, docs/ROUND2.md). auto =
     #   on when the Pallas tier is selected. Truncated rays retrace through
     #   the classic kernel (exact-result contract).
+    has_area_lights: bool = True  # static: the scene has registered area
+    #   lights. False lets XLA drop the whole NEE<->BSDF MIS machinery
+    #   (disney_pdf at every vertex + the hit-emitter pick-probability
+    #   reconstruction) — with delta-only lights both weights are 1.
+    #   Callers compute it from the packed lights (bench.py, TpuBackend).
+    compaction: str = "auto"  # "auto" | "off": bounce vertices run their
+    #   ENTIRE pipeline (trace + occlusion + shading) on the sorted live
+    #   PREFIX at the smallest of a few static lengths >= the live count
+    #   (lax.switch — only the chosen branch executes). Dead lanes sort to
+    #   the back and cost nothing. Measured live fractions on the bench
+    #   scene: 0.50 after the primaries, 0.36 after bounce 1.
     tp_K: int = 6  # phase-A entries kept per ray (mean real entries 1.09;
     #   K=6 vs 8 cuts entry traffic while keeping truncation ~0.07% on
     #   pica bounce rays; K=4 saved 20ms more but pushed truncation to 2%
@@ -449,6 +460,11 @@ def _shading_basis(scene, hit, ray_d):
 
 
 class _PathState(NamedTuple):
+    """Per-lane path state carried between vertices. After the first bounce
+    sort, lanes live in SORTED order (live prefix, dead suffix) — `pid`
+    maps each lane back to its pixel (used for pixel-keyed Sobol slots and
+    the final radiance unsort)."""
+
     radiance: jax.Array
     throughput: jax.Array
     alive: jax.Array
@@ -459,11 +475,23 @@ class _PathState(NamedTuple):
     #   instance walk the same BLAS
     ray_o: jax.Array
     ray_d: jax.Array
-    aov_albedo: jax.Array
-    aov_normal: jax.Array
-    aov_depth: jax.Array
-    aov_pos: jax.Array
-    aov_ao: jax.Array
+    pid: jax.Array  # pixel linear index of this lane
+
+
+def _prefix_sizes(R: int, g: int) -> list:
+    """Static live-prefix lengths for bounce-vertex compaction: multiples
+    of the tile width g, ascending, last == R. Fractions bracket the
+    measured live-fraction decay on the bench scene (0.50 after primaries,
+    0.36 after bounce 1, decaying after). Small rays counts (tests) get a
+    single full-length branch — compaction needs scale to pay."""
+    if R < 4 * g or R < 16384:
+        return [R]
+    out = []
+    for f in (0.1875, 0.375, 0.5625, 1.0):
+        p = min(R, -(-int(R * f) // g) * g)
+        if p not in out:
+            out.append(p)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("width", "height", "config"))
@@ -480,7 +508,20 @@ def render_sample(
     sky_tex: Optional[jax.Array] = None,  # (1,) i32 atlas texture id; <0/None = constant sky
     sample_index: Optional[jax.Array] = None,  # () uint32 progressive index (sobol)
 ) -> SampleResult:
-    """Trace one sample per pixel; returns radiance + first-hit AOVs."""
+    """Trace one sample per pixel; returns radiance + first-hit AOVs.
+
+    Vertex structure (each path vertex = closest-hit + NEE + bounce):
+      * vertex 0 is PEELED: primaries are coherent by block swizzle, trace
+        on the classic kernel, full-front shading, AOV capture;
+      * middle vertices (1..max_bounces-1) run in one fori_loop;
+      * the FINAL vertex is peeled: NEE only — no BSDF sample, no
+        continuation state (the reference evaluates the same structure
+        implicitly via its depth check, gpu-rt lib.rs:1709);
+      * every bounce vertex first re-sorts the state by (octant, origin
+        morton) with dead lanes last, then — when compaction is on —
+        dispatches trace+shade on the smallest static live-prefix length
+        that covers the live count (lax.switch; only that branch runs).
+    """
     R = width * height
     k_cam, k_loop = jax.random.split(key)
 
@@ -519,6 +560,10 @@ def render_sample(
         use_tp = config.two_phase in ("auto", "on")
         if _os.environ.get("RFW_TWO_PHASE") is not None:
             use_tp = _os.environ["RFW_TWO_PHASE"] == "1"
+
+        def trace_coherent(o, d, tl):
+            return pallas_closest_hit(pps, o, d, tl)
+
         if use_tp:
             from rfw_tpu.ops.traverse_items import (
                 twophase_closest_with_fallback,
@@ -526,29 +571,17 @@ def render_sample(
 
             n_inst_static = scene.inst_matrix.shape[0]
 
-            def trace_closest(o, d, tl, depth=None):
-                def classic(args):
-                    return pallas_closest_hit(pps, *args)
-
-                def twophase(args):
-                    return twophase_closest_with_fallback(
-                        pps, *args, K=config.tp_K,
-                        items_per_ray=config.tp_items_per_ray,
-                        n_inst_static=n_inst_static)
-
-                if depth is None:
-                    return twophase((o, d, tl))
-                # primaries stay on the classic kernel: coherent camera
-                # rays trace near the per-step floor there (137ms/2M)
-                # while the two-phase pipeline pays its fixed R-scaled
-                # glue regardless of coherence (~500ms). Bounce rays are
-                # incoherent — two-phase wins 1.35x and rising (523 vs
-                # 707ms at 1080p, tools/bench_items --fused).
-                return jax.lax.cond(depth == 0, classic, twophase,
-                                    (o, d, tl))
+            def trace_bounce(o, d, tl):
+                # bounce rays are incoherent — the ray-binned two-phase
+                # pipeline wins there (primaries stay on the classic
+                # kernel: coherent camera rays trace near the per-step
+                # floor while two-phase pays R-scaled glue regardless)
+                return twophase_closest_with_fallback(
+                    pps, o, d, tl, K=config.tp_K,
+                    items_per_ray=config.tp_items_per_ray,
+                    n_inst_static=n_inst_static)
         else:
-            def trace_closest(o, d, tl, depth=None):
-                return pallas_closest_hit(pps, o, d, tl)
+            trace_bounce = trace_coherent
 
         def trace_occluded(o, d, tl):
             return pallas_occluded(pps, o, d, tl)
@@ -566,14 +599,18 @@ def render_sample(
                 pixel_ids = (px, py)
             ps = prepare_packet_scene(scene)
 
-            def trace_closest(o, d, tl, depth=None):
+            def trace_coherent(o, d, tl):
                 return packet_closest_hit(ps, o, d, tl, lanes=lanes)
+
+            trace_bounce = trace_coherent
 
             def trace_occluded(o, d, tl):
                 return packet_occluded(ps, o, d, tl, lanes=lanes)
     if mode == "lockstep":
-        def trace_closest(o, d, tl, depth=None):
+        def trace_coherent(o, d, tl):
             return bvh_closest_hit(scene, o, d, tl)
+
+        trace_bounce = trace_coherent
 
         def trace_occluded(o, d, tl):
             return bvh_occluded(scene, o, d, tl)
@@ -583,11 +620,12 @@ def render_sample(
         pid = pixel_ids[1] * width + pixel_ids[0]
     else:
         pid = jnp.arange(R, dtype=jnp.int32)
+    pid = pid.astype(jnp.int32)
 
-    def uniforms(slot, n, key_, count):
+    def uniforms(slot, nu, key_, pid_s):
         if use_sobol:
-            return sample_slot(sample_index, pid, slot, n)
-        return jax.random.uniform(key_, (count, n))
+            return sample_slot(sample_index, pid_s, slot, nu)
+        return jax.random.uniform(key_, (pid_s.shape[0], nu))
 
     if config.pixel_center:
         ray_o, ray_d = camera_rays(
@@ -596,8 +634,8 @@ def render_sample(
                     jnp.zeros((R, 2), jnp.float32)),
         )
     elif use_sobol:
-        cam_uv = uniforms(0, 2, None, R)
-        lens_uv = uniforms(1, 2, None, R)
+        cam_uv = uniforms(0, 2, None, pid)
+        lens_uv = uniforms(1, 2, None, pid)
         ray_o, ray_d = camera_rays(view, width, height, k_cam, pixel_ids,
                                    jitter=(cam_uv, lens_uv))
     else:
@@ -610,62 +648,13 @@ def render_sample(
     scene_mn = scene.tlas_min[0]
     scene_mx = scene.tlas_max[0]
 
-    def bounce(depth, st: _PathState) -> _PathState:
-        kd = jax.random.fold_in(k_loop, depth)
-        # dead lanes get t_limit 0: their slab tests fail immediately, so
-        # tiles dominated by finished paths stop traversing (the masked-
-        # wavefront answer to the reference's queue compaction)
-        live_lim = jnp.where(st.alive, T_MAX, 0.0)
-        if config.sort_secondary and use_packet_tiles:
-            # Re-tile by (direction octant, origin morton): secondary rays
-            # regain the spatial/directional coherence the packet stacks
-            # need; dead lanes sort together and their tiles finish
-            # immediately. Primary rays (depth 0) sort too — cheap and
-            # order-stable enough not to hurt their block coherence.
-            octant = (
-                (st.ray_d[:, 0] >= 0).astype(jnp.int32)
-                + 2 * (st.ray_d[:, 1] >= 0).astype(jnp.int32)
-                + 4 * (st.ray_d[:, 2] >= 0).astype(jnp.int32)
-            )
-            cell = morton_codes(st.ray_o, scene_mn, scene_mx).astype(jnp.int32)
-            if SORT_BY_INSTANCE:
-                # instance-major key: rays leaving the same instance share
-                # origin locality AND walk the same BLAS next
-                hint = jnp.clip(st.sort_hint, -1, 254) + 1  # 0..255
-                key = jnp.where(
-                    st.alive,
-                    hint * (1 << 22) + octant * (1 << 19) + (cell >> 11),
-                    jnp.int32(1 << 30),
-                )
-            else:
-                key = jnp.where(
-                    st.alive,
-                    octant * (1 << 27) + (cell >> 5),
-                    jnp.int32(1 << 30),
-                )
-            # carry ray fields through lax.sort instead of argsort+gather:
-            # XLA TPU gathers cost ~670ms per (2M,3) array while a 9-operand
-            # sort is ~220ms total (measured) — 4x on the whole sort path
-            ids = jnp.arange(key.shape[0], dtype=jnp.int32)
-            (_, ox_, oy_, oz_, dx_, dy_, dz_, tl_, sid) = jax.lax.sort(
-                (key, st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2],
-                 st.ray_d[:, 0], st.ray_d[:, 1], st.ray_d[:, 2],
-                 live_lim, ids),
-                num_keys=1,
-            )
-            hs = trace_closest(
-                jnp.stack([ox_, oy_, oz_], axis=1),
-                jnp.stack([dx_, dy_, dz_], axis=1),
-                tl_,
-                depth=depth,
-            )
-            # un-permute the hit by sorting on the carried original ids
-            (_, h_t, h_prim, h_inst, h_u, h_v) = jax.lax.sort(
-                (sid, hs.t, hs.prim, hs.inst, hs.u, hs.v), num_keys=1
-            )
-            hit = type(hs)(h_t, h_prim, h_inst, h_u, h_v)
-        else:
-            hit = trace_closest(st.ray_o, st.ray_d, live_lim, depth=depth)
+    # ------------------------------------------------------------ shading
+    def shade_vertex(st: _PathState, hit, depth, kd, first: bool,
+                     last: bool):
+        """One path vertex on an n-lane front (n static per call site).
+        Returns (new state, aovs dict | None). `depth` may be traced
+        (middle vertices) — only Sobol slot arithmetic consumes it."""
+        n = st.pid.shape[0]
         found = (hit.prim >= 0) & st.alive
 
         # ---- miss: sky ---------------------------------------------------
@@ -675,15 +664,16 @@ def render_sample(
             sky_v = jnp.arccos(jnp.clip(st.ray_d[:, 1], -1.0, 1.0)) / PI
             sky_rgb = sample_bilinear(
                 atlas,
-                jnp.broadcast_to(sky_tex, (R,)),
+                jnp.broadcast_to(sky_tex, (n,)),
                 jnp.stack([sky_u, sky_v], axis=-1),
-                jnp.zeros(R),
+                jnp.zeros(n),
             )[:, :3]
             sky = sky_rgb * config.sky_intensity
         else:
-            sky = jnp.full((R, 3), config.sky_intensity, jnp.float32)
+            sky = jnp.full((n, 3), config.sky_intensity, jnp.float32)
         radiance = jnp.where(
-            (st.alive & ~found)[:, None], st.radiance + st.throughput * sky, st.radiance
+            (st.alive & ~found)[:, None], st.radiance + st.throughput * sky,
+            st.radiance,
         )
 
         # ---- shading point ----------------------------------------------
@@ -711,55 +701,69 @@ def render_sample(
         )
         ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
 
-        # ---- AOVs (first hit) -------------------------------------------
-        take_aov = found & (depth == 0)
-        aov_albedo = jnp.where(take_aov[:, None], params.base_color, st.aov_albedo)
-        aov_normal = jnp.where(take_aov[:, None], ns, st.aov_normal)
-        aov_depth = jnp.where(take_aov, hit.t, st.aov_depth)
-        aov_pos = jnp.where(take_aov[:, None], pos, st.aov_pos)
-        aov_ao = st.aov_ao
-        if config.ao_aov:
-            u_ao = uniforms(4 + depth * 3, 3, jax.random.fold_in(kd, 7), R)
-            wi_ao = disney.to_world(
-                basis["tan"], basis["bitan"], basis["ns"],
-                disney._sample_cosine(u_ao[:, 0], u_ao[:, 1]),
+        # ---- AOVs (first hit only) --------------------------------------
+        aovs = None
+        if first:
+            aov_ao = jnp.ones(n, jnp.float32)
+            if config.ao_aov:
+                u_ao = uniforms(4, 3, jax.random.fold_in(kd, 7), st.pid)
+                wi_ao = disney.to_world(
+                    basis["tan"], basis["bitan"], basis["ns"],
+                    disney._sample_cosine(u_ao[:, 0], u_ao[:, 1]),
+                )
+                occ_ao = trace_occluded(
+                    pos + basis["ng"] * config.shadow_eps, wi_ao,
+                    config.ao_radius,
+                )
+                aov_ao = jnp.where(found & occ_ao, 0.0, aov_ao)
+            aovs = dict(
+                albedo=jnp.where(found[:, None], params.base_color, 0.0),
+                normal=jnp.where(found[:, None], ns, 0.0),
+                depth=jnp.where(found, hit.t, T_MAX),
+                position=jnp.where(found[:, None], pos, 0.0),
+                ao=aov_ao,
             )
-            occ_ao = trace_occluded(
-                pos + basis["ng"] * config.shadow_eps, wi_ao, config.ao_radius
-            )
-            aov_ao = jnp.where(take_aov, jnp.where(occ_ao, 0.0, 1.0), st.aov_ao)
 
         # ---- emissive hits (MIS vs NEE) ---------------------------------
         # The NEE competitor only exists if this triangle is a *registered*
         # area light (tri_light back-write) — otherwise BSDF sampling is the
-        # sole strategy and gets full weight.
+        # sole strategy and gets full weight. At the first vertex
+        # spec_or_first is statically True; without area lights there is no
+        # NEE competitor at all — both cases drop the whole reconstruction.
         is_emitter = jnp.max(emission, axis=-1) > 0.0
-        cos_hit = jnp.abs(jnp.sum(basis["ng"] * st.ray_d, -1))
-        # Reconstruct the hit emitter's pick probability from its actual
-        # world-space power weight (lum(radiance) * area * pi, the same
-        # formula pack_lights uses). Instance-exact: world_area is the hit
-        # instance's transformed triangle area, whereas a tri_light-keyed
-        # gather would return instance 0's probability for every instance.
-        lum_hit = (0.2126 * emission_base[:, 0] + 0.7152 * emission_base[:, 1]
-                   + 0.0722 * emission_base[:, 2])
-        w_hit = lum_hit * basis["world_area"] * PI
-        n_l = jnp.maximum(lights.pick_n[0], 1.0)
-        hit_pick_p = jnp.where(
-            lights.pick_w_total[0] > 0,
-            0.5 * w_hit / jnp.maximum(lights.pick_w_total[0], 1e-12) + 0.5 / n_l,
-            1.0 / n_l,
-        )
-        pdf_nee_this = (hit.t * hit.t) / jnp.maximum(
-            cos_hit * basis["world_area"], 1e-8
-        ) * hit_pick_p
-        nee_exists = (scene.tri_light[jnp.maximum(hit.prim, 0)] >= 0) & (
-            lights.n_area[0] > 0
-        )
-        mis_w = jnp.where(
-            st.spec_or_first | ~nee_exists,
-            1.0,
-            st.prev_bsdf_pdf / jnp.maximum(st.prev_bsdf_pdf + pdf_nee_this, 1e-12),
-        )
+        if first or not config.has_area_lights:
+            mis_w = jnp.ones(n, jnp.float32)
+        else:
+            cos_hit = jnp.abs(jnp.sum(basis["ng"] * st.ray_d, -1))
+            # Reconstruct the hit emitter's pick probability from its actual
+            # world-space power weight (lum(radiance) * area * pi, the same
+            # formula pack_lights uses). Instance-exact: world_area is the
+            # hit instance's transformed triangle area, whereas a
+            # tri_light-keyed gather would return instance 0's probability
+            # for every instance.
+            lum_hit = (0.2126 * emission_base[:, 0]
+                       + 0.7152 * emission_base[:, 1]
+                       + 0.0722 * emission_base[:, 2])
+            w_hit = lum_hit * basis["world_area"] * PI
+            n_l = jnp.maximum(lights.pick_n[0], 1.0)
+            hit_pick_p = jnp.where(
+                lights.pick_w_total[0] > 0,
+                0.5 * w_hit / jnp.maximum(lights.pick_w_total[0], 1e-12)
+                + 0.5 / n_l,
+                1.0 / n_l,
+            )
+            pdf_nee_this = (hit.t * hit.t) / jnp.maximum(
+                cos_hit * basis["world_area"], 1e-8
+            ) * hit_pick_p
+            nee_exists = (scene.tri_light[jnp.maximum(hit.prim, 0)] >= 0) & (
+                lights.n_area[0] > 0
+            )
+            mis_w = jnp.where(
+                st.spec_or_first | ~nee_exists,
+                1.0,
+                st.prev_bsdf_pdf
+                / jnp.maximum(st.prev_bsdf_pdf + pdf_nee_this, 1e-12),
+            )
         radiance = jnp.where(
             (found & is_emitter)[:, None],
             radiance + throughput0 * emission * mis_w[:, None],
@@ -776,7 +780,7 @@ def render_sample(
         # NOTE: per-lane light picks. A tile-shared pick keeps shadow packets
         # maximally coherent (+1% here) but turns estimator variance into
         # visible tile-shaped banding at low spp — not worth it.
-        u_l = uniforms(2 + depth * 3, 3, jax.random.fold_in(kd, 1), R)
+        u_l = uniforms(2 + depth * 3, 3, jax.random.fold_in(kd, 1), st.pid)
         wi_l, dist_l, rad_over_pdf, is_delta, pdf_nee_sa = _sample_light(
             lights, pos, u_l
         )
@@ -786,20 +790,33 @@ def render_sample(
         can_light = alive & (total_lights > 0) & (cos_l > 0)
         shadow_o = pos + basis["ng"] * config.shadow_eps
         occ = trace_occluded(shadow_o, wi_l, dist_l - 2.0 * config.shadow_eps)
-        pdf_b_l = disney.disney_pdf(params, wo, wi_local)
-        mis_nee = jnp.where(
-            is_delta, 1.0, pdf_nee_sa / jnp.maximum(pdf_nee_sa + pdf_b_l, 1e-12)
-        )
+        if config.has_area_lights:
+            pdf_b_l = disney.disney_pdf(params, wo, wi_local)
+            mis_nee = jnp.where(
+                is_delta, 1.0,
+                pdf_nee_sa / jnp.maximum(pdf_nee_sa + pdf_b_l, 1e-12)
+            )
+        else:
+            # delta-only lights: BSDF sampling can never hit them — NEE is
+            # the sole strategy and gets full weight (no disney_pdf at all)
+            mis_nee = 1.0
         contrib = throughput0 * f_l * (cos_l * mis_nee)[:, None] * rad_over_pdf
         contrib = jnp.clip(contrib, 0.0, config.clamp)
-        radiance = jnp.where((can_light & ~occ)[:, None], radiance + contrib, radiance)
+        radiance = jnp.where(
+            (can_light & ~occ)[:, None], radiance + contrib, radiance)
 
-        # ---- BSDF bounce (skipped on the final iteration) ----------------
-        not_last = depth < config.max_bounces
-        u_b = uniforms(3 + depth * 3, 3, jax.random.fold_in(kd, 2), R)
+        # ---- BSDF bounce (statically absent at the final vertex) ---------
+        if last:
+            return st._replace(
+                radiance=radiance,
+                throughput=throughput0,
+                alive=jnp.zeros_like(alive),
+            ), aovs
+
+        u_b = uniforms(3 + depth * 3, 3, jax.random.fold_in(kd, 2), st.pid)
         wi_b, f_b, pdf_b, delta_b = disney.disney_sample(params, wo, u_b)
         # transmission samples leave through the lower hemisphere: |cos|
-        ok = alive & not_last & (pdf_b > 1e-9) & (jnp.abs(wi_b[..., 2]) > 1e-6)
+        ok = alive & (pdf_b > 1e-9) & (jnp.abs(wi_b[..., 2]) > 1e-6)
         wi_world = disney.to_world(tan, bitan, ns, wi_b)
         throughput = jnp.where(
             ok[:, None],
@@ -814,7 +831,7 @@ def render_sample(
             pos + basis["ng"] * (config.shadow_eps * side)[:, None], st.ray_o)
         new_d = jnp.where(ok[:, None], wi_world, st.ray_d)
 
-        return _PathState(
+        return st._replace(
             radiance=radiance,
             throughput=throughput,
             alive=ok,
@@ -823,14 +840,98 @@ def render_sample(
             sort_hint=jnp.where(found, hit.inst, -1),
             ray_o=new_o,
             ray_d=new_d,
-            aov_albedo=aov_albedo,
-            aov_normal=aov_normal,
-            aov_depth=aov_depth,
-            aov_pos=aov_pos,
-            aov_ao=aov_ao,
+        ), aovs
+
+    # ------------------------------------------------- bounce-vertex step
+    do_sort = (config.sort_secondary and use_packet_tiles
+               and config.max_bounces >= 1)
+    compact_on = (do_sort and config.compaction == "auto"
+                  and _os.environ.get("RFW_COMPACTION", "1") == "1")
+    sizes = _prefix_sizes(R, max(tile_lanes, 1)) if compact_on else [R]
+
+    def _sort_state(st: _PathState) -> _PathState:
+        """Re-tile by (direction octant, origin morton), dead lanes last:
+        secondary rays regain the spatial/directional coherence packet
+        tiles need, and the live front becomes a contiguous prefix. Ray
+        fields ride lax.sort as operands instead of argsort+gather: XLA
+        TPU gathers cost ~670ms per (2M,3) array while a multi-operand
+        sort is ~3ms/operand (measured) — 4x on the whole sort path."""
+        octant = (
+            (st.ray_d[:, 0] >= 0).astype(jnp.int32)
+            + 2 * (st.ray_d[:, 1] >= 0).astype(jnp.int32)
+            + 4 * (st.ray_d[:, 2] >= 0).astype(jnp.int32)
+        )
+        cell = morton_codes(st.ray_o, scene_mn, scene_mx).astype(jnp.int32)
+        if SORT_BY_INSTANCE:
+            # instance-major key: rays leaving the same instance share
+            # origin locality AND walk the same BLAS next
+            hint = jnp.clip(st.sort_hint, -1, 254) + 1  # 0..255
+            skey = jnp.where(
+                st.alive,
+                hint * (1 << 22) + octant * (1 << 19) + (cell >> 11),
+                jnp.int32(1 << 30),
+            )
+        else:
+            skey = jnp.where(
+                st.alive,
+                octant * (1 << 27) + (cell >> 5),
+                jnp.int32(1 << 30),
+            )
+        (_, rr, rg, rb, tr, tg, tb, al, sp, pb, sh,
+         ox, oy, oz, dx, dy, dz, pp) = jax.lax.sort(
+            (skey,
+             st.radiance[:, 0], st.radiance[:, 1], st.radiance[:, 2],
+             st.throughput[:, 0], st.throughput[:, 1], st.throughput[:, 2],
+             st.alive, st.spec_or_first, st.prev_bsdf_pdf, st.sort_hint,
+             st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2],
+             st.ray_d[:, 0], st.ray_d[:, 1], st.ray_d[:, 2], st.pid),
+            num_keys=1,
+        )
+        return _PathState(
+            radiance=jnp.stack([rr, rg, rb], axis=1),
+            throughput=jnp.stack([tr, tg, tb], axis=1),
+            alive=al, spec_or_first=sp, prev_bsdf_pdf=pb, sort_hint=sh,
+            ray_o=jnp.stack([ox, oy, oz], axis=1),
+            ray_d=jnp.stack([dx, dy, dz], axis=1),
+            pid=pp,
         )
 
-    init = _PathState(
+    def _trace_and_shade(st: _PathState, depth, kd, last: bool,
+                         n: int) -> _PathState:
+        """Run trace + occlusion + shading on the first n lanes (static);
+        the suffix passes through untouched (it is all-dead by the prefix
+        selection invariant)."""
+        if n == R:
+            pre, suf = st, None
+        else:
+            pre = jax.tree.map(lambda a: a[:n], st)
+            suf = jax.tree.map(lambda a: a[n:], st)
+        hit = trace_bounce(pre.ray_o, pre.ray_d,
+                           jnp.where(pre.alive, T_MAX, 0.0))
+        new_pre, _ = shade_vertex(pre, hit, depth, kd, first=False, last=last)
+        if suf is None:
+            return new_pre
+        return jax.tree.map(
+            lambda a, b: jnp.concatenate([a, b]), new_pre, suf)
+
+    def bounce_vertex(st: _PathState, depth, kd, last: bool) -> _PathState:
+        if do_sort:
+            st = _sort_state(st)
+        if len(sizes) == 1:
+            return _trace_and_shade(st, depth, kd, last, sizes[0])
+        live = jnp.sum(st.alive.astype(jnp.int32))
+        idx = jnp.int32(0)
+        for p in sizes[:-1]:
+            idx = idx + (live > p).astype(jnp.int32)
+        branches = [
+            functools.partial(_trace_and_shade, last=last, n=p)
+            for p in sizes
+        ]
+        return jax.lax.switch(idx, branches, st, depth, kd)
+
+    # ------------------------------------------------------- vertex 0
+    hit0 = trace_coherent(ray_o, ray_d, T_MAX)
+    st = _PathState(
         radiance=jnp.zeros((R, 3), jnp.float32),
         throughput=jnp.ones((R, 3), jnp.float32),
         alive=jnp.ones(R, bool),
@@ -839,22 +940,47 @@ def render_sample(
         sort_hint=jnp.full(R, -1, jnp.int32),
         ray_o=ray_o,
         ray_d=ray_d,
-        aov_albedo=jnp.zeros((R, 3), jnp.float32),
-        aov_normal=jnp.zeros((R, 3), jnp.float32),
-        aov_depth=jnp.full(R, T_MAX, jnp.float32),
-        aov_pos=jnp.zeros((R, 3), jnp.float32),
-        aov_ao=jnp.ones(R, jnp.float32),
+        pid=pid,
     )
-    final = jax.lax.fori_loop(0, config.max_bounces + 1, bounce, init)
+    st, aovs = shade_vertex(
+        st, hit0, 0, jax.random.fold_in(k_loop, 0), first=True,
+        last=config.max_bounces == 0,
+    )
 
+    # ---------------------------------------------- middle + final vertices
+    if config.max_bounces >= 2:
+        def loop_body(depth, st):
+            return bounce_vertex(
+                st, depth, jax.random.fold_in(k_loop, depth), last=False)
+
+        st = jax.lax.fori_loop(1, config.max_bounces, loop_body, st)
+    if config.max_bounces >= 1:
+        st = bounce_vertex(
+            st, config.max_bounces,
+            jax.random.fold_in(k_loop, config.max_bounces), last=True)
+
+    # ------------------------------------------------------------- output
     def unswizzle(a):
         return a[inv_perm] if inv_perm is not None else a
 
+    if do_sort:
+        # lanes are in sorted order: restore PIXEL order directly by
+        # sorting on the carried pid (replaces per-bounce unsorts AND the
+        # swizzle-inverse gather for radiance in one 4-operand sort)
+        (_, rr, rg, rb) = jax.lax.sort(
+            (st.pid, st.radiance[:, 0], st.radiance[:, 1],
+             st.radiance[:, 2]),
+            num_keys=1,
+        )
+        radiance_px = jnp.stack([rr, rg, rb], axis=1)
+    else:
+        radiance_px = unswizzle(st.radiance)
+
     return SampleResult(
-        radiance=unswizzle(jnp.clip(final.radiance, 0.0, None)),
-        albedo=unswizzle(final.aov_albedo),
-        normal=unswizzle(final.aov_normal),
-        depth=unswizzle(final.aov_depth),
-        position=unswizzle(final.aov_pos),
-        ao=unswizzle(final.aov_ao),
+        radiance=jnp.clip(radiance_px, 0.0, None),
+        albedo=unswizzle(aovs["albedo"]),
+        normal=unswizzle(aovs["normal"]),
+        depth=unswizzle(aovs["depth"]),
+        position=unswizzle(aovs["position"]),
+        ao=unswizzle(aovs["ao"]),
     )

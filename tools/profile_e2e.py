@@ -73,8 +73,12 @@ def main():
 
     results = {}
 
-    # full end-to-end single sample
-    cfg = RenderConfig(max_bounces=1, clamp=100.0, sampler="sobol")
+    from rfw_tpu.render.wavefront import tex_kinds_mask
+
+    # full end-to-end single sample — bench-identical static config
+    cfg = RenderConfig(max_bounces=1, clamp=100.0, sampler="sobol",
+                       tex_mask=tex_kinds_mask(dmats.tex),
+                       has_area_lights=bool(np.asarray(dlights.n_area)[0] > 0))
     results["render_sample(1b)"] = timeit(
         "render_sample 1-bounce", lambda: render_sample(
             sdev, dmats, atlas, dlights, view, key, W, H, cfg,
@@ -120,14 +124,14 @@ def main():
     results["shading_basis"] = timeit(
         "shading basis (gathers)", lambda: basis_fn(hit, d))
 
-    # material fetch + atlas sampling
+    # material fetch + atlas sampling (bench tex_mask; includes basis)
     @jax.jit
     def mat_fn(hit):
         basis = _shading_basis(sdev, hit, d)
         lod = jnp.zeros(R)
         return _fetch_material(
             dmats, atlas, sdev, jnp.maximum(hit.prim, 0), basis["uv"], lod,
-            basis["entering"])[0].base_color
+            basis["entering"], cfg.tex_mask)[0].base_color
 
     results["material+atlas"] = timeit(
         "material fetch + atlas", lambda: mat_fn(hit))
