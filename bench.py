@@ -117,7 +117,9 @@ def main():
     import jax
     import jax.numpy as jnp
 
-    from rfw_tpu.render.wavefront import RenderConfig, render_sample, tex_kinds_mask
+    from rfw_tpu.render.wavefront import (
+        RenderConfig, mat_feature_mask, render_sample, tex_kinds_mask,
+    )
     from rfw_tpu.render.film import add_sample, new_film, tonemap
 
     W, H = args.width, args.height
@@ -125,6 +127,7 @@ def main():
     cfg = RenderConfig(max_bounces=args.bounces, clamp=20.0, sky_intensity=0.35,
                        sort_secondary=args.sort, sampler="sobol",
                        tex_mask=tex_kinds_mask(dmats.tex),
+                       mat_features=mat_feature_mask(dmats),
                        has_area_lights=bool(np.asarray(dlights.n_area)[0] > 0))
     key = jax.random.PRNGKey(11)
 

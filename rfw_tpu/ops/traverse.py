@@ -80,9 +80,17 @@ TSHIFT = TREELET.bit_length() - 1
 #: fixed cost vs marginal per-iteration cost.
 
 KERNEL_MAX_ITERS = int(_os.environ.get("RFW_KMAX", str(1 << 19)))
-# scene arrays bigger than this fall back to the jnp packet path
-# (16MB scoped vmem - ~4MB chunk in/out buffers - margin)
+# scene arrays bigger than this fall back to the HBM-streamed-treelet
+# tier (16MB scoped vmem - ~4MB chunk in/out buffers - margin)
 VMEM_SCENE_BUDGET = int(11.5 * 1024 * 1024)
+
+# HBM-streamed-treelet tier (tri_hbm=True): only the supernode/instance
+# arrays must be VMEM-resident; the fat treelet arena stays in HBM and
+# each leaf visit DMAs its (TREELET, 128) block into a per-stream scratch.
+# Sponza-class scenes (500k+ tris, ~32MB of treelets) keep the per-tile
+# traversal loop instead of dropping to the 6-10x slower jnp packet tier.
+# Budget for the resident part only (tri scratch is NSTREAM*4KB).
+VMEM_RESIDENT_BUDGET = int(11.5 * 1024 * 1024)
 
 
 class PallasScene(NamedTuple):
@@ -143,6 +151,16 @@ def pallas_scene_bytes(scene) -> int:
     insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
     roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
     return 4 * (64 * supers + TREELET * tri_lanes + 16 * insts + roots)
+
+
+def pallas_resident_bytes(scene) -> int:
+    """VMEM-resident footprint of the tri_hbm tier: everything except the
+    treelet arena (which streams from HBM). Auto-selection compares this
+    against VMEM_RESIDENT_BUDGET for scenes too big for the classic tier."""
+    supers = _bucket(int(scene.blas8_box.shape[0]) + int(scene.tlas8_box.shape[0]))
+    insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
+    roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
+    return 4 * (64 * supers + 16 * insts + roots)
 
 
 def _woop12(v0, e1, e2):
@@ -245,7 +263,7 @@ class _Walk(NamedTuple):
 
 
 def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
-                             batch: int = 1):
+                             batch: int = 1, tri_hbm: bool = False):
     """NSTREAM interleaved predicated walks over transposed scene columns.
 
     Each while iteration advances every live stream one node visit. Loads
@@ -266,7 +284,11 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
         t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-step outputs
         obj_ref,  # VMEM scratch (9, SUB, LANE): object-space rays per stream
         stack_ref,  # SMEM scratch (NSTREAM, STACK_DEPTH, 2) i32
+        *hbm_scratch,  # tri_hbm only: (NSTREAM, TREELET, LANE) VMEM treelet
+        #   staging + (NSTREAM,) DMA semaphores
     ):
+        if tri_hbm:
+            tri_stage, tri_sems = hbm_scratch
         tlas_root = meta_ref[0, 0]
         n_inst = meta_ref[0, 2]
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
@@ -375,6 +397,20 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
                     firsts.append((lv >> TSHIFT) << TSHIFT)
                     blks.append(lv >> TSHIFT)
 
+                if tri_hbm:
+                    # start every leaf stream's treelet-block DMA before any
+                    # stream waits: the HBM fetches overlap across streams
+                    # exactly like the VMEM fetch chains they replace
+                    for k in range(NSTREAM):
+                        @pl.when(leafs[k])
+                        def _(k=k):
+                            gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
+                            base = pl.multiple_of(gb * LANE, LANE)
+                            pltpu.make_async_copy(
+                                tri_ref.at[:, pl.ds(base, LANE)],
+                                tri_stage.at[k], tri_sems.at[k],
+                            ).start()
+
                 for k in range(NSTREAM):
                     # per-stream predication: only a stream actually sitting at
                     # a leaf pays the fetch + dense test (a shared gate made
@@ -385,7 +421,14 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
                         w = popped[k]
                         gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
                         base = pl.multiple_of(gb * LANE, LANE)
-                        blockk = tri_ref[:, pl.ds(base, LANE)]
+                        if tri_hbm:
+                            pltpu.make_async_copy(
+                                tri_ref.at[:, pl.ds(base, LANE)],
+                                tri_stage.at[k], tri_sems.at[k],
+                            ).wait()
+                            blockk = tri_stage[k]
+                        else:
+                            blockk = tri_ref[:, pl.ds(base, LANE)]
                         g = blks[k] % TGROUPS
                         rec = jnp.where(g == 0, blockk[:, 0:TLANES], 0.0)
                         for gg in range(1, TGROUPS):
@@ -578,7 +621,7 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("any_hit", "interpret", "stats", "batch"),
+    static_argnames=("any_hit", "interpret", "stats", "batch", "tri_hbm"),
 )
 def _run_arrays(
     meta, scene_t, tri_t, inst_t, root_t, o4, d4, tl3,
@@ -586,13 +629,17 @@ def _run_arrays(
     interpret: bool = False,
     stats: bool = False,
     batch: int = 1,
+    tri_hbm: bool = False,
 ):
     T = o4.shape[0]
     assert T % batch == 0
-    kernel = _traverse_kernel_factory(any_hit, stats, batch)
+    kernel = _traverse_kernel_factory(any_hit, stats, batch, tri_hbm)
     meta_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    # tri_hbm: the treelet arena stays in HBM/ANY; leaf visits DMA blocks
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if tri_hbm
+                else scene_spec)
     tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
@@ -604,17 +651,23 @@ def _run_arrays(
         jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
         jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
     )
+    scratch = [
+        pltpu.VMEM((9, SUB, LANE), jnp.float32),
+        pltpu.SMEM((NSTREAM, STACK_DEPTH, 2), jnp.int32),
+    ]
+    if tri_hbm:
+        scratch += [
+            pltpu.VMEM((NSTREAM, TREELET, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSTREAM,)),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(T // batch,),
-        in_specs=[meta_spec] + [scene_spec] * 3 + [smem_spec]
+        in_specs=[meta_spec, scene_spec, tri_spec, scene_spec, smem_spec]
         + [tile3, tile3, tile1],
         out_specs=(tile1, tile1, tile1, tile1, tile1),
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((9, SUB, LANE), jnp.float32),
-            pltpu.SMEM((NSTREAM, STACK_DEPTH, 2), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(meta, scene_t, tri_t, inst_t, root_t, o4, d4, tl3)
 
@@ -630,7 +683,7 @@ CHUNK_TILES = int(_os.environ.get("RFW_CHUNK_TILES", "16"))
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
-         stats: bool = False):
+         stats: bool = False, tri_hbm: bool = False):
     T = o4.shape[0]
     meta = jnp.asarray(
         [[ps.tlas_root, ps.n_tri, ps.n_inst, 0]], jnp.int32
@@ -651,6 +704,7 @@ def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
         meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t,
         o4, d4, tl3,
         any_hit=any_hit, interpret=interpret, stats=stats, batch=batch,
+        tri_hbm=tri_hbm,
     )
     if pad:
         outs = tuple(x[:T] for x in outs)
@@ -669,17 +723,22 @@ def _reshape_rays(ray_o, ray_d, t_limit):
 
 
 def pallas_closest_hit(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
-                       interpret: bool = False, stats: bool = False) -> Hit:
+                       interpret: bool = False, stats: bool = False,
+                       tri_hbm: bool = False) -> Hit:
     """stats=True is a debug mode: u[k*LANES] carries program k's
-    while-iteration count instead of barycentric u."""
+    while-iteration count instead of barycentric u. tri_hbm=True streams
+    the treelet arena from HBM (scenes over the VMEM budget)."""
     o4, d4, tl3, T, R = _reshape_rays(ray_o, ray_d, t_limit)
-    t, prim, inst, u, v = _run(ps, o4, d4, tl3, False, interpret, stats)
+    t, prim, inst, u, v = _run(ps, o4, d4, tl3, False, interpret, stats,
+                               tri_hbm)
     return Hit(t.reshape(R), prim.reshape(R), inst.reshape(R),
                u.reshape(R), v.reshape(R))
 
 
 def pallas_occluded(ps: PallasScene, ray_o, ray_d, t_limit,
-                    interpret: bool = False) -> jax.Array:
+                    interpret: bool = False,
+                    tri_hbm: bool = False) -> jax.Array:
     o4, d4, tl3, T, R = _reshape_rays(ray_o, ray_d, t_limit)
-    t, prim, inst, u, v = _run(ps, o4, d4, tl3, True, interpret)
+    t, prim, inst, u, v = _run(ps, o4, d4, tl3, True, interpret,
+                               tri_hbm=tri_hbm)
     return (prim >= 0).reshape(R)

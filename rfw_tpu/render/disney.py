@@ -24,6 +24,17 @@ import jax.numpy as jnp
 
 PI = 3.14159265358979
 
+#: static feature bits for eval/pdf/sample `features` masks: lobes whose
+#: driving parameter is zero across the WHOLE material set can be dropped
+#: from the compiled program (each is elementwise VPU work over every
+#: lane). wavefront.mat_feature_mask() computes the mask from a
+#: DeviceMaterials table; default FEAT_ALL preserves full behavior.
+FEAT_TRANSMISSION = 1
+FEAT_CLEARCOAT = 2
+FEAT_SUBSURFACE = 4
+FEAT_SHEEN = 8
+FEAT_ALL = 15
+
 
 class MatParams(NamedTuple):
     """Per-point material parameters, each (R,) or (R,3)."""
@@ -81,12 +92,14 @@ def _tint(base_color):
     return jnp.where(lum > 0, base_color / jnp.maximum(lum, 1e-7), jnp.ones_like(base_color))
 
 
-def disney_eval(p: MatParams, wo: jax.Array, wi: jax.Array) -> jax.Array:
+def disney_eval(p: MatParams, wo: jax.Array, wi: jax.Array,
+                features: int = FEAT_ALL) -> jax.Array:
     """BRDF value f(wo, wi) in local space (+z = normal). (R,3).
 
     Reflection-only (transmission handled by the integrator's dedicated
     refraction path, mirroring the reference's BSDF 'eta/transmission'
-    branch in disney.glsl)."""
+    branch in disney.glsl). `features` statically drops lobes absent from
+    the material set (see FEAT_*)."""
     ndv = wo[..., 2]
     ndl = wi[..., 2]
     up = (ndv > 1e-6) & (ndl > 1e-6)
@@ -113,16 +126,23 @@ def disney_eval(p: MatParams, wo: jax.Array, wi: jax.Array) -> jax.Array:
     fd90 = 0.5 + 2.0 * _sqr(ldh) * p.roughness
     fd = (1.0 + (fd90 - 1.0) * fl) * (1.0 + (fd90 - 1.0) * fv)
 
-    fss90 = _sqr(ldh) * p.roughness
-    fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
-    ss = 1.25 * (fss * (1.0 / jnp.maximum(ndl + ndv, 1e-6) - 0.5) + 0.5)
-
-    diffuse_w = jnp.where(p.subsurface > 0, (1.0 - p.subsurface) * fd + p.subsurface * ss, fd)
+    if features & FEAT_SUBSURFACE:
+        fss90 = _sqr(ldh) * p.roughness
+        fss = (1.0 + (fss90 - 1.0) * fl) * (1.0 + (fss90 - 1.0) * fv)
+        ss = 1.25 * (fss * (1.0 / jnp.maximum(ndl + ndv, 1e-6) - 0.5) + 0.5)
+        diffuse_w = jnp.where(
+            p.subsurface > 0,
+            (1.0 - p.subsurface) * fd + p.subsurface * ss, fd)
+    else:
+        diffuse_w = fd
     f_diffuse = (cdlin / PI) * diffuse_w[..., None]
 
     # --- sheen --------------------------------------------------------------
     fh = _schlick(ldh)
-    f_sheen = fh[..., None] * p.sheen[..., None] * csheen
+    if features & FEAT_SHEEN:
+        f_sheen = fh[..., None] * p.sheen[..., None] * csheen
+    else:
+        f_sheen = 0.0
 
     # --- specular GTR2 ------------------------------------------------------
     alpha = jnp.maximum(1e-3, _sqr(p.roughness))
@@ -132,25 +152,30 @@ def disney_eval(p: MatParams, wo: jax.Array, wi: jax.Array) -> jax.Array:
     f_spec = ds[..., None] * fs * gs[..., None]
 
     # --- clearcoat GTR1 -----------------------------------------------------
-    a_cc = 0.1 * (1.0 - p.clearcoat_gloss) + 0.001 * p.clearcoat_gloss
-    # Disney: mix(0.1, 0.001, gloss)
-    dr = _gtr1(ndh, a_cc)
-    fr = 0.04 + 0.96 * fh
-    gr = _smith_ggx(ndl, 0.25) * _smith_ggx(ndv, 0.25)
-    f_cc = (0.25 * p.clearcoat * dr * fr * gr)[..., None]
+    if features & FEAT_CLEARCOAT:
+        a_cc = 0.1 * (1.0 - p.clearcoat_gloss) + 0.001 * p.clearcoat_gloss
+        # Disney: mix(0.1, 0.001, gloss)
+        dr = _gtr1(ndh, a_cc)
+        fr = 0.04 + 0.96 * fh
+        gr = _smith_ggx(ndl, 0.25) * _smith_ggx(ndv, 0.25)
+        f_cc = (0.25 * p.clearcoat * dr * fr * gr)[..., None]
+    else:
+        f_cc = 0.0
 
     f = (f_diffuse + f_sheen) * (1.0 - p.metallic[..., None]) + f_spec + f_cc
-    # Disney 2015 specTrans blend: the glass lobe (disney_sample's delta
-    # transmission, Fresnel reflection included) replaces the reflective
-    # BSDF in proportion to the transmission share — without this, NEE
-    # would add a full diffuse layer on top of glass (milky) and the
-    # microfacet specular would double-count the Fresnel reflection.
-    trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
-    f = f * (1.0 - trans_w[..., None])
+    if features & FEAT_TRANSMISSION:
+        # Disney 2015 specTrans blend: the glass lobe (disney_sample's delta
+        # transmission, Fresnel reflection included) replaces the reflective
+        # BSDF in proportion to the transmission share — without this, NEE
+        # would add a full diffuse layer on top of glass (milky) and the
+        # microfacet specular would double-count the Fresnel reflection.
+        trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
+        f = f * (1.0 - trans_w[..., None])
     return jnp.where(up[..., None], f, 0.0)
 
 
-def disney_pdf(p: MatParams, wo: jax.Array, wi: jax.Array) -> jax.Array:
+def disney_pdf(p: MatParams, wo: jax.Array, wi: jax.Array,
+               features: int = FEAT_ALL) -> jax.Array:
     """Solid-angle pdf of disney_sample for the given pair. (R,)."""
     ndl = wi[..., 2]
     ndv = wo[..., 2]
@@ -160,27 +185,35 @@ def disney_pdf(p: MatParams, wo: jax.Array, wi: jax.Array) -> jax.Array:
     ndh = jnp.maximum(h[..., 2], 1e-6)
     ldh = jnp.maximum(jnp.sum(wi * h, axis=-1), 1e-6)
 
-    spec_w, cc_w, diff_w = _lobe_weights(p)
+    spec_w, cc_w, diff_w = _lobe_weights(p, features)
 
     alpha = jnp.maximum(1e-3, _sqr(p.roughness))
     pdf_spec = _gtr2(ndh, alpha) * ndh / (4.0 * ldh)
-    a_cc = 0.1 * (1.0 - p.clearcoat_gloss) + 0.001 * p.clearcoat_gloss
-    pdf_cc = _gtr1(ndh, a_cc) * ndh / (4.0 * ldh)
     pdf_diff = ndl / PI
 
-    pdf = diff_w * pdf_diff + spec_w * pdf_spec + cc_w * pdf_cc
-    # the reflective mixture only gets (1 - transmission-share) of the
-    # sample picks (disney_sample) — the MIS competitor pdf must match
-    trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
-    pdf = pdf * (1.0 - trans_w)
+    pdf = diff_w * pdf_diff + spec_w * pdf_spec
+    if features & FEAT_CLEARCOAT:
+        a_cc = 0.1 * (1.0 - p.clearcoat_gloss) + 0.001 * p.clearcoat_gloss
+        pdf = pdf + cc_w * _gtr1(ndh, a_cc) * ndh / (4.0 * ldh)
+    if features & FEAT_TRANSMISSION:
+        # the reflective mixture only gets (1 - transmission-share) of the
+        # sample picks (disney_sample) — the MIS competitor pdf must match
+        trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
+        pdf = pdf * (1.0 - trans_w)
     return jnp.where(up, pdf, 0.0)
 
 
-def _lobe_weights(p: MatParams) -> Tuple[jax.Array, jax.Array, jax.Array]:
+def _lobe_weights(p: MatParams, features: int = FEAT_ALL
+                  ) -> Tuple[jax.Array, jax.Array, jax.Array]:
     """Sampling mixture weights (specular, clearcoat, diffuse) for the
     *reflective* lobes, summing to 1. The transmission lobe is layered on
     top by disney_sample (it takes a `transmission`-proportional share and
     the reflective lobes split the remainder)."""
+    if not features & FEAT_CLEARCOAT:
+        spec_w = 0.5 + 0.5 * p.metallic
+        diff_w = (1.0 - p.metallic) * 0.5
+        total = spec_w + diff_w + 1e-8
+        return spec_w / total, jnp.zeros_like(spec_w), diff_w / total
     spec_w = 1.0 / (1.0 + p.clearcoat * 0.5) * (0.5 + 0.5 * p.metallic)
     cc_w = (p.clearcoat * 0.25) / (1.0 + p.clearcoat * 0.25)
     diff_w = (1.0 - p.metallic) * 0.5
@@ -246,7 +279,7 @@ def _reflect(wo, h):
 
 
 def disney_sample(
-    p: MatParams, wo: jax.Array, u: jax.Array
+    p: MatParams, wo: jax.Array, u: jax.Array, features: int = FEAT_ALL
 ) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array]:
     """Sample wi ~ pdf; u: (R,3) uniforms (lobe pick, 2x direction).
 
@@ -260,35 +293,46 @@ def disney_sample(
     exactly `weight`. is_delta marks those lanes: eval/pdf cannot score
     them (NEE through the interface is blocked by the glass itself, so
     BSDF sampling is the sole strategy there and MIS weight 1 is exact)."""
-    spec_w, cc_w, _ = _lobe_weights(p)
-    trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
+    spec_w, cc_w, _ = _lobe_weights(p, features)
     pick = u[..., 0]
-    use_trans = pick < trans_w
-    # remap the survivor pick into [0,1) for the reflective lobes
-    pick_r = jnp.clip((pick - trans_w) / jnp.maximum(1.0 - trans_w, 1e-8),
-                      0.0, 1.0)
+    if features & FEAT_TRANSMISSION:
+        trans_w = jnp.clip(p.transmission, 0.0, 1.0) * (1.0 - p.metallic)
+        use_trans = pick < trans_w
+        # remap the survivor pick into [0,1) for the reflective lobes
+        pick_r = jnp.clip(
+            (pick - trans_w) / jnp.maximum(1.0 - trans_w, 1e-8), 0.0, 1.0)
+    else:
+        use_trans = jnp.zeros(pick.shape, bool)
+        pick_r = pick
     use_spec = (~use_trans) & (pick_r < spec_w)
     use_cc = (~use_trans) & (~use_spec) & (pick_r < spec_w + cc_w)
 
     alpha = jnp.maximum(1e-3, _sqr(p.roughness))
-    a_cc = 0.1 * (1.0 - p.clearcoat_gloss) + 0.001 * p.clearcoat_gloss
 
     h_spec = _sample_gtr2_h(u[..., 1], u[..., 2], alpha)
-    h_cc = _sample_gtr1_h(u[..., 1], u[..., 2], a_cc)
     wi_spec = _reflect(wo, h_spec)
-    wi_cc = _reflect(wo, h_cc)
     wi_diff = _sample_cosine(u[..., 1], u[..., 2])
 
-    wi = jnp.where(
-        use_spec[..., None], wi_spec, jnp.where(use_cc[..., None], wi_cc, wi_diff)
-    )
+    if features & FEAT_CLEARCOAT:
+        a_cc = 0.1 * (1.0 - p.clearcoat_gloss) + 0.001 * p.clearcoat_gloss
+        h_cc = _sample_gtr1_h(u[..., 1], u[..., 2], a_cc)
+        wi_cc = _reflect(wo, h_cc)
+        wi = jnp.where(
+            use_spec[..., None], wi_spec,
+            jnp.where(use_cc[..., None], wi_cc, wi_diff)
+        )
+    else:
+        wi = jnp.where(use_spec[..., None], wi_spec, wi_diff)
     wi = wi / jnp.maximum(jnp.linalg.norm(wi, axis=-1, keepdims=True), 1e-12)
-    f = disney_eval(p, wo, wi)
+    f = disney_eval(p, wo, wi, features)
     # disney_pdf already folds in the (1 - trans_w) share the reflective
     # mixture gets of the sample picks — scaling again here double-counted
     # it (pdf ~ (1-t)^2) and overbrightened partially-transmissive
     # materials (caught by review; pinned by test_partial_transmission)
-    pdf = disney_pdf(p, wo, wi)
+    pdf = disney_pdf(p, wo, wi, features)
+
+    if not features & FEAT_TRANSMISSION:
+        return wi, f, pdf, use_trans
 
     # ---- transmission lobe (delta-style) -----------------------------------
     h_t = h_spec  # same GTR2 microfacet roughens the glass

@@ -56,7 +56,9 @@ from rfw_tpu.render.atlas import TextureAtlas, atlas_to_device, pack_atlas
 from rfw_tpu.render.lights_pack import DeviceLights, pack_lights
 from rfw_tpu.render.overlay import composite_overlay, rasterize_2d
 from rfw_tpu.render.pack import TraceScene, pack_trace_scene, repack_instances
-from rfw_tpu.render.wavefront import RenderConfig, render_sample, tex_kinds_mask
+from rfw_tpu.render.wavefront import (
+    RenderConfig, mat_feature_mask, render_sample, tex_kinds_mask,
+)
 from rfw_tpu.render import film as film_mod
 from rfw_tpu.utils import log
 
@@ -591,6 +593,8 @@ class TpuBackend:
             pixel_center=self.settings.pixel_center,
             tex_mask=(tex_kinds_mask(self._materials.tex)
                       if self._materials is not None else 0),
+            mat_features=(mat_feature_mask(self._materials)
+                          if self._materials is not None else 0),
             # static no-area-lights shortcut: delta-only scenes skip the
             # NEE<->BSDF MIS machinery entirely (weights are 1)
             has_area_lights=self._area.count > 0,

@@ -37,7 +37,7 @@ import jax.numpy as jnp
 
 from rfw_tpu.render import disney
 from rfw_tpu.render.atlas import TextureAtlas, sample_bilinear
-from rfw_tpu.render.intersect import T_MAX, bvh_closest_hit, bvh_occluded
+from rfw_tpu.render.intersect import Hit, T_MAX, bvh_closest_hit, bvh_occluded
 from rfw_tpu.render.lights_pack import DeviceLights
 from rfw_tpu.render.sampler import sample_slot
 from rfw_tpu.accel.lbvh import morton_codes
@@ -48,9 +48,11 @@ from rfw_tpu.render.packet import (
 )
 from rfw_tpu.ops.traverse import (
     LANES as PALLAS_LANES,
+    VMEM_RESIDENT_BUDGET,
     VMEM_SCENE_BUDGET,
     pallas_closest_hit,
     pallas_occluded,
+    pallas_resident_bytes,
     pallas_scene_bytes,
     prepare_pallas_scene,
 )
@@ -121,7 +123,9 @@ class RenderConfig:
     ao_aov: bool = False  # ambient-occlusion AOV (RenderMode.SSAO): one
     #   cosine-hemisphere occlusion probe per first hit (reference ssao.comp)
     ao_radius: float = 0.5
-    traversal: str = "auto"  # auto | pallas | packet | lockstep
+    traversal: str = "auto"  # auto | pallas | pallas_hbm | packet | lockstep
+    #   (pallas_hbm = per-tile kernel with the treelet arena streamed from
+    #   HBM — auto picks it for scenes over the resident VMEM budget)
     lanes: int = 256  # packet tile width (rays per shared stack)
     pixel_center: bool = False  # deterministic pixel-center primaries (no
     #   AA jitter, no lens) — for AOV parity against CpuReferenceBackend
@@ -131,7 +135,12 @@ class RenderConfig:
     #   material set (1=diffuse 2=normal 4=metallic-roughness 8=emissive):
     #   absent kinds skip their atlas sampling entirely (each mip-fetch is
     #   4 texel-pool gathers ~25-50ms/2M rays). tex_kinds_mask() computes it.
-    trilinear: bool = False  # two-mip blend (8 gathers/sample vs 4)
+    trilinear: bool = False  # two-mip blend (2 quad gathers vs 1)
+    mat_features: int = 15  # static bitmask of BSDF lobes PRESENT in the
+    #   material set (disney.FEAT_*: 1=transmission 2=clearcoat
+    #   4=subsurface 8=sheen): absent lobes drop out of eval/pdf/sample
+    #   and the Beer-Lambert segment entirely. mat_feature_mask() computes
+    #   it from a DeviceMaterials.
     sort_secondary: bool = True  # re-tile rays each bounce by (direction
     #   octant, origin morton): secondary rays regain the coherence packet
     #   tiles need. Honest (materialized) timing shows ~2x end-to-end at
@@ -220,38 +229,129 @@ def camera_rays(
 
 
 # ------------------------------------------------------------------ lights
-def _sample_light(
-    lights: DeviceLights, p: jax.Array, u: jax.Array
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Uniformly pick one light; sample a point/direction toward it.
 
-    p: (R,3) shading points; u: (R,3) uniforms.
-    Returns (wi, dist, radiance_over_pdf, is_delta, pdf_area_solidangle)
+#: padded light-table row cap for the per-point potential-weighted pick
+#: (each row adds an (R,) potential evaluation; above the cap the global
+#: power CDF takes over — it scales to thousands of emissive triangles)
+POTENTIAL_MAX = int(_os.environ.get("RFW_POTENTIAL_MAX", "16"))
+
+
+def _light_potentials(lights: DeviceLights, p: jax.Array,
+                      ns: Optional[jax.Array]) -> jax.Array:
+    """Per-point unshadowed contribution estimate for every padded light
+    row: (R, Lpad). The reference scores every light per shading point
+    (shade.comp:283-365); this is that scoring with the TPU twist that
+    rows are STATIC slices of the unified table (no gathers at all).
+    Includes the surface cosine when `ns` is given — lights behind the
+    shading point score ~0. Area rows anchor at the triangle centroid
+    (the same anchor the emissive-hit MIS reconstruction can rebuild)."""
+    np_, nsp, nd = lights.n_point[0], lights.n_spot[0], lights.n_dir[0]
+    total = np_ + nsp + nd + lights.n_area[0]
+    L = lights.light_table.shape[0]
+    qs = []
+    for i in range(L):
+        row = lights.light_table[i]  # (20,) static slice — no gather
+        is_point = i < np_
+        is_spot = (~is_point) & (i < np_ + nsp)
+        is_dir = (~is_point) & (~is_spot) & (i < np_ + nsp + nd)
+        is_area = i >= np_ + nsp + nd
+        lum_en = (0.2126 * row[6] + 0.7152 * row[7] + 0.0722 * row[8])
+        lum_rad = (0.2126 * row[12] + 0.7152 * row[13] + 0.0722 * row[14])
+        centroid = jnp.where(is_area, (row[0:3] + row[3:6] + row[6:9]) / 3.0,
+                             row[0:3])
+        vec = centroid[None] - p
+        d2 = jnp.maximum(jnp.sum(vec * vec, -1), 1e-8)
+        wi = vec / jnp.sqrt(d2)[:, None]
+        # spot falloff^2 (matches _sample_light's radiance formula)
+        cos_to = jnp.sum(-wi * row[3:6][None], -1)
+        falloff = jnp.clip((cos_to - row[16])
+                           / jnp.maximum(row[15] - row[16], 1e-6), 0.0, 1.0)
+        # emitter-side cosine for area rows
+        cos_l = jnp.abs(jnp.sum(-wi * row[9:12][None], -1))
+        q = jnp.where(
+            is_point, lum_en / d2,
+            jnp.where(
+                is_spot, lum_en * falloff * falloff / d2,
+                jnp.where(is_dir, lum_en, lum_rad * row[17] * cos_l / d2),
+            ),
+        )
+        if ns is not None:
+            wi_eff = jnp.where(is_dir, -row[3:6][None], wi)
+            q = q * jnp.maximum(jnp.sum(ns * wi_eff, -1), 0.0)
+        q = jnp.where(i < total, q, 0.0)
+        qs.append(q)
+    return jnp.stack(qs, axis=1)
+
+
+def _sample_light(
+    lights: DeviceLights, p: jax.Array, u: jax.Array,
+    ns: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Pick one light per lane; sample a point/direction toward it.
+
+    p: (R,3) shading points; u: (R,3) uniforms; ns: (R,3) shading normals
+    (enables the per-point potential-weighted pick for small light sets —
+    reference shade.comp:283-470; large sets use the global power CDF).
+    Returns (wi, dist, radiance_over_pdf, is_delta, pdf_area_solidangle,
+    pick_norm):
       radiance_over_pdf already includes the 1/pick_prob factor;
       pdf_area_solidangle is the solid-angle NEE pdf (for MIS, area only),
-      including the pick probability.
+      including the pick probability;
+      pick_norm is the per-lane potential normalization Z (0 on the
+      power-CDF path) — carried so the emissive-hit MIS reconstruction
+      can rebuild this vertex's pick probability at the next vertex.
     """
-    np_, ns, nd, na = (
+    np_, ns_l, nd, na = (
         lights.n_point[0], lights.n_spot[0], lights.n_dir[0], lights.n_area[0]
     )
-    total = np_ + ns + nd + na
-    # power-proportional pick via the precomputed cdf
-    pick = jnp.minimum(
-        jnp.searchsorted(lights.pick_cdf, u[:, 0], side="right").astype(jnp.int32),
-        jnp.maximum(total - 1, 0),
-    )
+    total = np_ + ns_l + nd + na
+    R = p.shape[0]
+    use_potential = lights.light_table.shape[0] <= POTENTIAL_MAX
+    if use_potential:
+        q = _light_potentials(lights, p, ns)  # (R,L)
+        z = jnp.sum(q, axis=1)
+        n_f = jnp.maximum(total.astype(jnp.float32), 1.0)
+        # defensive 50/50 blend with uniform, mirroring the global pick:
+        # bounds 1/pick_p fireflies when the potential misjudges a light
+        valid = (jnp.arange(q.shape[1]) < total)[None]
+        probs = jnp.where(
+            valid,
+            jnp.where(z[:, None] > 0, 0.5 * q / jnp.maximum(z[:, None], 1e-12),
+                      0.0) + 0.5 / n_f,
+            0.0,
+        )
+        cdf = jnp.cumsum(probs, axis=1)
+        pick = jnp.minimum(
+            jnp.sum((u[:, 0:1] * cdf[:, -1:] > cdf).astype(jnp.int32), axis=1),
+            jnp.maximum(total - 1, 0),
+        ).astype(jnp.int32)
+        # probs sum to 1 when Z > 0, to 0.5 on the all-zero-potential
+        # degenerate (uniform-only term) — normalize by the actual total
+        pick_p = jnp.maximum(
+            jnp.take_along_axis(probs, pick[:, None], axis=1)[:, 0]
+            / jnp.maximum(cdf[:, -1], 1e-12), 1e-12)
+        pick_norm = z
+    else:
+        # power-proportional pick via the precomputed global cdf
+        pick = jnp.minimum(
+            jnp.searchsorted(lights.pick_cdf, u[:, 0], side="right"
+                             ).astype(jnp.int32),
+            jnp.maximum(total - 1, 0),
+        )
+        pick_norm = jnp.zeros(R, jnp.float32)
 
     # ONE fetch of the unified per-light record replaces ~16 per-type table
     # gathers (each 14-25ns/row on this TPU)
     row = _fetch_rows(lights.light_table, pick)  # (R,20)
-    pick_p = jnp.maximum(row[:, 18], 1e-12)
+    if not use_potential:
+        pick_p = jnp.maximum(row[:, 18], 1e-12)
     r_pos = row[:, 0:3]   # pos | v0
     r_dir = row[:, 3:6]   # dir | v1
     r_en = row[:, 6:9]    # energy | v2
 
     is_point = pick < np_
-    is_spot = (~is_point) & (pick < np_ + ns)
-    is_dir = (~is_point) & (~is_spot) & (pick < np_ + ns + nd)
+    is_spot = (~is_point) & (pick < np_ + ns_l)
+    is_dir = (~is_point) & (~is_spot) & (pick < np_ + ns_l + nd)
     is_area = (~is_point) & (~is_spot) & (~is_dir)
 
     # ---- point -----------------------------------------------------------
@@ -306,7 +406,8 @@ def _sample_light(
     is_delta = is_point | is_spot | is_dir
     pdf_sa = jnp.where(is_area, a_pdf_sa * pick_p, 0.0)
     none = total == 0
-    return wi, dist, jnp.where(none, 0.0, rad_over_pdf), is_delta, pdf_sa
+    return (wi, dist, jnp.where(none, 0.0, rad_over_pdf), is_delta, pdf_sa,
+            pick_norm)
 
 
 # ---------------------------------------------------------------- materials
@@ -320,6 +421,21 @@ def tex_kinds_mask(tex_table) -> int:
         return 0
     return int((1 * (t[:, 0] >= 0).any()) | (2 * (t[:, 1] >= 0).any())
                | (4 * (t[:, 2] >= 0).any()) | (8 * (t[:, 3] >= 0).any()))
+
+
+def mat_feature_mask(mats) -> int:
+    """Static RenderConfig.mat_features for a DeviceMaterials: which BSDF
+    lobes any material actually drives (params columns: 1=subsurface,
+    6=sheen, 8=clearcoat, 10=transmission — backend.structs order)."""
+    import numpy as _np
+
+    pr = _np.asarray(mats.params)
+    if pr.size == 0:
+        return 0
+    return int((disney.FEAT_TRANSMISSION * (pr[:, 10] > 0).any())
+               | (disney.FEAT_CLEARCOAT * (pr[:, 8] > 0).any())
+               | (disney.FEAT_SUBSURFACE * (pr[:, 1] > 0).any())
+               | (disney.FEAT_SHEEN * (pr[:, 6] > 0).any()))
 
 
 def _fetch_material(
@@ -476,6 +592,11 @@ class _PathState(NamedTuple):
     ray_o: jax.Array
     ray_d: jax.Array
     pid: jax.Array  # pixel linear index of this lane
+    pick_norm: jax.Array  # previous vertex's light-potential normalization
+    #   Z (0 on the power-CDF path) — the emissive-hit MIS reconstruction
+    #   rebuilds that vertex's pick probability from it
+    prev_cos: jax.Array  # |cos| of the sampled bounce at the previous
+    #   vertex (the surface factor of its light potentials)
 
 
 def _prefix_sizes(R: int, g: int) -> list:
@@ -534,6 +655,12 @@ def render_sample(
         on_tpu = jax.default_backend() != "cpu"
         if on_tpu and R % PALLAS_LANES == 0 and scene_bytes <= VMEM_SCENE_BUDGET:
             mode = "pallas"
+        elif (on_tpu and R % PALLAS_LANES == 0
+              and pallas_resident_bytes(scene) <= VMEM_RESIDENT_BUDGET):
+            # scene too big for resident treelets, but the supernode/
+            # instance arrays fit: stream treelet blocks from HBM per leaf
+            # visit instead of dropping to the 6-10x slower packet tier
+            mode = "pallas_hbm"
         else:
             mode = "packet"
     import logging as _logging
@@ -544,8 +671,9 @@ def render_sample(
     inv_perm = None
     pixel_ids = None
     tile_lanes = 0
-    use_packet_tiles = mode in ("pallas", "packet")
-    if mode == "pallas" and R % PALLAS_LANES == 0:
+    use_packet_tiles = mode in ("pallas", "pallas_hbm", "packet")
+    if mode in ("pallas", "pallas_hbm") and R % PALLAS_LANES == 0:
+        tri_hbm = mode == "pallas_hbm"
         tile_lanes = PALLAS_LANES
         sw = _block_swizzle(width, height, PALLAS_LANES)
         if sw is not None:
@@ -557,12 +685,14 @@ def render_sample(
         # in a larger jit (observed 95x slowdown)
         pps = jax.lax.optimization_barrier(prepare_pallas_scene(scene))
 
-        use_tp = config.two_phase in ("auto", "on")
+        # the two-phase items kernel is VMEM-resident-only for now; the
+        # hbm tier's bounce rays ride the classic streamed kernel
+        use_tp = config.two_phase in ("auto", "on") and not tri_hbm
         if _os.environ.get("RFW_TWO_PHASE") is not None:
-            use_tp = _os.environ["RFW_TWO_PHASE"] == "1"
+            use_tp = _os.environ["RFW_TWO_PHASE"] == "1" and not tri_hbm
 
         def trace_coherent(o, d, tl):
-            return pallas_closest_hit(pps, o, d, tl)
+            return pallas_closest_hit(pps, o, d, tl, tri_hbm=tri_hbm)
 
         if use_tp:
             from rfw_tpu.ops.traverse_items import (
@@ -584,8 +714,8 @@ def render_sample(
             trace_bounce = trace_coherent
 
         def trace_occluded(o, d, tl):
-            return pallas_occluded(pps, o, d, tl)
-    elif mode in ("packet", "pallas"):
+            return pallas_occluded(pps, o, d, tl, tri_hbm=tri_hbm)
+    elif mode in ("packet", "pallas", "pallas_hbm"):
         lanes = next(
             (l for l in (config.lanes, 512, 256, 128, 64, 32) if R % l == 0), 0
         )
@@ -648,33 +778,48 @@ def render_sample(
     scene_mn = scene.tlas_min[0]
     scene_mx = scene.tlas_max[0]
 
-    # ------------------------------------------------------------ shading
-    def shade_vertex(st: _PathState, hit, depth, kd, first: bool,
-                     last: bool):
-        """One path vertex on an n-lane front (n static per call site).
-        Returns (new state, aovs dict | None). `depth` may be traced
-        (middle vertices) — only Sobol slot arithmetic consumes it."""
-        n = st.pid.shape[0]
-        found = (hit.prim >= 0) & st.alive
+    #: static: the light table is small enough for the per-point
+    #: potential-weighted pick (the padded row count is a shape)
+    use_potential_pick = lights.light_table.shape[0] <= POTENTIAL_MAX
+    #: MIS reconstruction needs the carried potential normalization only
+    #: when there are area lights AND the potential pick is active
+    carry_mis = config.has_area_lights and use_potential_pick
 
-        # ---- miss: sky ---------------------------------------------------
-        # constant sky, or equirectangular skybox (reference set_skybox)
+    # ------------------------------------------------------------ shading
+    def _sky(dirs):
+        """Sky radiance per ray: constant, or equirectangular skybox
+        (reference set_skybox)."""
+        n = dirs.shape[0]
         if sky_tex is not None:
-            sky_u = jnp.arctan2(st.ray_d[:, 2], st.ray_d[:, 0]) / (2.0 * PI) + 0.5
-            sky_v = jnp.arccos(jnp.clip(st.ray_d[:, 1], -1.0, 1.0)) / PI
+            sky_u = jnp.arctan2(dirs[:, 2], dirs[:, 0]) / (2.0 * PI) + 0.5
+            sky_v = jnp.arccos(jnp.clip(dirs[:, 1], -1.0, 1.0)) / PI
             sky_rgb = sample_bilinear(
                 atlas,
                 jnp.broadcast_to(sky_tex, (n,)),
                 jnp.stack([sky_u, sky_v], axis=-1),
                 jnp.zeros(n),
             )[:, :3]
-            sky = sky_rgb * config.sky_intensity
+            return sky_rgb * config.sky_intensity
+        return jnp.full((n, 3), config.sky_intensity, jnp.float32)
+
+    def shade_vertex(st: _PathState, hit, depth, kd, first: bool,
+                     last: bool, add_sky: bool = True):
+        """One path vertex on an n-lane front (n static per call site).
+        Returns (new state, aovs dict | None). `depth` may be traced
+        (middle vertices) — only Sobol slot arithmetic consumes it.
+        add_sky=False when the caller already credited sky to misses
+        (the compacted vertex 0 does it on the full front pre-sort)."""
+        n = st.pid.shape[0]
+        found = (hit.prim >= 0) & st.alive
+
+        if add_sky:
+            radiance = jnp.where(
+                (st.alive & ~found)[:, None],
+                st.radiance + st.throughput * _sky(st.ray_d),
+                st.radiance,
+            )
         else:
-            sky = jnp.full((n, 3), config.sky_intensity, jnp.float32)
-        radiance = jnp.where(
-            (st.alive & ~found)[:, None], st.radiance + st.throughput * sky,
-            st.radiance,
-        )
+            radiance = st.radiance
 
         # ---- shading point ----------------------------------------------
         basis = _shading_basis(scene, hit, st.ray_d)
@@ -690,10 +835,13 @@ def render_sample(
         # Beer-Lambert: a backface hit on a transmissive material ends a
         # segment travelled INSIDE the medium — attenuate by the stored
         # absorption over the distance (reference DeviceMaterial absorption)
-        inside_seg = found & ~basis["entering"] & (params.transmission > 0)
-        atten = jnp.exp(-absorption * hit.t[:, None])
-        throughput0 = jnp.where(inside_seg[:, None],
-                                st.throughput * atten, st.throughput)
+        if config.mat_features & disney.FEAT_TRANSMISSION:
+            inside_seg = found & ~basis["entering"] & (params.transmission > 0)
+            atten = jnp.exp(-absorption * hit.t[:, None])
+            throughput0 = jnp.where(inside_seg[:, None],
+                                    st.throughput * atten, st.throughput)
+        else:
+            throughput0 = st.throughput
         ns = (
             n_ts[:, 0:1] * basis["tan"]
             + n_ts[:, 1:2] * basis["bitan"]
@@ -735,23 +883,39 @@ def render_sample(
             mis_w = jnp.ones(n, jnp.float32)
         else:
             cos_hit = jnp.abs(jnp.sum(basis["ng"] * st.ray_d, -1))
-            # Reconstruct the hit emitter's pick probability from its actual
-            # world-space power weight (lum(radiance) * area * pi, the same
-            # formula pack_lights uses). Instance-exact: world_area is the
-            # hit instance's transformed triangle area, whereas a
+            # Reconstruct the hit emitter's pick probability at the
+            # PREVIOUS vertex. Instance-exact: world_area is the hit
+            # instance's transformed triangle area, whereas a
             # tri_light-keyed gather would return instance 0's probability
             # for every instance.
             lum_hit = (0.2126 * emission_base[:, 0]
                        + 0.7152 * emission_base[:, 1]
                        + 0.0722 * emission_base[:, 2])
-            w_hit = lum_hit * basis["world_area"] * PI
             n_l = jnp.maximum(lights.pick_n[0], 1.0)
-            hit_pick_p = jnp.where(
-                lights.pick_w_total[0] > 0,
-                0.5 * w_hit / jnp.maximum(lights.pick_w_total[0], 1e-12)
-                + 0.5 / n_l,
-                1.0 / n_l,
-            )
+            if use_potential_pick:
+                # potential-weighted pick: same scoring function the
+                # sampler used, evaluated at the actual hit (lum * area *
+                # emitter cos / d^2 * surface cos), over the carried
+                # normalization Z — both MIS sides use the same weight
+                # function, so the weights still partition unity
+                q_hit = (lum_hit * basis["world_area"] * cos_hit
+                         / jnp.maximum(hit.t * hit.t, 1e-8) * st.prev_cos)
+                hit_pick_p = jnp.where(
+                    st.pick_norm > 0,
+                    0.5 * q_hit / jnp.maximum(st.pick_norm, 1e-12)
+                    + 0.5 / n_l,
+                    1.0 / n_l,
+                )
+            else:
+                # global power pick: the light's world-space power weight
+                # (lum(radiance) * area * pi, the formula pack_lights uses)
+                w_hit = lum_hit * basis["world_area"] * PI
+                hit_pick_p = jnp.where(
+                    lights.pick_w_total[0] > 0,
+                    0.5 * w_hit / jnp.maximum(lights.pick_w_total[0], 1e-12)
+                    + 0.5 / n_l,
+                    1.0 / n_l,
+                )
             pdf_nee_this = (hit.t * hit.t) / jnp.maximum(
                 cos_hit * basis["world_area"], 1e-8
             ) * hit_pick_p
@@ -781,17 +945,17 @@ def render_sample(
         # maximally coherent (+1% here) but turns estimator variance into
         # visible tile-shaped banding at low spp — not worth it.
         u_l = uniforms(2 + depth * 3, 3, jax.random.fold_in(kd, 1), st.pid)
-        wi_l, dist_l, rad_over_pdf, is_delta, pdf_nee_sa = _sample_light(
-            lights, pos, u_l
-        )
+        (wi_l, dist_l, rad_over_pdf, is_delta, pdf_nee_sa,
+         pick_norm) = _sample_light(lights, pos, u_l, ns)
         wi_local = disney.to_local(tan, bitan, ns, wi_l)
-        f_l = disney.disney_eval(params, wo, wi_local)
+        f_l = disney.disney_eval(params, wo, wi_local, config.mat_features)
         cos_l = jnp.maximum(wi_local[..., 2], 0.0)
         can_light = alive & (total_lights > 0) & (cos_l > 0)
         shadow_o = pos + basis["ng"] * config.shadow_eps
         occ = trace_occluded(shadow_o, wi_l, dist_l - 2.0 * config.shadow_eps)
         if config.has_area_lights:
-            pdf_b_l = disney.disney_pdf(params, wo, wi_local)
+            pdf_b_l = disney.disney_pdf(params, wo, wi_local,
+                                        config.mat_features)
             mis_nee = jnp.where(
                 is_delta, 1.0,
                 pdf_nee_sa / jnp.maximum(pdf_nee_sa + pdf_b_l, 1e-12)
@@ -814,7 +978,8 @@ def render_sample(
             ), aovs
 
         u_b = uniforms(3 + depth * 3, 3, jax.random.fold_in(kd, 2), st.pid)
-        wi_b, f_b, pdf_b, delta_b = disney.disney_sample(params, wo, u_b)
+        wi_b, f_b, pdf_b, delta_b = disney.disney_sample(
+            params, wo, u_b, config.mat_features)
         # transmission samples leave through the lower hemisphere: |cos|
         ok = alive & (pdf_b > 1e-9) & (jnp.abs(wi_b[..., 2]) > 1e-6)
         wi_world = disney.to_world(tan, bitan, ns, wi_b)
@@ -840,6 +1005,8 @@ def render_sample(
             sort_hint=jnp.where(found, hit.inst, -1),
             ray_o=new_o,
             ray_d=new_d,
+            pick_norm=pick_norm,
+            prev_cos=jnp.maximum(wi_b[..., 2], 0.0),
         ), aovs
 
     # ------------------------------------------------- bounce-vertex step
@@ -877,16 +1044,18 @@ def render_sample(
                 octant * (1 << 27) + (cell >> 5),
                 jnp.int32(1 << 30),
             )
-        (_, rr, rg, rb, tr, tg, tb, al, sp, pb, sh,
-         ox, oy, oz, dx, dy, dz, pp) = jax.lax.sort(
-            (skey,
-             st.radiance[:, 0], st.radiance[:, 1], st.radiance[:, 2],
-             st.throughput[:, 0], st.throughput[:, 1], st.throughput[:, 2],
-             st.alive, st.spec_or_first, st.prev_bsdf_pdf, st.sort_hint,
-             st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2],
-             st.ray_d[:, 0], st.ray_d[:, 1], st.ray_d[:, 2], st.pid),
-            num_keys=1,
-        )
+        ops = [
+            st.radiance[:, 0], st.radiance[:, 1], st.radiance[:, 2],
+            st.throughput[:, 0], st.throughput[:, 1], st.throughput[:, 2],
+            st.alive, st.spec_or_first, st.prev_bsdf_pdf, st.sort_hint,
+            st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2],
+            st.ray_d[:, 0], st.ray_d[:, 1], st.ray_d[:, 2], st.pid,
+        ]
+        if carry_mis:  # +2 operands only when the reconstruction reads them
+            ops += [st.pick_norm, st.prev_cos]
+        out = jax.lax.sort((skey, *ops), num_keys=1)
+        (rr, rg, rb, tr, tg, tb, al, sp, pb, sh,
+         ox, oy, oz, dx, dy, dz, pp) = out[1:18]
         return _PathState(
             radiance=jnp.stack([rr, rg, rb], axis=1),
             throughput=jnp.stack([tr, tg, tb], axis=1),
@@ -894,6 +1063,8 @@ def render_sample(
             ray_o=jnp.stack([ox, oy, oz], axis=1),
             ray_d=jnp.stack([dx, dy, dz], axis=1),
             pid=pp,
+            pick_norm=out[18] if carry_mis else st.pick_norm,
+            prev_cos=out[19] if carry_mis else st.prev_cos,
         )
 
     def _trace_and_shade(st: _PathState, depth, kd, last: bool,
@@ -930,22 +1101,84 @@ def render_sample(
         return jax.lax.switch(idx, branches, st, depth, kd)
 
     # ------------------------------------------------------- vertex 0
+    # The primary trace must cover every pixel (AOVs + sky), but only HIT
+    # lanes need shading (49.6% on the bench scene): credit sky to misses
+    # on the full front (cheap), then sort lanes by (hit?, prim block) and
+    # shade the hit prefix at a static length. The prim-block key also
+    # groups lanes by mesh region — material rows and texture pages
+    # coalesce, which the miss-last octant/morton key would not give.
     hit0 = trace_coherent(ray_o, ray_d, T_MAX)
-    st = _PathState(
-        radiance=jnp.zeros((R, 3), jnp.float32),
-        throughput=jnp.ones((R, 3), jnp.float32),
-        alive=jnp.ones(R, bool),
-        spec_or_first=jnp.ones(R, bool),
-        prev_bsdf_pdf=jnp.zeros(R, jnp.float32),
-        sort_hint=jnp.full(R, -1, jnp.int32),
-        ray_o=ray_o,
-        ray_d=ray_d,
-        pid=pid,
+    found0 = hit0.prim >= 0
+    rad0 = jnp.where(found0[:, None], 0.0, _sky(ray_d))
+    kd0 = jax.random.fold_in(k_loop, 0)
+    v0_last = config.max_bounces == 0
+
+    def _mk_state(rad, alive, o, d, pp, n):
+        return _PathState(
+            radiance=rad,
+            throughput=jnp.ones((n, 3), jnp.float32),
+            alive=alive,
+            spec_or_first=jnp.ones(n, bool),
+            prev_bsdf_pdf=jnp.zeros(n, jnp.float32),
+            sort_hint=jnp.full(n, -1, jnp.int32),
+            ray_o=o, ray_d=d, pid=pp,
+            pick_norm=jnp.zeros(n, jnp.float32),
+            prev_cos=jnp.ones(n, jnp.float32),
+        )
+
+    aov_defaults = dict(
+        albedo=jnp.zeros((R, 3), jnp.float32),
+        normal=jnp.zeros((R, 3), jnp.float32),
+        depth=jnp.full(R, T_MAX, jnp.float32),
+        position=jnp.zeros((R, 3), jnp.float32),
+        ao=jnp.ones(R, jnp.float32),
     )
-    st, aovs = shade_vertex(
-        st, hit0, 0, jax.random.fold_in(k_loop, 0), first=True,
-        last=config.max_bounces == 0,
-    )
+
+    v0_compact = compact_on and len(sizes) > 1
+    if v0_compact:
+        key0 = jnp.where(found0, hit0.prim >> 4, jnp.int32(1 << 30))
+        (_, t0, p0, i0, u0, v0, rr, rg, rb,
+         ox, oy, oz, dx, dy, dz, pp) = jax.lax.sort(
+            (key0, hit0.t, hit0.prim, hit0.inst, hit0.u, hit0.v,
+             rad0[:, 0], rad0[:, 1], rad0[:, 2],
+             ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
+             ray_d[:, 0], ray_d[:, 1], ray_d[:, 2], pid),
+            num_keys=1,
+        )
+        hit0 = Hit(t0, p0, i0, u0, v0)
+        st = _mk_state(
+            jnp.stack([rr, rg, rb], axis=1), p0 >= 0,
+            jnp.stack([ox, oy, oz], axis=1),
+            jnp.stack([dx, dy, dz], axis=1), pp, R)
+
+        def _shade0(st, hit, n: int):
+            if n == R:
+                new, aovs = shade_vertex(st, hit, 0, kd0, first=True,
+                                         last=v0_last, add_sky=False)
+                return new, aovs
+            pre = jax.tree.map(lambda a: a[:n], st)
+            suf = jax.tree.map(lambda a: a[n:], st)
+            pre_hit = jax.tree.map(lambda a: a[:n], hit)
+            new_pre, aovs = shade_vertex(pre, pre_hit, 0, kd0, first=True,
+                                         last=v0_last, add_sky=False)
+            new = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
+                               new_pre, suf)
+            aovs = {k: jnp.concatenate([aovs[k], aov_defaults[k][n:]])
+                    for k in aovs}
+            return new, aovs
+
+        live0 = jnp.sum(found0.astype(jnp.int32))
+        idx0 = jnp.int32(0)
+        for p in sizes[:-1]:
+            idx0 = idx0 + (live0 > p).astype(jnp.int32)
+        st, aovs = jax.lax.switch(
+            idx0, [functools.partial(_shade0, n=p) for p in sizes],
+            st, hit0)
+    else:
+        st = _mk_state(rad0, found0, ray_o, ray_d, pid, R)
+        st, aovs = shade_vertex(st, hit0, 0, kd0, first=True, last=v0_last,
+                                add_sky=False)
+    pid0 = st.pid  # lane->pixel map as of the v0 order (AOV restore)
 
     # ---------------------------------------------- middle + final vertices
     if config.max_bounces >= 2:
@@ -963,7 +1196,7 @@ def render_sample(
     def unswizzle(a):
         return a[inv_perm] if inv_perm is not None else a
 
-    if do_sort:
+    if do_sort or v0_compact:
         # lanes are in sorted order: restore PIXEL order directly by
         # sorting on the carried pid (replaces per-bounce unsorts AND the
         # swizzle-inverse gather for radiance in one 4-operand sort)
@@ -975,6 +1208,31 @@ def render_sample(
         radiance_px = jnp.stack([rr, rg, rb], axis=1)
     else:
         radiance_px = unswizzle(st.radiance)
+
+    if v0_compact:
+        # AOVs were produced in the v0 sort order: one 12-operand pid sort
+        # restores pixel order for all five channels at once
+        (_, aa0, aa1, aa2, an0, an1, an2, ad, ap0, ap1, ap2, ao_) = (
+            jax.lax.sort(
+                (pid0,
+                 aovs["albedo"][:, 0], aovs["albedo"][:, 1],
+                 aovs["albedo"][:, 2],
+                 aovs["normal"][:, 0], aovs["normal"][:, 1],
+                 aovs["normal"][:, 2],
+                 aovs["depth"],
+                 aovs["position"][:, 0], aovs["position"][:, 1],
+                 aovs["position"][:, 2],
+                 aovs["ao"]),
+                num_keys=1,
+            ))
+        return SampleResult(
+            radiance=jnp.clip(radiance_px, 0.0, None),
+            albedo=jnp.stack([aa0, aa1, aa2], axis=1),
+            normal=jnp.stack([an0, an1, an2], axis=1),
+            depth=ad,
+            position=jnp.stack([ap0, ap1, ap2], axis=1),
+            ao=ao_,
+        )
 
     return SampleResult(
         radiance=jnp.clip(radiance_px, 0.0, None),

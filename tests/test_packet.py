@@ -95,6 +95,23 @@ class TestPallasInterpret:
         occ = pallas_occluded(ps, jnp.asarray(o), jnp.asarray(d), 1e30, interpret=True)
         assert (np.asarray(occ) == (p_ref >= 0)).all()
 
+    def test_tri_hbm_matches_oracle(self, scene_and_rays):
+        """HBM-streamed-treelet tier: identical results to the resident
+        kernel — the DMA'd leaf block must be byte-equivalent to the
+        direct VMEM slice."""
+        from rfw_tpu.ops import prepare_pallas_scene, pallas_closest_hit
+
+        scene, o, d, t_ref, p_ref = scene_and_rays
+        sd = TraceScene(*[jnp.asarray(x) for x in scene])
+        ps = prepare_pallas_scene(sd)
+        hit = pallas_closest_hit(ps, jnp.asarray(o), jnp.asarray(d),
+                                 interpret=True, tri_hbm=True)
+        hm = np.asarray(hit.prim) >= 0
+        assert (hm == (p_ref >= 0)).all()
+        both = hm & (p_ref >= 0)
+        np.testing.assert_allclose(np.asarray(hit.t)[both], t_ref[both],
+                                   rtol=1e-4, atol=1e-5)
+
 
 def test_physics_world():
     from rfw_tpu.utils.physics import SphereWorld

@@ -147,7 +147,8 @@ def main():
         ns = basis["ns"]
         pos = jnp.zeros((R, 3))
         u = jax.random.uniform(key, (R, 3))
-        wi_l, dist_l, rad, is_delta, pdf_sa = _sample_light(dlights, pos, u)
+        wi_l, dist_l, rad, is_delta, pdf_sa, _ = _sample_light(
+            dlights, pos, u, basis["ns"])
         wo = disney.to_local(basis["tan"], basis["bitan"], ns, -d)
         wi_local = disney.to_local(basis["tan"], basis["bitan"], ns, wi_l)
         f = disney.disney_eval(params, wo, wi_local)
