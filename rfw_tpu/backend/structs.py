@@ -63,6 +63,8 @@ class MeshView3D:
     aabb_max: np.ndarray = field(default_factory=lambda: np.zeros(3, np.float32))
     name: str = ""
     morph_targets: Optional[np.ndarray] = None  # (K,V,3) f32 position deltas
+    morph_normals: Optional[np.ndarray] = None  # (K,V,3) f32 NORMAL deltas
+    morph_tangents: Optional[np.ndarray] = None  # (K,V,3) f32 TANGENT deltas
 
     @property
     def num_vertices(self) -> int:

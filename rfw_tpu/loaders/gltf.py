@@ -254,6 +254,12 @@ def _load_mesh(g: _Gltf, gmesh: dict, mat_map: List[int]) -> Mesh3D:
         (len(p.get("targets", [])) for p in gmesh["primitives"]), default=0
     )
     all_targets = [[] for _ in range(n_targets)]  # per target: per-prim deltas
+    all_targets_n = [[] for _ in range(n_targets)]  # NORMAL deltas
+    all_targets_t = [[] for _ in range(n_targets)]  # TANGENT deltas (xyz)
+    any_morph_n = any("NORMAL" in t for pr in gmesh["primitives"]
+                      for t in pr.get("targets", []))
+    any_morph_t = any("TANGENT" in t for pr in gmesh["primitives"]
+                      for t in pr.get("targets", []))
     vbase = 0
     for prim in gmesh["primitives"]:
         if prim.get("mode", 4) != 4:
@@ -284,11 +290,15 @@ def _load_mesh(g: _Gltf, gmesh: dict, mat_map: List[int]) -> Mesh3D:
         all_mat.append(np.full(idx.shape[0], mat, np.int32))
         for k in range(n_targets):
             tgs = prim.get("targets", [])
-            if k < len(tgs) and "POSITION" in tgs[k]:
-                all_targets[k].append(
-                    g.accessor(tgs[k]["POSITION"]).astype(np.float32))
-            else:
-                all_targets[k].append(np.zeros((n, 3), np.float32))
+            tk = tgs[k] if k < len(tgs) else {}
+            for key, out in (("POSITION", all_targets),
+                             ("NORMAL", all_targets_n),
+                             ("TANGENT", all_targets_t)):
+                if key in tk:
+                    out[k].append(
+                        g.accessor(tk[key]).astype(np.float32)[:, :3])
+                else:
+                    out[k].append(np.zeros((n, 3), np.float32))
         if any_skin:
             if "JOINTS_0" in attrs:
                 all_joints.append(g.accessor(attrs["JOINTS_0"]).astype(np.int32))
@@ -311,10 +321,22 @@ def _load_mesh(g: _Gltf, gmesh: dict, mat_map: List[int]) -> Mesh3D:
         wsum = weights.sum(axis=-1, keepdims=True)
         weights = np.where(wsum > 0, weights / np.maximum(wsum, 1e-8), weights)
     morph_targets = None
+    morph_normals = None
+    morph_tangents = None
     if n_targets:
         morph_targets = np.stack(
             [np.concatenate(chunks) for chunks in all_targets]
         ).astype(np.float32)  # (K,V,3) position deltas
+        # NORMAL/TANGENT deltas (reference inherits full morph semantics
+        # from l3d): only materialized when any primitive supplies them
+        if any_morph_n:
+            morph_normals = np.stack(
+                [np.concatenate(chunks) for chunks in all_targets_n]
+            ).astype(np.float32)
+        if any_morph_t:
+            morph_tangents = np.stack(
+                [np.concatenate(chunks) for chunks in all_targets_t]
+            ).astype(np.float32)
     mesh = build_mesh3d(
         pos,
         np.concatenate(all_idx).astype(np.int32),
@@ -325,6 +347,8 @@ def _load_mesh(g: _Gltf, gmesh: dict, mat_map: List[int]) -> Mesh3D:
         weights=weights,
         name=gmesh.get("name", ""),
         morph_targets=morph_targets,
+        morph_normals=morph_normals,
+        morph_tangents=morph_tangents,
     )
     return mesh
 

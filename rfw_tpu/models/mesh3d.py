@@ -99,6 +99,8 @@ class Mesh3D:
     #: (K,V,3) per-target position deltas (glTF morph targets; reference
     #: carries node weights, rfw-scene/src/graph/mod.rs:100-114)
     morph_targets: Optional[np.ndarray] = None
+    morph_normals: Optional[np.ndarray] = None  # (K,V,3) NORMAL deltas
+    morph_tangents: Optional[np.ndarray] = None  # (K,V,3) TANGENT xyz deltas
 
     @property
     def num_triangles(self) -> int:
@@ -132,6 +134,8 @@ class Mesh3D:
             aabb_max=self.aabb_max,
             name=self.name,
             morph_targets=self.morph_targets,
+            morph_normals=self.morph_normals,
+            morph_tangents=self.morph_tangents,
         ).validate()
 
     # Triangle corner getters used by BVH build / light extraction.
@@ -165,6 +169,8 @@ def build_mesh3d(
     weights: Optional[np.ndarray] = None,
     name: str = "",
     morph_targets: Optional[np.ndarray] = None,
+    morph_normals: Optional[np.ndarray] = None,
+    morph_tangents: Optional[np.ndarray] = None,
 ) -> Mesh3D:
     """Construct a Mesh3D, deriving missing attributes (reference Mesh3D::new).
 
@@ -227,4 +233,8 @@ def build_mesh3d(
         name=name,
         morph_targets=(None if morph_targets is None
                        else np.ascontiguousarray(morph_targets, np.float32)),
+        morph_normals=(None if morph_normals is None
+                       else np.ascontiguousarray(morph_normals, np.float32)),
+        morph_tangents=(None if morph_tangents is None
+                        else np.ascontiguousarray(morph_tangents, np.float32)),
     )

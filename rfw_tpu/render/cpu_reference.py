@@ -58,7 +58,7 @@ PI = np.float32(np.pi)
 
 
 def _oracle_skin(mv: MeshView3D, joint_matrices: np.ndarray,
-                 positions: np.ndarray):
+                 positions: np.ndarray, base_n=None, base_t=None):
     """Independent LBS (positions + normals + tangents) for the oracle —
     deliberately NOT shared with tpu_backend.apply_skin/skin_mesh_attributes
     so a skinning bug on the product path cannot hide behind a correlated
@@ -76,15 +76,17 @@ def _oracle_skin(mv: MeshView3D, joint_matrices: np.ndarray,
     c2 = np.cross(m[:, 0], m[:, 1])
     cof = np.stack([c0, c1, c2], axis=1)  # (V,3,3) rows r1xr2, r2xr0, r0xr1
     det = np.einsum("va,va->v", m[:, 0], c0)
-    n = np.einsum("vab,vb->va", cof, mv.normals) * np.sign(det)[:, None]
+    bn = mv.normals if base_n is None else base_n
+    bt = mv.tangents if base_t is None else base_t
+    n = np.einsum("vab,vb->va", cof, bn) * np.sign(det)[:, None]
     nl = np.linalg.norm(n, axis=-1, keepdims=True)
-    n = np.where(nl > 1e-12, n / np.maximum(nl, 1e-12), mv.normals)
+    n = np.where(nl > 1e-12, n / np.maximum(nl, 1e-12), bn)
 
-    t = np.einsum("vab,vb->va", m, mv.tangents[:, :3])
+    t = np.einsum("vab,vb->va", m, bt[:, :3])
     tl = np.linalg.norm(t, axis=-1, keepdims=True)
-    t = np.where(tl > 1e-12, t / np.maximum(tl, 1e-12), mv.tangents[:, :3])
+    t = np.where(tl > 1e-12, t / np.maximum(tl, 1e-12), bt[:, :3])
     tan = np.concatenate(
-        [t, mv.tangents[:, 3:4] * np.where(det[:, None] < 0, -1.0, 1.0)],
+        [t, bt[:, 3:4] * np.where(det[:, None] < 0, -1.0, 1.0)],
         axis=1)
     return (pos.astype(np.float32), n.astype(np.float32),
             tan.astype(np.float32))
@@ -286,9 +288,24 @@ class CpuReferenceBackend:
                 nrm, tangents = mv.normals, mv.tangents
                 if w is not None and np.any(w):  # glTF: morphs before the skin
                     pos = pos + np.einsum("k,kvc->vc", w, mv.morph_targets)
+                    # NORMAL/TANGENT deltas: displace then renormalize
+                    if mv.morph_normals is not None:
+                        n = nrm + np.einsum("k,kvc->vc", w, mv.morph_normals)
+                        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+                        nrm = np.where(ln > 1e-12,
+                                       n / np.maximum(ln, 1e-12), nrm)
+                    if mv.morph_tangents is not None:
+                        t = tangents[:, :3] + np.einsum(
+                            "k,kvc->vc", w, mv.morph_tangents)
+                        lt = np.linalg.norm(t, axis=-1, keepdims=True)
+                        t = np.where(lt > 1e-12, t / np.maximum(lt, 1e-12),
+                                     tangents[:, :3])
+                        tangents = np.concatenate(
+                            [t, tangents[:, 3:4]], axis=1)
                 if sid >= 0 and sid in self._skins:
                     pos, nrm, tangents = _oracle_skin(
-                        mv, self._skins[sid].joint_matrices, pos)
+                        mv, self._skins[sid].joint_matrices, pos,
+                        base_n=nrm, base_t=tangents)
                 out = (
                     pos[idx[:, 0]], pos[idx[:, 1]], pos[idx[:, 2]],
                     nrm[idx[:, 0]], nrm[idx[:, 1]], nrm[idx[:, 2]],

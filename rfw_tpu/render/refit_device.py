@@ -55,6 +55,8 @@ class UnitPlan(NamedTuple):
     joints: np.ndarray  # (V,4) i32
     weights: np.ndarray  # (V,4) f32
     morph_pos: np.ndarray  # (M,V,3) position deltas (M may be 0)
+    morph_nrm: np.ndarray  # (M,V,3) NORMAL deltas (zeros when absent)
+    morph_tan: np.ndarray  # (M,V,3) TANGENT xyz deltas (zeros when absent)
 
     # triangle arena slice (rows are leaf-ordered, TREELET-aligned)
     tri_lo: np.ndarray  # () i32 global row offset
@@ -194,6 +196,8 @@ def build_unit_plan(
     joints: Optional[np.ndarray],
     weights: Optional[np.ndarray],
     morph_targets: Optional[np.ndarray],
+    morph_normals: Optional[np.ndarray] = None,
+    morph_tangents: Optional[np.ndarray] = None,
 ) -> UnitPlan:
     """Extract one unit's static refit metadata from the packed scene.
 
@@ -273,6 +277,11 @@ def build_unit_plan(
         weights = np.zeros((V, 4), np.float32)
     if morph_targets is None:
         morph_targets = np.zeros((0, V, 3), np.float32)
+    M = morph_targets.shape[0]
+    if morph_normals is None:
+        morph_normals = np.zeros((M, V, 3), np.float32)
+    if morph_tangents is None:
+        morph_tangents = np.zeros((M, V, 3), np.float32)
 
     return UnitPlan(
         rest_pos=rest_pos.astype(np.float32),
@@ -281,6 +290,8 @@ def build_unit_plan(
         joints=joints.astype(np.int32),
         weights=weights.astype(np.float32),
         morph_pos=np.asarray(morph_targets, np.float32),
+        morph_nrm=np.asarray(morph_normals, np.float32),
+        morph_tan=np.asarray(morph_tangents, np.float32),
         tri_lo=np.int32(t_lo), r0=r0, r1=r1, r2=r2,
         uv_cols=uv_cols, lodf=lodf,
         node_lo=np.int32(n_lo), leaf_of_row=leaf_of_row, levels=levels,
@@ -424,10 +435,21 @@ def _lbs_attributes(plan: UnitPlan, jm, morph_w):
     import jax.numpy as jnp
 
     p = plan.rest_pos
+    base_n = plan.rest_nrm
+    base_t4 = plan.rest_tan
     if plan.morph_pos.shape[0]:
         p = p + jnp.einsum("k,kvc->vc", morph_w, plan.morph_pos)
+        # NORMAL/TANGENT morph deltas: displace, renormalize (glTF: morphs
+        # apply before the skin). Zero deltas are exact no-ops.
+        n = base_n + jnp.einsum("k,kvc->vc", morph_w, plan.morph_nrm)
+        ln = jnp.linalg.norm(n, axis=-1, keepdims=True)
+        base_n = jnp.where(ln > 1e-12, n / jnp.maximum(ln, 1e-12), base_n)
+        t = base_t4[:, :3] + jnp.einsum("k,kvc->vc", morph_w, plan.morph_tan)
+        lt = jnp.linalg.norm(t, axis=-1, keepdims=True)
+        t = jnp.where(lt > 1e-12, t / jnp.maximum(lt, 1e-12), base_t4[:, :3])
+        base_t4 = jnp.concatenate([t, base_t4[:, 3:4]], axis=1)
     if jm is None:
-        return p, plan.rest_nrm, plan.rest_tan
+        return p, base_n, base_t4
 
     A = jnp.einsum("vj,vjab->vab", plan.weights, jm[plan.joints])  # (V,4,4)
     has_w = jnp.sum(plan.weights, axis=-1) > 1e-8
@@ -442,18 +464,18 @@ def _lbs_attributes(plan: UnitPlan, jm, morph_w):
     det = jnp.sum(b0 * jnp.cross(b1, b2), axis=-1)
     ok = has_w & (jnp.abs(det) > 1e-12)
 
-    n = jnp.einsum("vab,vb->va", cof_rows, plan.rest_nrm)
+    n = jnp.einsum("vab,vb->va", cof_rows, base_n)
     n = n * jnp.sign(det)[:, None]
     nl = jnp.linalg.norm(n, axis=-1, keepdims=True)
     n = jnp.where(ok[:, None] & (nl > 1e-12), n / jnp.maximum(nl, 1e-12),
-                  plan.rest_nrm)
+                  base_n)
 
-    t = jnp.einsum("vab,vb->va", B, plan.rest_tan[:, :3])
+    t = jnp.einsum("vab,vb->va", B, base_t4[:, :3])
     tl = jnp.linalg.norm(t, axis=-1, keepdims=True)
     t = jnp.where(ok[:, None] & (tl > 1e-12), t / jnp.maximum(tl, 1e-12),
-                  plan.rest_tan[:, :3])
-    handed = plan.rest_tan[:, 3:4] * jnp.where((det < 0)[:, None], -1.0, 1.0)
-    handed = jnp.where(ok[:, None], handed, plan.rest_tan[:, 3:4])
+                  base_t4[:, :3])
+    handed = base_t4[:, 3:4] * jnp.where((det < 0)[:, None], -1.0, 1.0)
+    handed = jnp.where(ok[:, None], handed, base_t4[:, 3:4])
     return pos, n, jnp.concatenate([t, handed], axis=1)
 
 

@@ -123,6 +123,8 @@ def apply_skin(mesh: MeshView3D, joint_matrices: np.ndarray,
 def skin_mesh_attributes(
     mesh: MeshView3D, joint_matrices: np.ndarray,
     positions: Optional[np.ndarray] = None,
+    normals: Optional[np.ndarray] = None,
+    tangents: Optional[np.ndarray] = None,
 ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """LBS of positions AND shading attributes -> (positions, normals,
     tangents4). The reference transforms normals/tangents through the
@@ -133,8 +135,11 @@ def skin_mesh_attributes(
     Normals use inverse-transpose(B) (correct under non-uniform scale);
     tangents transform like directions by B itself; handedness flips with
     a mirrored blend (sign of det). Degenerate blends (all-zero weights)
-    keep the rest-pose attributes."""
+    keep the rest-pose attributes. `positions`/`normals`/`tangents`
+    override the rest pose (glTF: morph targets apply BEFORE the skin)."""
     pos = apply_skin(mesh, joint_matrices, positions=positions)
+    base_n = mesh.normals if normals is None else normals
+    base_t = mesh.tangents if tangents is None else tangents
 
     jm = joint_matrices[mesh.joints][:, :, :3, :3]  # (V,4,3,3)
     B = np.einsum("vj,vjab->vab", mesh.weights, jm)  # (V,3,3)
@@ -143,15 +148,15 @@ def skin_mesh_attributes(
     B_safe = np.where(ok[:, None, None], B, np.eye(3, dtype=B.dtype))
     n_mat = np.linalg.inv(B_safe).transpose(0, 2, 1)  # (V,3,3) inv-transpose
 
-    n = np.einsum("vab,vb->va", n_mat, mesh.normals)
+    n = np.einsum("vab,vb->va", n_mat, base_n)
     nlen = np.linalg.norm(n, axis=-1, keepdims=True)
-    n = np.where(nlen > 1e-12, n / np.maximum(nlen, 1e-12), mesh.normals)
+    n = np.where(nlen > 1e-12, n / np.maximum(nlen, 1e-12), base_n)
 
-    t_xyz = np.einsum("vab,vb->va", B_safe, mesh.tangents[:, :3])
+    t_xyz = np.einsum("vab,vb->va", B_safe, base_t[:, :3])
     tlen = np.linalg.norm(t_xyz, axis=-1, keepdims=True)
     t_xyz = np.where(tlen > 1e-12, t_xyz / np.maximum(tlen, 1e-12),
-                     mesh.tangents[:, :3])
-    handed = mesh.tangents[:, 3:4] * np.where(det[:, None] < 0, -1.0, 1.0)
+                     base_t[:, :3])
+    handed = base_t[:, 3:4] * np.where(det[:, None] < 0, -1.0, 1.0)
     tan = np.concatenate([t_xyz, handed], axis=1)
     return (pos, n.astype(np.float32), tan.astype(np.float32))
 
@@ -738,6 +743,7 @@ class TpuBackend:
         (normals, tangents) or None), or None if the unit is at rest."""
         mv = self._meshes[unit["slot"]]
         pos = None
+        nrm0 = tan0 = None
         if mv.has_morphs:
             iv = self._instances[unit["slot"]]
             mw = iv.morph_weights
@@ -747,11 +753,33 @@ class TpuBackend:
                 if np.any(w):  # glTF: morphs apply before the skin
                     pos = (mv.positions
                            + np.einsum("k,kvc->vc", w, mv.morph_targets))
+                    # NORMAL/TANGENT deltas displace then renormalize
+                    # (reference inherits full morph semantics from l3d)
+                    if mv.morph_normals is not None:
+                        n = mv.normals + np.einsum(
+                            "k,kvc->vc", w, mv.morph_normals)
+                        ln = np.linalg.norm(n, axis=-1, keepdims=True)
+                        nrm0 = np.where(ln > 1e-12,
+                                        n / np.maximum(ln, 1e-12),
+                                        mv.normals).astype(np.float32)
+                    if mv.morph_tangents is not None:
+                        t = mv.tangents[:, :3] + np.einsum(
+                            "k,kvc->vc", w, mv.morph_tangents)
+                        lt = np.linalg.norm(t, axis=-1, keepdims=True)
+                        t = np.where(lt > 1e-12, t / np.maximum(lt, 1e-12),
+                                     mv.tangents[:, :3])
+                        tan0 = np.concatenate(
+                            [t, mv.tangents[:, 3:4]], axis=1
+                        ).astype(np.float32)
         attrs = None
         if unit["has_skin"]:
             pos, nrm, tan = skin_mesh_attributes(
-                mv, self._skins[unit["sid"]].joint_matrices, positions=pos)
+                mv, self._skins[unit["sid"]].joint_matrices, positions=pos,
+                normals=nrm0, tangents=tan0)
             attrs = (nrm, tan)
+        elif nrm0 is not None or tan0 is not None:
+            attrs = (nrm0 if nrm0 is not None else mv.normals,
+                     tan0 if tan0 is not None else mv.tangents)
         if pos is None:
             return None
         return pos.astype(np.float32), attrs
@@ -845,6 +873,8 @@ class TpuBackend:
                 mv.joints if u["has_skin"] else None,
                 mv.weights if u["has_skin"] else None,
                 mv.morph_targets if mv.has_morphs else None,
+                mv.morph_normals if mv.has_morphs else None,
+                mv.morph_tangents if mv.has_morphs else None,
             )
             lo, hi = ranges[ps]["inst"]
             plan = plan._replace(inst_rows=np.arange(lo, hi, dtype=np.int32))

@@ -213,13 +213,27 @@ def camera_rays(
     r = (px.astype(jnp.float32) + jit_uv[:, 0]) * inv_w
     s = (py.astype(jnp.float32) + jit_uv[:, 1]) * inv_h
 
-    # thin-lens origin jitter on a disk
-    ang = 2.0 * PI * lens_uv[:, 0]
-    rad = jnp.sqrt(lens_uv[:, 1]) * lens_size
+    # 9-bladed aperture (reference CameraView3D::generate_lens_ray,
+    # rfw-backend/src/structs.rs:518-540): pick a blade wedge, then sample
+    # the triangle spanned by its two blade directions with the fold trick.
+    # (The reference reuses the AA jitter uniform for the blade pick and
+    # remaps its r2 accordingly; here the two lens uniforms stratify the
+    # wedge + triangle cleanly — same aperture shape, lower correlation.)
+    b9 = lens_uv[:, 0] * 9.0
+    blade = jnp.floor(b9)
+    r2 = b9 - blade  # wedge-local, re-stratified
+    r3 = lens_uv[:, 1]
+    fold = (r2 + r3) > 1.0
+    r2 = jnp.where(fold, 1.0 - r2, r2)
+    r3 = jnp.where(fold, 1.0 - r3, r3)
+    a1 = blade * (PI / 4.5)
+    a2 = (blade + 1.0) * (PI / 4.5)
+    xr = jnp.sin(a1) * r2 + jnp.sin(a2) * r3
+    yr = jnp.cos(a1) * r2 + jnp.cos(a2) * r3
     rn = right / jnp.maximum(jnp.linalg.norm(right), 1e-12)
     un = up / jnp.maximum(jnp.linalg.norm(up), 1e-12)
-    origin = pos[None] + (jnp.cos(ang) * rad)[:, None] * rn[None] + (
-        jnp.sin(ang) * rad
+    origin = pos[None] + (lens_size * xr)[:, None] * rn[None] + (
+        lens_size * yr
     )[:, None] * un[None]
 
     target = p1[None] + r[:, None] * right[None] + s[:, None] * up[None]

@@ -62,9 +62,11 @@ class Animation:
             if k == 0:
                 continue
             node = ch.node
-            if ch.interpolation == "CUBICSPLINE":
+            cubic = ch.interpolation == "CUBICSPLINE"
+            if cubic:
                 # values come as (k, 3*C): in-tangent, value, out-tangent
-                vals = ch.values.reshape(k, 3, -1)[:, 1, :]
+                raw = ch.values.reshape(k, 3, -1)
+                vals = raw[:, 1, :]
             else:
                 vals = ch.values
             if k == 1:
@@ -76,6 +78,18 @@ class Animation:
                 t0, t1 = float(times[i0]), float(times[i1])
                 if ch.interpolation == "STEP" or t1 <= t0:
                     v = vals[i0]
+                elif cubic:
+                    # full glTF cubic Hermite: value columns + the stored
+                    # in/out tangents scaled by the keyframe interval
+                    # (rotations normalize in the write-back below, per
+                    # spec). The reference inherits this from l3d.
+                    td = t1 - t0
+                    s = (t - t0) / td
+                    s2, s3 = s * s, s * s * s
+                    v = ((2 * s3 - 3 * s2 + 1) * vals[i0]
+                         + td * (s3 - 2 * s2 + s) * raw[i0, 2]
+                         + (-2 * s3 + 3 * s2) * vals[i1]
+                         + td * (s3 - s2) * raw[i1, 0])
                 else:
                     a = (t - t0) / (t1 - t0)
                     if ch.path == "rotation":

@@ -93,6 +93,47 @@ class TestBackendMorphs:
             assert e <= 1e-3, f"{mode}: {e}"
 
 
+def _normal_morph_quad():
+    """A quad whose single morph target tilts the NORMALS (zero position
+    deltas): only the new NORMAL-delta path can change the image."""
+    q = quad3d(normal=(0, 0, 1), position=(0, 0, 0), width=2, height=2)
+    pos_t = np.zeros((1, q.num_vertices, 3), np.float32)
+    nrm_t = np.zeros((1, q.num_vertices, 3), np.float32)
+    nrm_t[0, :, 0] = 1.5  # tilt toward +x on full weight
+    return build_mesh3d(q.positions, q.indices, normals=q.normals,
+                        uvs=q.uvs, morph_targets=pos_t,
+                        morph_normals=nrm_t, name="nq")
+
+
+class TestMorphNormalDeltas:
+    def test_normal_deltas_change_shading(self):
+        """VERDICT round-2 missing #6: morph targets deformed positions
+        only. A normals-only morph must now change the NORMAL AOV, and
+        the oracle (independent implementation) must agree."""
+        scene = Scene()
+        mid = scene.add_3d_object(_normal_morph_quad())
+        h = scene.add_3d_instance(mid)
+        settings = TpuSettings(samples_per_frame=1, max_bounces=0,
+                               pixel_center=True)
+        bt = TpuBackend(32, 32, settings)
+        view = CAM.get_view(32, 32)
+
+        sync_full(scene, bt)
+        base = bt.render(None, view, RenderMode.NORMAL).copy()
+
+        h.set_morph_weights(np.array([1.0], np.float32))
+        sync_full(scene, bt)
+        tilted = bt.render(None, view, RenderMode.NORMAL)
+        # positions unchanged -> same coverage; normals tilted -> image moves
+        diff = np.abs(tilted.astype(np.float32) - base.astype(np.float32))
+        assert diff.max() > 10.0, "normal deltas had no effect"
+
+        bc = CpuReferenceBackend(32, 32, settings)
+        sync_full(scene, bc)
+        e = rmse(tilted, bc.render(None, view, RenderMode.NORMAL))
+        assert e <= 1e-3, e
+
+
 class TestGraphMorphs:
     def test_weights_animation_drives_instances(self):
         mesh = _morph_quad()
