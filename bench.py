@@ -128,7 +128,10 @@ def main():
                        sort_secondary=args.sort, sampler="sobol",
                        tex_mask=tex_kinds_mask(dmats.tex),
                        mat_features=mat_feature_mask(dmats),
-                       has_area_lights=bool(np.asarray(dlights.n_area)[0] > 0))
+                       has_area_lights=bool(np.asarray(dlights.n_area)[0] > 0),
+                       # color-only benchmark: the deliverable is the
+                       # radiance film (reference gpu-rt outputs color only)
+                       aovs=False)
     key = jax.random.PRNGKey(11)
 
     # warm-up / compile

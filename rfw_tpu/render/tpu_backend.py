@@ -594,6 +594,9 @@ class TpuBackend:
             clamp=self.settings.clamp,
             sky_intensity=self.settings.sky_intensity,
             ao_aov=mode in (RenderMode.SSAO, RenderMode.FILTERED_SSAO),
+            # color-only modes skip AOV capture + unsort entirely (the
+            # reference's gpu-rt path tracer outputs color only)
+            aovs=mode not in (RenderMode.DEFAULT, RenderMode.RESET),
             sampler=self.settings.sampler,
             pixel_center=self.settings.pixel_center,
             tex_mask=(tex_kinds_mask(self._materials.tex)

@@ -863,9 +863,18 @@ def render_sample(
         )
         ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
 
-        # ---- AOVs (first hit only) --------------------------------------
+        # ---- AOVs (first hit only; statically absent when the consumer
+        # only needs color — the reference's gpu-rt outputs color only) ----
         aovs = None
-        if first:
+        if first and not config.aovs:
+            aovs = dict(
+                albedo=jnp.zeros((n, 3), jnp.float32),
+                normal=jnp.zeros((n, 3), jnp.float32),
+                depth=jnp.full(n, T_MAX, jnp.float32),
+                position=jnp.zeros((n, 3), jnp.float32),
+                ao=jnp.ones(n, jnp.float32),
+            )
+        elif first:
             aov_ao = jnp.ones(n, jnp.float32)
             if config.ao_aov:
                 u_ao = uniforms(4, 3, jax.random.fold_in(kd, 7), st.pid)
@@ -966,7 +975,12 @@ def render_sample(
         cos_l = jnp.maximum(wi_local[..., 2], 0.0)
         can_light = alive & (total_lights > 0) & (cos_l > 0)
         shadow_o = pos + basis["ng"] * config.shadow_eps
-        occ = trace_occluded(shadow_o, wi_l, dist_l - 2.0 * config.shadow_eps)
+        # zero-contribution lanes (light behind the surface, dead lanes)
+        # get t_limit 0: their slab tests fail immediately and tiles of
+        # them exit the traversal loop at once
+        occ = trace_occluded(
+            shadow_o, wi_l,
+            jnp.where(can_light, dist_l - 2.0 * config.shadow_eps, 0.0))
         if config.has_area_lights:
             pdf_b_l = disney.disney_pdf(params, wo, wi_local,
                                         config.mat_features)
@@ -1222,6 +1236,14 @@ def render_sample(
         radiance_px = jnp.stack([rr, rg, rb], axis=1)
     else:
         radiance_px = unswizzle(st.radiance)
+
+    if not config.aovs:
+        # AOV outputs are constants — return them without any unsort
+        return SampleResult(
+            radiance=jnp.clip(radiance_px, 0.0, None),
+            albedo=aovs["albedo"], normal=aovs["normal"],
+            depth=aovs["depth"], position=aovs["position"], ao=aovs["ao"],
+        )
 
     if v0_compact:
         # AOVs were produced in the v0 sort order: one 12-operand pid sort
