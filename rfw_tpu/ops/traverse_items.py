@@ -72,7 +72,7 @@ class _W(NamedTuple):
     done: jax.Array
 
 
-def _items_kernel_factory(batch: int):
+def _items_kernel_factory(batch: int, tri_hbm: bool = False):
     """One fixed-instance shared-stack walk per stream. Stream k's
     instance comes from sinst_ref[tile, k] (SMEM); its walk starts at
     that instance's BLAS root and never re-enters the TLAS."""
@@ -85,7 +85,10 @@ def _items_kernel_factory(batch: int):
         t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-step outputs
         obj_ref,  # VMEM scratch (9, SUB, LANE): object-space rays
         stack_ref,  # SMEM scratch (NSTREAM, STACK_DEPTH) i32
+        *hbm_scratch,  # tri_hbm only: treelet staging + DMA semaphores
     ):
+        if tri_hbm:
+            tri_stage, tri_sems = hbm_scratch
         n_inst = meta_ref[0, 2]
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         n_grp = tri_ref.shape[1] // LANE
@@ -175,12 +178,32 @@ def _items_kernel_factory(batch: int):
                     firsts.append((lv >> TSHIFT) << TSHIFT)
                     blks.append(lv >> TSHIFT)
 
+                if tri_hbm:
+                    # start every leaf stream's treelet DMA before any
+                    # waits so the HBM fetches overlap across streams
+                    for k in range(NSTREAM):
+                        @pl.when(leafs[k])
+                        def _(k=k):
+                            gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
+                            base = pl.multiple_of(gb * LANE, LANE)
+                            pltpu.make_async_copy(
+                                tri_ref.at[:, pl.ds(base, LANE)],
+                                tri_stage.at[k], tri_sems.at[k],
+                            ).start()
+
                 for k in range(NSTREAM):
                     @pl.when(leafs[k])
                     def _(k=k):
                         gb = jnp.minimum(blks[k] // TGROUPS, n_grp - 1)
                         base = pl.multiple_of(gb * LANE, LANE)
-                        blockk = tri_ref[:, pl.ds(base, LANE)]
+                        if tri_hbm:
+                            pltpu.make_async_copy(
+                                tri_ref.at[:, pl.ds(base, LANE)],
+                                tri_stage.at[k], tri_sems.at[k],
+                            ).wait()
+                            blockk = tri_stage[k]
+                        else:
+                            blockk = tri_ref[:, pl.ds(base, LANE)]
                         g = blks[k] % TGROUPS
                         rec = jnp.where(g == 0, blockk[:, 0:TLANES], 0.0)
                         for gg in range(1, TGROUPS):
@@ -341,14 +364,18 @@ def _items_kernel_factory(batch: int):
     return kernel
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "batch"))
+@functools.partial(jax.jit, static_argnames=("interpret", "batch",
+                                              "tri_hbm"))
 def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
-                      o4, d4, tl3, interpret: bool = False, batch: int = 1):
+                      o4, d4, tl3, interpret: bool = False, batch: int = 1,
+                      tri_hbm: bool = False):
     T = o4.shape[0]
     assert T % batch == 0
-    kernel = _items_kernel_factory(batch)
+    kernel = _items_kernel_factory(batch, tri_hbm)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if tri_hbm
+                else scene_spec)
     # windowed SMEM: the full (T, NSTREAM) table blew the 1MB SMEM budget
     # at 1080p capacities; each step only needs its own batch rows
     sinst_spec = pl.BlockSpec((batch, NSTREAM), lambda i: (i, 0),
@@ -364,17 +391,24 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
         jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
         jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
     )
+    scratch = [
+        pltpu.VMEM((9, SUB, LANE), jnp.float32),
+        pltpu.SMEM((NSTREAM, STACK_DEPTH), jnp.int32),
+    ]
+    if tri_hbm:
+        scratch += [
+            pltpu.VMEM((NSTREAM, TREELET, LANE), jnp.float32),
+            pltpu.SemaphoreType.DMA((NSTREAM,)),
+        ]
     return pl.pallas_call(
         kernel,
         grid=(T // batch,),
-        in_specs=[smem_spec] + [scene_spec] * 3 + [smem_spec, sinst_spec]
+        in_specs=[smem_spec, scene_spec, tri_spec, scene_spec,
+                  smem_spec, sinst_spec]
         + [tile3, tile3, tile1],
         out_specs=(tile1, tile1, tile1, tile1, tile1),
         out_shape=out_shapes,
-        scratch_shapes=[
-            pltpu.VMEM((9, SUB, LANE), jnp.float32),
-            pltpu.SMEM((NSTREAM, STACK_DEPTH), jnp.int32),
-        ],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(meta, scene_t, tri_t, inst_t, root_t, sinst, o4, d4, tl3)
 
@@ -443,7 +477,8 @@ def _pack_compact(citem, inst_flat, n_inst: int, capacity: int):
 def twophase_closest_fused(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
                            K: int = 8, items_per_ray: float = 1.5,
                            n_inst_static: int | None = None,
-                           interpret: bool = False):
+                           interpret: bool = False,
+                           tri_hbm: bool = False):
     """Fully-traceable two-phase closest hit: Pallas TLAS-entries kernel ->
     compact-before-sort pack -> fixed-instance Pallas item walks ->
     scatter-min per-ray merge. No host syncs (safe inside render_sample's
@@ -526,7 +561,7 @@ def twophase_closest_fused(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
                       jnp.zeros((), i32)])[None]
     t_s, prim_s, inst_s, u_s, v_s = _run_items_arrays(
         meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
-        o4, d4, tl3, interpret=interpret, batch=batch)
+        o4, d4, tl3, interpret=interpret, batch=batch, tri_hbm=tri_hbm)
     t_f = t_s[:T].reshape(C)
     prim_f = prim_s[:T].reshape(C)
     inst_f = inst_s[:T].reshape(C)
@@ -563,7 +598,8 @@ def twophase_closest_with_fallback(ps: PallasScene, ray_o, ray_d,
                                    items_per_ray: float = 1.5,
                                    n_inst_static: int | None = None,
                                    fallback_frac: int = 64,
-                                   interpret: bool = False) -> Hit:
+                                   interpret: bool = False,
+                                   tri_hbm: bool = False) -> Hit:
     """Two-phase closest hit with the exact-result contract: truncated
     rays (measured 0.7% on pica bounce rays at K=8) are compacted with a
     static-size nonzero and retraced through the classic two-level kernel.
@@ -578,7 +614,7 @@ def twophase_closest_with_fallback(ps: PallasScene, ray_o, ray_d,
     R = ray_o.shape[0]
     hit, trunc = twophase_closest_fused(
         ps, ray_o, ray_d, t_limit, K=K, items_per_ray=items_per_ray,
-        n_inst_static=n_inst_static, interpret=interpret)
+        n_inst_static=n_inst_static, interpret=interpret, tri_hbm=tri_hbm)
 
     F = max(LANES, -(-(R // fallback_frac) // LANES) * LANES)
     idx = jnp.nonzero(trunc, size=F, fill_value=R)[0].astype(jnp.int32)
@@ -591,7 +627,8 @@ def twophase_closest_with_fallback(ps: PallasScene, ray_o, ray_d,
     # classic kernel culls everything beyond it and exits early; a retrace
     # miss then means "the two-phase hit was already correct"
     tl_f = jnp.where(sel, hit.t[ic] * (1.0 + 1e-4) + 1e-5, 0.0)
-    fhit = pallas_closest_hit(ps, o_f, d_f, tl_f, interpret=interpret)
+    fhit = pallas_closest_hit(ps, o_f, d_f, tl_f, interpret=interpret,
+                              tri_hbm=tri_hbm)
     improved = sel & (fhit.prim >= 0)
 
     def put(base, val):

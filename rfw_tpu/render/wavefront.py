@@ -699,11 +699,9 @@ def render_sample(
         # in a larger jit (observed 95x slowdown)
         pps = jax.lax.optimization_barrier(prepare_pallas_scene(scene))
 
-        # the two-phase items kernel is VMEM-resident-only for now; the
-        # hbm tier's bounce rays ride the classic streamed kernel
-        use_tp = config.two_phase in ("auto", "on") and not tri_hbm
+        use_tp = config.two_phase in ("auto", "on")
         if _os.environ.get("RFW_TWO_PHASE") is not None:
-            use_tp = _os.environ["RFW_TWO_PHASE"] == "1" and not tri_hbm
+            use_tp = _os.environ["RFW_TWO_PHASE"] == "1"
 
         def trace_coherent(o, d, tl):
             return pallas_closest_hit(pps, o, d, tl, tri_hbm=tri_hbm)
@@ -719,11 +717,13 @@ def render_sample(
                 # bounce rays are incoherent — the ray-binned two-phase
                 # pipeline wins there (primaries stay on the classic
                 # kernel: coherent camera rays trace near the per-step
-                # floor while two-phase pays R-scaled glue regardless)
+                # floor while two-phase pays R-scaled glue regardless).
+                # On the hbm tier the items kernel streams its treelet
+                # blocks the same way the classic kernel does.
                 return twophase_closest_with_fallback(
                     pps, o, d, tl, K=config.tp_K,
                     items_per_ray=config.tp_items_per_ray,
-                    n_inst_static=n_inst_static)
+                    n_inst_static=n_inst_static, tri_hbm=tri_hbm)
         else:
             trace_bounce = trace_coherent
 

@@ -336,6 +336,27 @@ class TestFusedTwoPhase:
         assert (np.asarray(got.prim)[both] == np.asarray(ref.prim)[both]).all()
         assert (np.asarray(got.inst)[both] == np.asarray(ref.inst)[both]).all()
 
+    def test_fused_tri_hbm_matches_resident(self, rng):
+        """tri_hbm items kernel: the DMA'd treelet staging must reproduce
+        the VMEM-resident fused result exactly (hit mask, t, prim, inst,
+        truncation flags)."""
+        from rfw_tpu.ops.traverse_items import twophase_closest_fused
+
+        sd, ps = self._scene(rng)
+        o, d = make_rays(256, rng, origin_box=8.0, target_box=6.0)
+        a, tr_a = twophase_closest_fused(
+            ps, jnp.asarray(o), jnp.asarray(d), K=4, items_per_ray=4.0,
+            n_inst_static=sd.inst_matrix.shape[0], interpret=True)
+        b, tr_b = twophase_closest_fused(
+            ps, jnp.asarray(o), jnp.asarray(d), K=4, items_per_ray=4.0,
+            n_inst_static=sd.inst_matrix.shape[0], interpret=True,
+            tri_hbm=True)
+        assert (np.asarray(tr_a) == np.asarray(tr_b)).all()
+        np.testing.assert_allclose(np.asarray(a.t), np.asarray(b.t),
+                                   rtol=0, atol=0)
+        assert (np.asarray(a.prim) == np.asarray(b.prim)).all()
+        assert (np.asarray(a.inst) == np.asarray(b.inst)).all()
+
     def test_fallback_makes_every_ray_exact(self, rng):
         """With K below the overlap depth MANY rays truncate; the fallback
         retrace must make ALL rays equal the classic kernel."""
