@@ -263,14 +263,23 @@ void rfw_skin_positions(int n_verts, const float *positions,
                         float *out_positions) {
   for (int v = 0; v < n_verts; v++) {
     float m[12] = {0};
+    float wsum = 0.f;
     for (int k = 0; k < 4; k++) {
       float w = weights[4 * v + k];
       if (w == 0.f) continue;
+      wsum += w;
       const float *jm = joint_matrices + 16 * joints[4 * v + k];
       for (int e = 0; e < 12; e++) m[e] += w * jm[e];
     }
     const float *p = positions + 3 * v;
     float *o = out_positions + 3 * v;
+    if (wsum <= 1e-8f) {
+      // all-zero weights keep the rest pose (glTF permits unweighted
+      // vertices; blending a zero matrix would collapse them to the
+      // origin — must match the device path's has_w guard)
+      o[0] = p[0]; o[1] = p[1]; o[2] = p[2];
+      continue;
+    }
     o[0] = m[0] * p[0] + m[1] * p[1] + m[2] * p[2] + m[3];
     o[1] = m[4] * p[0] + m[5] * p[1] + m[6] * p[2] + m[7];
     o[2] = m[8] * p[0] + m[9] * p[1] + m[10] * p[2] + m[11];

@@ -67,6 +67,9 @@ def _oracle_skin(mv: MeshView3D, joint_matrices: np.ndarray,
     B4 = np.einsum("vj,vjab->vab", mv.weights,
                    joint_matrices[mv.joints])  # (V,4,4)
     pos = np.einsum("vab,vb->va", B4[:, :3, :3], positions) + B4[:, :3, 3]
+    # unweighted vertices keep the rest pose (matches product + device)
+    has_w = mv.weights.sum(axis=-1) > 1e-8
+    pos = np.where(has_w[:, None], pos, positions)
 
     m = B4[:, :3, :3]
     # adjugate^T rows = cross products of m's rows: adjT = cof(m), and

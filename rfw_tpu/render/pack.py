@@ -101,7 +101,7 @@ class TraceScene(NamedTuple):
     # ~12 indirected vertex-attribute gathers the shading basis needed (XLA
     # gathers are row-count bound: measured 215ms/bounce at 0.52M rays).
     # Layout: [n0(3) n1(3) n2(3) uv0(2) uv1(2) uv2(2) tan(3) handed(1)
-    #          e1(3) e2(3) lodf(1) pad(6)] = 32 lanes
+    #          e1(3) e2(3) lodf(1) centroid_obj(3) pad(3)] = 32 lanes
     tri_shade: np.ndarray  # (T,32) f32
 
     @property
@@ -341,7 +341,11 @@ def pack_trace_scene(
             tangents[i0[po]],  # xyz + handedness
             e1[po], e2[po],
             _tri_lod_factor(mesh, po)[:, None],
-            np.zeros((len(po), 6), np.float32),
+            # lanes 26:29 — object-space centroid: the potential-pick MIS
+            # reconstruction anchors the hit emitter's score at the same
+            # centroid the sampler scored (wavefront._light_potentials)
+            v0[po] + (e1[po] + e2[po]) / 3.0,
+            np.zeros((len(po), 3), np.float32),
         ], axis=1).astype(np.float32)  # (t,32)
         tri_chunks.append(
             dict(

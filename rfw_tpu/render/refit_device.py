@@ -498,7 +498,7 @@ def _refit_unit(scene: TraceScene, plan: UnitPlan, jm, morph_w):
     e2 = p2 - v0
 
     # tri_shade record (render/pack.py layout: n0 n1 n2 uv0 uv1 uv2 tan
-    # handed e1 e2 lodf pad6 = 32 lanes)
+    # handed e1 e2 lodf centroid pad3 = 32 lanes)
     n0 = g(nrm, plan.r0)
     n1 = g(nrm, plan.r1)
     n2 = g(nrm, plan.r2)
@@ -506,7 +506,8 @@ def _refit_unit(scene: TraceScene, plan: UnitPlan, jm, morph_w):
     shade = jnp.concatenate([
         n0, n1, n2, plan.uv_cols, t0[:, :3], t0[:, 3:4],
         e1, e2, plan.lodf[:, None],
-        jnp.zeros((v0.shape[0], 6), f32),
+        v0 + (e1 + e2) / 3.0,  # lanes 26:29 centroid (pack.py layout)
+        jnp.zeros((v0.shape[0], 3), f32),
     ], axis=1)
     shade = jnp.where(valid[:, None], shade, 0.0)
 

@@ -115,9 +115,11 @@ def apply_skin(mesh: MeshView3D, joint_matrices: np.ndarray,
     jm = joint_matrices[mesh.joints]  # (V,4,4,4)
     w = mesh.weights  # (V,4)
     blended = np.einsum("vj,vjab->vab", w, jm)  # (V,4,4)
-    return (
-        np.einsum("vab,vb->va", blended[:, :3, :3], p) + blended[:, :3, 3]
-    ).astype(np.float32)
+    out = np.einsum("vab,vb->va", blended[:, :3, :3], p) + blended[:, :3, 3]
+    # all-zero weights keep the rest pose (glTF permits unweighted
+    # vertices) — must match the device refit path's has_w guard
+    has_w = w.sum(axis=-1) > 1e-8
+    return np.where(has_w[:, None], out, p).astype(np.float32)
 
 
 def skin_mesh_attributes(
@@ -169,6 +171,12 @@ _PSEUDO_BASE = 1 << 20
 
 
 def _pseudo_slot(slot: int, group: int) -> int:
+    if group >= (1 << 12):
+        # silent collision with the next slot's pseudo space would trace
+        # instances against the wrong arena — fail loudly instead
+        raise ValueError(
+            f"mesh slot {slot} has {group + 1}+ distinct deform poses; "
+            "the per-slot pseudo-slot space holds 4096")
     return _PSEUDO_BASE + (slot << 12) + group
 
 
@@ -415,9 +423,15 @@ class TpuBackend:
         # without the refit a posed unit's TLAS boxes would snap back to
         # the rest pose and rays could miss the deformed geometry
         if (skinned_dirty or morph_dirty or self._inst_dirty) and dyn_ok:
+            dyn_before = self._dyn
             if self._inst_dirty and self._scene_host is not None:
+                # NB: a grouping drift makes _sync_instances fall back to a
+                # full _rebuild_scene, which replaces (or clears) self._dyn
+                # and already bakes the poses on host — only apply the
+                # device refit when the pre-sync plans are still current
                 self._sync_instances()
-            self._apply_device_dynamics()
+            if self._dyn is not None and self._dyn is dyn_before:
+                self._apply_device_dynamics()
             self._inst_dirty = False
             self._skin_dirty.clear()
             self._morph_dirty.clear()
@@ -452,108 +466,106 @@ class TpuBackend:
         refit per synchronize)."""
         import jax
 
-        if True:
-            # the packed scene's instance rows follow the GROUPED layout
-            # (per-instance deform units under pseudo slots); rebuild the
-            # same layout with the fresh matrices so rows stay aligned
-            # with the arenas and the refit plans' inst_rows
-            pack_meshes, instances, _units, sig = self._instance_layout()
-            if sig != self._group_sig:
-                # grouping drifted since the pack (defensive: normally
-                # set_3d_instances flags _geo_dirty first) -> full repack
-                self._rebuild_scene()
-                return
-            ps_to_slot = dict(pack_meshes)
-            meshes_info = [
-                (ps, self._meshes[slot].aabb_min, self._meshes[slot].aabb_max)
-                for ps, slot in pack_meshes
-            ]
-            new_host = repack_instances(self._scene_host, meshes_info, instances)
-            fields = [
-                "tlas_min", "tlas_max", "tlas_left", "tlas_right",
-                "tlas_count", "tlas_prim", "tlas_wide_f", "tlas_wide_i",
-                "tlas8_box", "tlas8_code", "tlas8_cnt",
-                "inst_matrix", "inst_inv", "inst_normal", "inst_mesh",
-                "inst_aabb_min", "inst_aabb_max",
-                "blas_root", "blas_wide_root", "blas8_root",
-            ]
-            # device-TLAS path (SURVEY §7 stage 5: per-frame TLAS from
-            # instance matrices ON DEVICE): for large instance pools on a
-            # real accelerator, build the Pallas tier's 8-wide TLAS as a
-            # complete 8-ary morton tree in one jit instead of uploading
-            # the host collapse. Host binary-TLAS fields still upload (the
-            # packet/lockstep tiers and serialization read them).
-            # instance arenas are capacity-padded (inst_mesh fill = -1);
-            # the device TLAS must only see the real prefix or phantom
-            # identity-matrix instances become hittable leaves
-            n_inst = int((new_host.inst_mesh >= 0).sum())
-            use_device_tlas = (
-                jax.default_backend() != "cpu"
-                and n_inst >= DEVICE_TLAS_MIN_INSTANCES
-                and tlas8_node_count(n_inst) <= new_host.tlas8_box.shape[0]
-                # with device dynamics active the refit plan refits tlas8
-                # boxes against the HOST topology — the device-built morton
-                # tlas8 would disagree with it, so keep host tlas8 here
-                and self._dyn is None
+        # the packed scene's instance rows follow the GROUPED layout
+        # (per-instance deform units under pseudo slots); rebuild the
+        # same layout with the fresh matrices so rows stay aligned
+        # with the arenas and the refit plans' inst_rows
+        pack_meshes, instances, _units, sig = self._instance_layout()
+        if sig != self._group_sig:
+            # grouping drifted since the pack (defensive: normally
+            # set_3d_instances flags _geo_dirty first) -> full repack
+            self._rebuild_scene()
+            return
+        ps_to_slot = dict(pack_meshes)
+        meshes_info = [
+            (ps, self._meshes[slot].aabb_min, self._meshes[slot].aabb_max)
+            for ps, slot in pack_meshes
+        ]
+        new_host = repack_instances(self._scene_host, meshes_info, instances)
+        fields = [
+            "tlas_min", "tlas_max", "tlas_left", "tlas_right",
+            "tlas_count", "tlas_prim", "tlas_wide_f", "tlas_wide_i",
+            "tlas8_box", "tlas8_code", "tlas8_cnt",
+            "inst_matrix", "inst_inv", "inst_normal", "inst_mesh",
+            "inst_aabb_min", "inst_aabb_max",
+            "blas_root", "blas_wide_root", "blas8_root",
+        ]
+        # device-TLAS path (SURVEY §7 stage 5: per-frame TLAS from
+        # instance matrices ON DEVICE): for large instance pools on a
+        # real accelerator, build the Pallas tier's 8-wide TLAS as a
+        # complete 8-ary morton tree in one jit instead of uploading
+        # the host collapse. Host binary-TLAS fields still upload (the
+        # packet/lockstep tiers and serialization read them).
+        # instance arenas are capacity-padded (inst_mesh fill = -1);
+        # the device TLAS must only see the real prefix or phantom
+        # identity-matrix instances become hittable leaves
+        n_inst = int((new_host.inst_mesh >= 0).sum())
+        use_device_tlas = (
+            jax.default_backend() != "cpu"
+            and n_inst >= DEVICE_TLAS_MIN_INSTANCES
+            and tlas8_node_count(n_inst) <= new_host.tlas8_box.shape[0]
+            # with device dynamics active the refit plan refits tlas8
+            # boxes against the HOST topology — the device-built morton
+            # tlas8 would disagree with it, so keep host tlas8 here
+            and self._dyn is None
+        )
+        if use_device_tlas:
+            fields = [f for f in fields
+                      if f not in ("tlas8_box", "tlas8_code", "tlas8_cnt")]
+        changed = {f: jax.device_put(getattr(new_host, f)) for f in fields}
+        if use_device_tlas:
+            lmin = np.stack([self._meshes[ps_to_slot.get(int(m), int(m))]
+                             .aabb_min for m in new_host.inst_mesh[:n_inst]])
+            lmax = np.stack([self._meshes[ps_to_slot.get(int(m), int(m))]
+                             .aabb_max for m in new_host.inst_mesh[:n_inst]])
+            box, code, cnt = build_tlas8_device(
+                changed["inst_matrix"][:n_inst], jax.device_put(lmin),
+                jax.device_put(lmax),
+                pad_nodes=int(new_host.tlas8_box.shape[0]),
             )
-            if use_device_tlas:
-                fields = [f for f in fields
-                          if f not in ("tlas8_box", "tlas8_code", "tlas8_cnt")]
-            changed = {f: jax.device_put(getattr(new_host, f)) for f in fields}
-            if use_device_tlas:
-                lmin = np.stack([self._meshes[ps_to_slot.get(int(m), int(m))]
-                                 .aabb_min for m in new_host.inst_mesh[:n_inst]])
-                lmax = np.stack([self._meshes[ps_to_slot.get(int(m), int(m))]
-                                 .aabb_max for m in new_host.inst_mesh[:n_inst]])
-                box, code, cnt = build_tlas8_device(
-                    changed["inst_matrix"][:n_inst], jax.device_put(lmin),
-                    jax.device_put(lmax),
-                    pad_nodes=int(new_host.tlas8_box.shape[0]),
-                )
-                changed["tlas8_box"] = box
-                changed["tlas8_code"] = code
-                changed["tlas8_cnt"] = cnt
-            self._scene_dev = self._scene_dev._replace(**changed)
-            self._scene_host = new_host
-            if self._dyn is not None:
-                # instance set/TLAS topology changed: the refit plan's TLAS
-                # schedule is stale — rebuild it from the new host arrays
-                from rfw_tpu.render.refit_device import build_tlas_plan
+            changed["tlas8_box"] = box
+            changed["tlas8_code"] = code
+            changed["tlas8_cnt"] = cnt
+        self._scene_dev = self._scene_dev._replace(**changed)
+        self._scene_host = new_host
+        if self._dyn is not None:
+            # instance set/TLAS topology changed: the refit plan's TLAS
+            # schedule is stale — rebuild it from the new host arrays
+            from rfw_tpu.render.refit_device import build_tlas_plan
 
-                prev = self._dyn["tlas_plan"].passes_shape.shape[0]
-                self._dyn["tlas_plan"] = jax.device_put(
-                    build_tlas_plan(new_host, min_passes=prev))
+            prev = self._dyn["tlas_plan"].passes_shape.shape[0]
+            self._dyn["tlas_plan"] = jax.device_put(
+                build_tlas_plan(new_host, min_passes=prev))
 
     def _sync_textures(self) -> None:
-        if True:
-            tex_list: List = []
-            if self._textures:
-                cap = max(self._textures) + 1
-                tex_list = [None] * cap
-                for i, t in self._textures.items():
-                    tex_list[i] = t
-            # wrap TextureView into atlas packing (expects .mips/.srgb)
-            class _T:
-                __slots__ = ("mips", "srgb")
+        tex_list: List = []
+        if self._textures:
+            cap = max(self._textures) + 1
+            tex_list = [None] * cap
+            for i, t in self._textures.items():
+                tex_list[i] = t
+        # wrap TextureView into atlas packing (expects .mips/.srgb)
+        class _T:
+            __slots__ = ("mips", "srgb")
 
-                def __init__(self, mips, srgb=True):
-                    self.mips = mips
-                    self.srgb = srgb
+            def __init__(self, mips, srgb=True):
+                self.mips = mips
+                self.srgb = srgb
 
-            packed = [
-                None if t is None else _T(t.mips, getattr(t, "srgb", True))
-                for t in tex_list
-            ]
-            if self._skybox is not None:
-                self._sky_tex_id = len(packed)
-                packed.append(_T(self._skybox.mips,
-                                 getattr(self._skybox, "srgb", True)))
-            else:
-                self._sky_tex_id = -1
-            atlas = pack_atlas(packed)
-            self._atlas_dev = atlas_to_device(atlas)
-            self._tex_dirty = False
-            self._reset_film()
+        packed = [
+            None if t is None else _T(t.mips, getattr(t, "srgb", True))
+            for t in tex_list
+        ]
+        if self._skybox is not None:
+            self._sky_tex_id = len(packed)
+            packed.append(_T(self._skybox.mips,
+                             getattr(self._skybox, "srgb", True)))
+        else:
+            self._sky_tex_id = -1
+        atlas = pack_atlas(packed)
+        self._atlas_dev = atlas_to_device(atlas)
+        self._tex_dirty = False
+        self._reset_film()
 
     def render(
         self,
@@ -712,20 +724,15 @@ class TpuBackend:
                     pack_instances.append((slot, iv.matrices))
                 continue
             count = iv.count
-            if (skinnable and iv.skin_ids is not None
-                    and len(iv.skin_ids) == count):
-                sids = np.asarray(iv.skin_ids, np.int64)
-            else:
-                sids = np.full(count, -1, np.int64)
-            wrows = None
-            if (morphable and iv.morph_weights is not None
-                    and iv.morph_weights.shape[0] == count):
-                wrows = np.asarray(iv.morph_weights, np.float32)
+            # ONE source of truth for grouping: set_3d_instances compares
+            # _pattern(_group_keys(_deform_sids_wrows(...))) against the
+            # sig produced here — both sides must run the same helpers
+            sids, wrows = _deform_sids_wrows(
+                mv, iv, self.settings.enable_skinning)
+            keys = _group_keys(sids, wrows, count)
             uniq: Dict = {}
             gidx = []
-            for i in range(count):
-                k = (int(sids[i]),
-                     wrows[i].tobytes() if wrows is not None else b"")
+            for i, k in enumerate(keys):
                 if k not in uniq:
                     uniq[k] = (len(uniq), i)
                 gidx.append(uniq[k][0])

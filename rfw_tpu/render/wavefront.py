@@ -290,8 +290,13 @@ def _light_potentials(lights: DeviceLights, p: jax.Array,
             ),
         )
         if ns is not None:
+            # surface cosine sharpens the pick for DELTA rows only: area
+            # rows must stay reconstructible at emissive-hit time from
+            # quantities the next vertex can rebuild (centroid anchor, no
+            # receiver normal), or the MIS weights stop partitioning unity
             wi_eff = jnp.where(is_dir, -row[3:6][None], wi)
-            q = q * jnp.maximum(jnp.sum(ns * wi_eff, -1), 0.0)
+            cos_s = jnp.maximum(jnp.sum(ns * wi_eff, -1), 0.0)
+            q = q * jnp.where(is_area, 1.0, cos_s)
         q = jnp.where(i < total, q, 0.0)
         qs.append(q)
     return jnp.stack(qs, axis=1)
@@ -558,16 +563,19 @@ def _shading_basis(scene, hit, ray_d):
     e1_obj = rec[:, 19:22]
     e2_obj = rec[:, 22:25]
     lodf = rec[:, 25]
+    centroid_obj = rec[:, 26:29]
 
     n_inst = scene.inst_matrix.shape[0]
     m = _fetch_rows(
         jnp.concatenate(
             [scene.inst_normal.reshape(n_inst, 9),
-             scene.inst_matrix[:, :3, :3].reshape(n_inst, 9)], axis=1),
+             scene.inst_matrix[:, :3, :3].reshape(n_inst, 9),
+             scene.inst_matrix[:, :3, 3]], axis=1),
         inst,
-    )  # (R,18)
+    )  # (R,21)
     nm = m[:, 0:9].reshape(-1, 3, 3)
     rot = m[:, 9:18].reshape(-1, 3, 3)
+    trans = m[:, 18:21]
     ns = jnp.einsum("rij,rj->ri", nm, ns_obj)
     ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
     e1w = jnp.einsum("rij,rj->ri", rot, e1_obj)
@@ -585,8 +593,10 @@ def _shading_basis(scene, hit, ray_d):
     t_fallback, _ = disney.build_tangent_frame(ns)
     tan = jnp.where(tlen > 1e-6, tan / jnp.maximum(tlen, 1e-12), t_fallback)
     bitan = jnp.cross(ns, tan) * handed[:, None]
+    centroid_w = jnp.einsum("rij,rj->ri", rot, centroid_obj) + trans
     return dict(ns=ns, ng=ng, uv=uv, tan=tan, bitan=bitan,
-                world_area=0.5 * area2, entering=~flip, lodf=lodf)
+                world_area=0.5 * area2, entering=~flip, lodf=lodf,
+                centroid_w=centroid_w)
 
 
 class _PathState(NamedTuple):
@@ -609,8 +619,6 @@ class _PathState(NamedTuple):
     pick_norm: jax.Array  # previous vertex's light-potential normalization
     #   Z (0 on the power-CDF path) — the emissive-hit MIS reconstruction
     #   rebuilds that vertex's pick probability from it
-    prev_cos: jax.Array  # |cos| of the sampled bounce at the previous
-    #   vertex (the surface factor of its light potentials)
 
 
 def _prefix_sizes(R: int, g: int) -> list:
@@ -916,13 +924,19 @@ def render_sample(
                        + 0.0722 * emission_base[:, 2])
             n_l = jnp.maximum(lights.pick_n[0], 1.0)
             if use_potential_pick:
-                # potential-weighted pick: same scoring function the
-                # sampler used, evaluated at the actual hit (lum * area *
-                # emitter cos / d^2 * surface cos), over the carried
-                # normalization Z — both MIS sides use the same weight
-                # function, so the weights still partition unity
-                q_hit = (lum_hit * basis["world_area"] * cos_hit
-                         / jnp.maximum(hit.t * hit.t, 1e-8) * st.prev_cos)
+                # potential-weighted pick: rebuild EXACTLY the score the
+                # sampler gave this light at the previous vertex — same
+                # centroid anchor (baked in tri_shade, transformed by the
+                # hit instance), same emitter cosine, distance from the
+                # previous origin — over the carried normalization Z, so
+                # the pick probability (hence the MIS weights) match the
+                # sampling distribution (modulo the shadow_eps origin
+                # offset)
+                cvec = basis["centroid_w"] - st.ray_o
+                c_d2 = jnp.maximum(jnp.sum(cvec * cvec, -1), 1e-8)
+                cos_c = jnp.abs(jnp.sum(basis["ng"] * cvec, -1)
+                                / jnp.sqrt(c_d2))
+                q_hit = lum_hit * basis["world_area"] * cos_c / c_d2
                 hit_pick_p = jnp.where(
                     st.pick_norm > 0,
                     0.5 * q_hit / jnp.maximum(st.pick_norm, 1e-12)
@@ -1034,7 +1048,6 @@ def render_sample(
             ray_o=new_o,
             ray_d=new_d,
             pick_norm=pick_norm,
-            prev_cos=jnp.maximum(wi_b[..., 2], 0.0),
         ), aovs
 
     # ------------------------------------------------- bounce-vertex step
@@ -1079,8 +1092,8 @@ def render_sample(
             st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2],
             st.ray_d[:, 0], st.ray_d[:, 1], st.ray_d[:, 2], st.pid,
         ]
-        if carry_mis:  # +2 operands only when the reconstruction reads them
-            ops += [st.pick_norm, st.prev_cos]
+        if carry_mis:  # +1 operand only when the reconstruction reads it
+            ops += [st.pick_norm]
         out = jax.lax.sort((skey, *ops), num_keys=1)
         (rr, rg, rb, tr, tg, tb, al, sp, pb, sh,
          ox, oy, oz, dx, dy, dz, pp) = out[1:18]
@@ -1092,7 +1105,6 @@ def render_sample(
             ray_d=jnp.stack([dx, dy, dz], axis=1),
             pid=pp,
             pick_norm=out[18] if carry_mis else st.pick_norm,
-            prev_cos=out[19] if carry_mis else st.prev_cos,
         )
 
     def _trace_and_shade(st: _PathState, depth, kd, last: bool,
@@ -1151,7 +1163,6 @@ def render_sample(
             sort_hint=jnp.full(n, -1, jnp.int32),
             ray_o=o, ray_d=d, pid=pp,
             pick_norm=jnp.zeros(n, jnp.float32),
-            prev_cos=jnp.ones(n, jnp.float32),
         )
 
     aov_defaults = dict(

@@ -69,6 +69,10 @@ def save_scene(scene: Scene, path: str, camera: Optional[Camera3D] = None,
             arrays[f"{key}_weights"] = mesh.weights
         if mesh.has_morphs:
             arrays[f"{key}_morph_targets"] = mesh.morph_targets
+            if mesh.morph_normals is not None:
+                arrays[f"{key}_morph_normals"] = mesh.morph_normals
+            if mesh.morph_tangents is not None:
+                arrays[f"{key}_morph_tangents"] = mesh.morph_tangents
 
     for slot, il in scene.instances_3d.items():
         arrays[f"inst{slot}_matrices"] = il.matrices
@@ -216,6 +220,10 @@ def load_scene(path: str) -> Tuple[Scene, Optional[Camera3D], Optional[np.ndarra
             weights=data[f"{key}_weights"] if m["has_skin"] else None,
             morph_targets=(data[f"{key}_morph_targets"]
                            if m.get("has_morphs") else None),
+            morph_normals=(data[f"{key}_morph_normals"]
+                           if f"{key}_morph_normals" in data else None),
+            morph_tangents=(data[f"{key}_morph_tangents"]
+                            if f"{key}_morph_tangents" in data else None),
             aabb_min=data[f"{key}_positions"].min(axis=0),
             aabb_max=data[f"{key}_positions"].max(axis=0),
             name=m.get("name", ""),

@@ -99,9 +99,11 @@ def test_morphs_and_skybox_round_trip(tmp_path):
     q = quad3d(normal=(0, 0, 1), position=(0, 0, 0), width=2, height=2)
     target = np.zeros((1, q.num_vertices, 3), np.float32)
     target[0, :, 2] = 1.0
+    nrm_t = np.zeros((1, q.num_vertices, 3), np.float32)
+    nrm_t[0, :, 0] = 0.7
     mid = scene.add_3d_object(build_mesh3d(
         q.positions, q.indices, normals=q.normals, uvs=q.uvs,
-        morph_targets=target))
+        morph_targets=target, morph_normals=nrm_t))
     scene.add_3d_instance(mid).set_morph_weights(np.array([0.4], np.float32))
     sky = np.zeros((8, 8, 4), np.uint8)
     sky[..., 2] = 200
@@ -115,6 +117,10 @@ def test_morphs_and_skybox_round_trip(tmp_path):
     m = loaded.meshes_3d[mid]
     assert m.has_morphs
     np.testing.assert_allclose(m.morph_targets[0, :, 2], 1.0)
+    # NORMAL deltas must survive the round trip too (review finding:
+    # they were silently dropped)
+    assert m.morph_normals is not None
+    np.testing.assert_allclose(m.morph_normals[0, :, 0], 0.7)
     il = loaded.instances_3d[mid]
     assert il.morph_weights is not None
     np.testing.assert_allclose(il.morph_weights[il.active][0], [0.4])
