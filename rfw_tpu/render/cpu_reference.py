@@ -501,9 +501,11 @@ class CpuReferenceBackend:
             cos_to = np.sum(-wi * self._spot.direction[i][None], -1)
             ci = self._spot.cos_inner[i]
             co = self._spot.cos_outer[i]
+            # linear cone falloff — reference gpu-rt shade.comp:315-318 /
+            # wgpu lighting.comp:109-122
             fall = np.clip((cos_to - co) / max(ci - co, 1e-6), 0.0, 1.0)
             add(wi, np.sqrt(d2),
-                self._spot.energy[i][None] * (fall * fall / d2)[:, None])
+                self._spot.energy[i][None] * (fall / d2)[:, None])
         for i in range(self._directional.count):
             wi = np.broadcast_to(-self._directional.direction[i][None], p.shape)
             add(wi.astype(np.float32), np.full(p.shape[0], T_MAX * 0.5, np.float32),

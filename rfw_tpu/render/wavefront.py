@@ -276,7 +276,7 @@ def _light_potentials(lights: DeviceLights, p: jax.Array,
         vec = centroid[None] - p
         d2 = jnp.maximum(jnp.sum(vec * vec, -1), 1e-8)
         wi = vec / jnp.sqrt(d2)[:, None]
-        # spot falloff^2 (matches _sample_light's radiance formula)
+        # linear spot falloff (matches _sample_light's radiance formula)
         cos_to = jnp.sum(-wi * row[3:6][None], -1)
         falloff = jnp.clip((cos_to - row[16])
                            / jnp.maximum(row[15] - row[16], 1e-6), 0.0, 1.0)
@@ -285,7 +285,7 @@ def _light_potentials(lights: DeviceLights, p: jax.Array,
         q = jnp.where(
             is_point, lum_en / d2,
             jnp.where(
-                is_spot, lum_en * falloff * falloff / d2,
+                is_spot, lum_en * falloff / d2,
                 jnp.where(is_dir, lum_en, lum_rad * row[17] * cos_l / d2),
             ),
         )
@@ -380,13 +380,17 @@ def _sample_light(
     p_rad = r_en / p_d2[:, None]
 
     # ---- spot (shares p_vec/p_d2 with point: same origin column) ---------
+    # LINEAR cone falloff clamp((cos-cos_outer)/(cos_inner-cos_outer),0,1)
+    # — pinned to the reference (gpu-rt shade.comp:315-318 and wgpu
+    # lighting.comp:109-122 both use it linearly; an earlier version
+    # squared it)
     s_wi = p_wi
     s_d2 = p_d2
     cos_to = jnp.sum(-s_wi * r_dir, -1)
     ci = row[:, 15]
     co = row[:, 16]
     falloff = jnp.clip((cos_to - co) / jnp.maximum(ci - co, 1e-6), 0.0, 1.0)
-    s_rad = r_en * (falloff * falloff / s_d2)[:, None]
+    s_rad = r_en * (falloff / s_d2)[:, None]
 
     # ---- directional -----------------------------------------------------
     d_wi = -r_dir
