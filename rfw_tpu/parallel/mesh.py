@@ -91,6 +91,72 @@ def render_sample_sharded(
         return fn(scene_r, mats_r, atlas_r, lights_r, view_r, key_r)
 
 
+def mesh_2d(n_spp: int, n_film: int) -> Mesh:
+    """2-D device mesh: samples x film tiles (e.g. a v5e-8 as 2x4)."""
+    devs = np.array(jax.devices()[: n_spp * n_film]).reshape(n_spp, n_film)
+    return Mesh(devs, ("spp", "film"))
+
+
+def render_sharded_2d(
+    mesh: Mesh,
+    scene,
+    mats,
+    atlas,
+    lights,
+    view: jax.Array,
+    key: jax.Array,
+    width: int,
+    height: int,
+    spp: int,
+    config=None,
+):
+    """Hybrid scale-out over a 2-D (spp, film) mesh: each device renders
+    ITS film tile for ITS slice of the samples; the sample mean reduces
+    over the spp axis (one psum on ICI), leaving the film sharded over
+    the film axis. Combines the two 1-D strategies: more chips than film
+    tiles can load-balance, more samples than chips stay parallel.
+
+    Implementation: vmap render_sample over the sample keys — the (S, R)
+    output grid is elementwise in both axes, so GSPMD partitions it over
+    the whole mesh from one out_shardings annotation; the mean over S
+    lowers to the spp-axis collective automatically.
+
+    NOTE: uses compaction="off" — under vmap, lax.switch lowers to
+    executing every branch (batch elements cannot diverge), so the
+    live-prefix dispatch would run all prefix lengths. Returns the (R,3)
+    mean radiance sharded over the film axis.
+    """
+    from dataclasses import replace
+
+    from rfw_tpu.render.wavefront import RenderConfig, render_sample
+
+    config = config or RenderConfig()
+    config = replace(config, compaction="off")
+    n_spp_ax = mesh.devices.shape[0]
+    assert spp % n_spp_ax == 0, f"spp {spp} must divide the spp axis {n_spp_ax}"
+    keys = jax.random.split(key, spp)
+
+    scene_r = replicate(mesh, scene)
+    mats_r = replicate(mesh, mats)
+    atlas_r = replicate(mesh, atlas)
+    lights_r = replicate(mesh, lights)
+    view_r = jax.device_put(view, NamedSharding(mesh, P()))
+
+    def one(k):
+        return render_sample(
+            scene_r, mats_r, atlas_r, lights_r, view_r, k, width, height,
+            config,
+        ).radiance
+
+    grid = jax.jit(
+        jax.vmap(one),
+        out_shardings=NamedSharding(mesh, P("spp", "film")),
+    )
+    with mesh:
+        rad = grid(jax.device_put(keys, NamedSharding(mesh, P("spp"))))
+        return jnp.mean(rad, axis=0)  # spp-axis reduce -> film-sharded (R,3)
+
+
 def render_spp_sharded(
     mesh: Mesh,
     scene,

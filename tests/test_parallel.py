@@ -99,6 +99,35 @@ def test_sharded_film_accumulation_with_aovs_and_compaction(ctx):
             rtol=1e-5, atol=1e-6, err_msg=f)
 
 
+def test_2d_mesh_matches_sequential(ctx):
+    """2-D (spp x film) hybrid: a 2x4 virtual mesh renders 4 samples; the
+    film-sharded mean must equal the sequential mean exactly and actually
+    shard over the film axis."""
+    from rfw_tpu.parallel.mesh import mesh_2d, render_sharded_2d
+
+    sd, dmats, atlas, dl, view = ctx
+    from dataclasses import replace as _replace
+
+    cfg = RenderConfig(max_bounces=1, clamp=50.0, sky_intensity=0.4,
+                       traversal="packet")
+    key = jax.random.PRNGKey(6)
+    spp = 4
+
+    mesh = mesh_2d(2, 4)
+    out = render_sharded_2d(mesh, sd, dmats, atlas, dl, view, key, W, H,
+                            spp, cfg)
+    assert out.sharding.spec in (P(None, None), P("film"), P("film", None)), \
+        out.sharding
+    keys = jax.random.split(key, spp)
+    cfg_off = _replace(cfg, compaction="off")
+    acc = jnp.zeros((W * H, 3), jnp.float32)
+    for i in range(spp):
+        acc = acc + render_sample(sd, dmats, atlas, dl, view, keys[i],
+                                  W, H, cfg_off).radiance
+    np.testing.assert_allclose(np.asarray(out), np.asarray(acc / spp),
+                               rtol=1e-5, atol=1e-6)
+
+
 def test_spp_sharded_matches_sequential(ctx):
     """Sample-parallel scale-out: 8 samples sharded over the 8-device mesh
     average to EXACTLY the sequential 8-sample mean (same keys, same
