@@ -22,8 +22,9 @@ path:
   * plain numpy RNG (Philox via default_rng), no Sobol;
   * pixel-center primaries by default (deterministic AOVs).
 
-Not supported (documented scope): only the 2D overlay (composited on
-host by the product backend).
+Scope: the full Backend contract, including the 2D overlay (an
+independent full-frame edge-function rasterizer — nothing shared with
+render/overlay.py's bbox-scan fill).
 """
 
 from __future__ import annotations
@@ -193,6 +194,8 @@ class CpuReferenceBackend:
 
         self._meshes: Dict[int, MeshView3D] = {}
         self._instances: Dict[int, InstancesView3D] = {}
+        self._meshes_2d: Dict[int, MeshView2D] = {}
+        self._instances_2d: Dict[int, InstancesView2D] = {}
         self._skins: Dict[int, SkinView] = {}
         self._materials: Optional[DeviceMaterials] = None
         self._textures: Dict[int, TextureView] = {}
@@ -219,10 +222,12 @@ class CpuReferenceBackend:
             self._instances[i] = v
 
     def set_2d_meshes(self, changed: Sequence[Tuple[int, MeshView2D]]) -> None:
-        pass  # overlay out of oracle scope
+        for i, v in changed:
+            self._meshes_2d[i] = v
 
     def set_2d_instances(self, changed: Sequence[Tuple[int, InstancesView2D]]) -> None:
-        pass
+        for i, v in changed:
+            self._instances_2d[i] = v
 
     def set_materials(self, materials: DeviceMaterials, changed: Sequence[int]) -> None:
         self._materials = materials
@@ -616,16 +621,16 @@ class CpuReferenceBackend:
         if mode == RenderMode.NORMAL:
             # misses carry normal 0 -> 0.5 gray (matches TpuBackend._aov_frame)
             img = np.where(found[:, None], ns, 0.0) * 0.5 + 0.5
-            return _to_rgba(img, W, H)
+            return self._composite_2d(_to_rgba(img, W, H), view_2d)
         if mode == RenderMode.ALBEDO:
             img = np.where(found[:, None], cols["base"], 0.0)
-            return _to_rgba(img, W, H)
+            return self._composite_2d(_to_rgba(img, W, H), view_2d)
         if mode == RenderMode.GBUFFER:
             dd = t[:, None]  # T_MAX on miss, same as the integrator's AOV
             finite = dd < 1e25
             dmax = dd[finite].max() if finite.any() else 1.0
             img = np.repeat(np.where(finite, dd / max(dmax, 1e-6), 1.0), 3, -1)
-            return _to_rgba(img, W, H)
+            return self._composite_2d(_to_rgba(img, W, H), view_2d)
 
         # DEFAULT: NEE-only path trace, `spp` progressive samples
         spp = self.settings.samples_per_frame
@@ -637,7 +642,73 @@ class CpuReferenceBackend:
         img = _aces(img * self.settings.exposure)
         img = np.where(img <= 0.0031308, 12.92 * img,
                        1.055 * np.power(np.maximum(img, 1e-9), 1 / 2.4) - 0.055)
-        return _to_rgba(img, W, H)
+        return self._composite_2d(_to_rgba(img, W, H), view_2d)
+
+    # ---------------------------------------------------------- 2D overlay
+    def _composite_2d(self, frame: np.ndarray,
+                      view_2d: Optional[CameraView2D]) -> np.ndarray:
+        """Independent full-frame 2D rasterizer (closes the last oracle
+        scope gap). Deliberately NOT the product's bbox-scan barycentric
+        fill (render/overlay.py): every triangle is edge-function-tested
+        against the WHOLE pixel grid — slow, obviously correct, and
+        uncorrelated with the code it checks. Same conventions: pixel
+        centers at +0.5, NDC y-flip, straight alpha-over, nearest-texel
+        modulation."""
+        if view_2d is None or not self._meshes_2d:
+            return frame
+        H, W = frame.shape[:2]
+        out = frame.astype(np.float32) / 255.0
+        xs, ys = np.meshgrid(np.arange(W, dtype=np.float32) + 0.5,
+                             np.arange(H, dtype=np.float32) + 0.5)
+        cam = view_2d.matrix
+        for slot, mesh in self._meshes_2d.items():
+            iv = self._instances_2d.get(slot)
+            if iv is None or iv.count == 0 or mesh.num_vertices == 0:
+                continue
+            tex = self._textures.get(mesh.texture_id)
+            tex_img = (tex.mips[0].astype(np.float32) / 255.0
+                       if tex is not None else None)
+            for m in iv.matrices:
+                mm = cam @ m
+                pclip = mesh.positions @ mm[:3, :3].T + mm[:3, 3]
+                px = (pclip[:, 0] * 0.5 + 0.5) * W
+                py = (1.0 - (pclip[:, 1] * 0.5 + 0.5)) * H
+                tris = np.stack([px, py], -1).reshape(-1, 3, 2)
+                uvs = mesh.uvs.reshape(-1, 3, 2)
+                cols = mesh.colors.reshape(-1, 3, 4)
+                for t in range(tris.shape[0]):
+                    (x0, y0), (x1, y1), (x2, y2) = tris[t]
+                    # signed edge functions over the full grid
+                    e0 = (x1 - x0) * (ys - y0) - (y1 - y0) * (xs - x0)
+                    e1 = (x2 - x1) * (ys - y1) - (y2 - y1) * (xs - x1)
+                    e2 = (x0 - x2) * (ys - y2) - (y0 - y2) * (xs - x2)
+                    area = (x1 - x0) * (y2 - y0) - (y1 - y0) * (x2 - x0)
+                    if abs(area) < 1e-9:
+                        continue
+                    inside = (((e0 >= 0) & (e1 >= 0) & (e2 >= 0))
+                              | ((e0 <= 0) & (e1 <= 0) & (e2 <= 0)))
+                    if not inside.any():
+                        continue
+                    # barycentrics from edge functions (opposite-vertex)
+                    l0 = e1 / area
+                    l1 = e2 / area
+                    l2 = e0 / area
+                    rgba = (l0[..., None] * cols[t, 0]
+                            + l1[..., None] * cols[t, 1]
+                            + l2[..., None] * cols[t, 2])
+                    if tex_img is not None:
+                        u = (l0 * uvs[t, 0, 0] + l1 * uvs[t, 1, 0]
+                             + l2 * uvs[t, 2, 0])
+                        v = (l0 * uvs[t, 0, 1] + l1 * uvs[t, 1, 1]
+                             + l2 * uvs[t, 2, 1])
+                        th, tw = tex_img.shape[:2]
+                        ti = np.clip((v * th).astype(np.int32), 0, th - 1)
+                        tj = np.clip((u * tw).astype(np.int32), 0, tw - 1)
+                        rgba = rgba * tex_img[ti, tj]
+                    a = np.clip(rgba[..., 3], 0.0, 1.0) * inside
+                    out[..., :3] = (out[..., :3] * (1 - a[..., None])
+                                    + rgba[..., :3] * a[..., None])
+        return (np.clip(out, 0, 1) * 255).astype(np.uint8)
 
     def _trace_once(self, view_3d: CameraView3D) -> np.ndarray:
         w = self._world

@@ -89,8 +89,14 @@ def _fill_triangle(out, tri, uv, col, tex_img) -> None:
 
 
 def composite_overlay(frame: np.ndarray, overlay: np.ndarray) -> np.ndarray:
-    """Alpha-composite overlay (H,W,4 f32) over frame (H,W,4 u8)."""
+    """Alpha-composite overlay (H,W,4 f32) over frame (H,W,4 u8).
+
+    The overlay buffer is PREMULTIPLIED: _fill_triangle accumulates
+    rgb' = rgb_prev*(1-a) + rgb*a, so its rgb already carries the alpha —
+    source-over here adds it straight (multiplying by a again dimmed
+    every semi-transparent overlay by a^2; caught by the oracle's
+    independent rasterizer in test_overlay_parity)."""
     f = frame.astype(np.float32) / 255.0
     a = overlay[..., 3:4]
-    f[..., :3] = f[..., :3] * (1 - a) + overlay[..., :3] * a
+    f[..., :3] = f[..., :3] * (1 - a) + overlay[..., :3]
     return (np.clip(f, 0, 1) * 255).astype(np.uint8)

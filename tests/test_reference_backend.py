@@ -21,6 +21,9 @@ def sync_full(scene: Scene, backend) -> None:
     consuming, so a second backend needs a full re-trigger)."""
     scene.meshes_3d.trigger_changed_all()
     scene.meshes_2d.trigger_changed_all()
+    for il in scene.instances_2d.values():
+        il.changed[il.active] = True
+        il.any_changed = bool(il.active.any())
     scene.materials.materials.trigger_changed_all()
     scene.materials.textures.trigger_changed_all()
     scene._instances_changed = True
