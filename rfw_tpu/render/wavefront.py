@@ -5,24 +5,28 @@ The TPU re-architecture of the reference's wavefront GPU path tracer
 ray_shadow.comp occlusion; blit.comp accumulate):
 
   * The reference's 5 compute pipelines + atomic queue counters + GPU->CPU
-    readback per bounce collapse into ONE fused XLA program: a
-    `lax.fori_loop` over bounces (single traversal instance in the compiled
-    graph — keeps compile time flat in bounce count) where every bounce is a
-    masked traversal + shade over the full ray front, lanes dying in place.
-    No host round trips (the single readback the reference needs at
-    lib.rs:1709-1729 does not exist here).
-  * Queue compaction (GPU atomics) is unnecessary in the masked formulation;
-    the Pallas packet-traversal path (rfw_tpu.ops) reintroduces compaction
-    via prefix sums where it pays.
+    readback per bounce collapse into ONE fused XLA program with a peeled
+    vertex structure: vertex 0 (coherent classic trace, full front, AOV
+    capture), middle vertices in one `lax.fori_loop` (single traversal
+    instance — compile time stays flat in bounce count), and a peeled
+    FINAL vertex that never samples the BSDF. No host round trips (the
+    single readback the reference needs at lib.rs:1709-1729 does not
+    exist here).
+  * The reference's queue compaction (GPU atomics) becomes the sorted
+    live-prefix: every bounce vertex re-sorts lanes (dead last), then
+    dispatches its ENTIRE pipeline on the smallest of a few static prefix
+    lengths covering the live count (`lax.switch` — only that branch
+    executes). Dead lanes cost nothing; static shapes are preserved.
   * Progressive accumulation: render_sample() returns one spp; the film
     (rfw_tpu.render.film) accumulates across calls like the reference's
     sample_count blit.
 
-Light strategy: next-event estimation at every path vertex with a uniform
-light pick over all four light types + balance-heuristic MIS against BSDF
-sampling for area lights (delta lights get no MIS). The reference's
-potential-weighted pick (shade.comp:283-470) is a variance optimization
-planned on top.
+Light strategy: next-event estimation at every path vertex. Small light
+sets use the reference's potential-weighted pick (shade.comp:283-470)
+re-designed for the unified light table (static row slices, exact
+per-lane pick pdf, centroid-anchored MIS reconstruction); large sets use
+a global power CDF. Balance-heuristic MIS against BSDF sampling for area
+lights (delta lights get no MIS).
 """
 
 from __future__ import annotations
