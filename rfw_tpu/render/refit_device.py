@@ -64,6 +64,8 @@ class UnitPlan(NamedTuple):
     r1: np.ndarray
     r2: np.ndarray
     uv_cols: np.ndarray  # (Trows,6) f32 static tri_shade uv columns (9:15)
+    ml_cols: np.ndarray  # (Trows,2) f32 static tri_shade mat/light id
+    #   columns (29:31) — pose-invariant, preserved through device refit
     lodf: np.ndarray  # (Trows,) f32 static texture-LOD factor — the
     #   reference computes LOD once at mesh-set time from the REST pose
     #   (objects_3d/mod.rs:355-358); keeping it static also keeps the
@@ -240,6 +242,7 @@ def build_unit_plan(
 
     # static shading columns come straight from the packed REST scene
     uv_cols = scene.tri_shade[t_lo:t_hi, 9:15].astype(np.float32)
+    ml_cols = scene.tri_shade[t_lo:t_hi, 29:31].astype(np.float32)
     lodf = scene.tri_lodf[t_lo:t_hi].astype(np.float32)
 
     # 2-wide mirror: wide rows mirror internal nodes in node order
@@ -293,7 +296,7 @@ def build_unit_plan(
         morph_nrm=np.asarray(morph_normals, np.float32),
         morph_tan=np.asarray(morph_tangents, np.float32),
         tri_lo=np.int32(t_lo), r0=r0, r1=r1, r2=r2,
-        uv_cols=uv_cols, lodf=lodf,
+        uv_cols=uv_cols, ml_cols=ml_cols, lodf=lodf,
         node_lo=np.int32(n_lo), leaf_of_row=leaf_of_row, levels=levels,
         node_shape=np.zeros((N, 0), np.float32),
         wide_lo=np.int32(w_lo), internals=internals,
@@ -498,7 +501,7 @@ def _refit_unit(scene: TraceScene, plan: UnitPlan, jm, morph_w):
     e2 = p2 - v0
 
     # tri_shade record (render/pack.py layout: n0 n1 n2 uv0 uv1 uv2 tan
-    # handed e1 e2 lodf centroid pad3 = 32 lanes)
+    # handed e1 e2 lodf centroid mat light pad1 = 32 lanes)
     n0 = g(nrm, plan.r0)
     n1 = g(nrm, plan.r1)
     n2 = g(nrm, plan.r2)
@@ -507,9 +510,13 @@ def _refit_unit(scene: TraceScene, plan: UnitPlan, jm, morph_w):
         n0, n1, n2, plan.uv_cols, t0[:, :3], t0[:, 3:4],
         e1, e2, plan.lodf[:, None],
         v0 + (e1 + e2) / 3.0,  # lanes 26:29 centroid (pack.py layout)
-        jnp.zeros((v0.shape[0], 3), f32),
     ], axis=1)
+    # pose-dependent lanes masked on filler rows; the static mat/light id
+    # columns append afterwards so fillers keep the packed values (-1
+    # light) bit-identically with the host pack
     shade = jnp.where(valid[:, None], shade, 0.0)
+    shade = jnp.concatenate(
+        [shade, plan.ml_cols, jnp.zeros((v0.shape[0], 1), f32)], axis=1)
 
     # ---- 2-ary node refit (leaf scatter + static level loop) -------------
     mn_row = jnp.where(valid[:, None],

@@ -466,26 +466,29 @@ def mat_feature_mask(mats) -> int:
 
 
 def _fetch_material(
-    mats, atlas: TextureAtlas, scene, prim, uv_interp, lod, entering,
+    mats, atlas: TextureAtlas, mat_id, uv_interp, lod, entering,
     tex_mask: int = 15, trilinear: bool = False,
 ) -> Tuple[disney.MatParams, jax.Array, jax.Array, jax.Array, jax.Array]:
     """Gather material params + textures for hit prims.
 
     Returns (params, emission_rgb (R,3), normal_map (R,3) tangent-space,
-    untextured emission, absorption_rgb). `entering` (R,) bool resolves the
-    relative IOR side for the transmission lobe (True = front-face hit)."""
-    mat_id = scene.tri_mat[prim]
-    # the float material block resolves in one fetch (one-hot MXU matmul
-    # for mid-size tables); only the small int tex-id table still gathers
+    untextured emission, absorption_rgb). `mat_id` (R,) i32 comes decoded
+    from the tri_shade record (pack.py lane 29) — no tri_mat gather.
+    `entering` (R,) bool resolves the relative IOR side for the
+    transmission lobe (True = front-face hit)."""
+    # the WHOLE material record — float block + tex ids as exact f32 ints —
+    # resolves in one fetch (one-hot MXU matmul for mid-size tables);
+    # the separate tex-id gather cost another ~14-25ns/row
     blk = _fetch_rows(
-        jnp.concatenate([mats.color, mats.params, mats.absorption[:, :3]],
+        jnp.concatenate([mats.color, mats.params, mats.absorption[:, :3],
+                         mats.tex.astype(jnp.float32)],
                         axis=1),
         mat_id,
-    )  # (R, 4+16+3)
+    )  # (R, 4+16+3+6)
     color = blk[:, 0:4]
     params = blk[:, 4:20]
     absorption = blk[:, 20:23]
-    tex = mats.tex[mat_id]
+    tex = jnp.round(blk[:, 23:29]).astype(jnp.int32)
 
     R = mat_id.shape[0]
     if tex_mask & 1:
@@ -572,6 +575,8 @@ def _shading_basis(scene, hit, ray_d):
     e2_obj = rec[:, 22:25]
     lodf = rec[:, 25]
     centroid_obj = rec[:, 26:29]
+    mat_id = rec[:, 29].astype(jnp.int32)  # exact f32 ints (pack.py)
+    light_id = rec[:, 30].astype(jnp.int32)
 
     n_inst = scene.inst_matrix.shape[0]
     m = _fetch_rows(
@@ -604,7 +609,7 @@ def _shading_basis(scene, hit, ray_d):
     centroid_w = jnp.einsum("rij,rj->ri", rot, centroid_obj) + trans
     return dict(ns=ns, ng=ng, uv=uv, tan=tan, bitan=bitan,
                 world_area=0.5 * area2, entering=~flip, lodf=lodf,
-                centroid_w=centroid_w)
+                centroid_w=centroid_w, mat_id=mat_id, light_id=light_id)
 
 
 class _PathState(NamedTuple):
@@ -859,7 +864,7 @@ def render_sample(
         footprint = hit.t * spread * lod_f * 1024.0
         lod = jnp.log2(jnp.maximum(footprint, 1e-6))
         params, emission, n_ts, emission_base, absorption = _fetch_material(
-            mats, atlas, scene, jnp.maximum(hit.prim, 0), basis["uv"], lod,
+            mats, atlas, basis["mat_id"], basis["uv"], lod,
             basis["entering"], config.tex_mask, config.trilinear,
         )
         # Beer-Lambert: a backface hit on a transmissive material ends a
@@ -964,9 +969,7 @@ def render_sample(
             pdf_nee_this = (hit.t * hit.t) / jnp.maximum(
                 cos_hit * basis["world_area"], 1e-8
             ) * hit_pick_p
-            nee_exists = (scene.tri_light[jnp.maximum(hit.prim, 0)] >= 0) & (
-                lights.n_area[0] > 0
-            )
+            nee_exists = (basis["light_id"] >= 0) & (lights.n_area[0] > 0)
             mis_w = jnp.where(
                 st.spec_or_first | ~nee_exists,
                 1.0,
