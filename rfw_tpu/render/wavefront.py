@@ -88,7 +88,14 @@ PI = 3.14159265358979
 
 #: secondary-ray sort key: True prepends the previous hit instance to the
 #: (octant, origin-morton) key (A/B knob; see docs/ROUND2.md)
-SORT_BY_INSTANCE = _os.environ.get("RFW_SORT_INST", "0") == "1"
+#: bounce-ray re-tiling key (see _sort_state): octmorton (direction-major,
+#: the round-3 default), morton (origin-major), mortonoct (origin-major
+#: w/ direction tiebreak), instance (previous-hit-instance-major).
+#: RFW_SORT_INST=1 is the legacy alias for "instance".
+SORT_KEY = _os.environ.get(
+    "RFW_SORT_KEY",
+    "instance" if _os.environ.get("RFW_SORT_INST", "0") == "1"
+    else "octmorton")
 
 #: table-row fetches ride the MXU as one-hot matmuls for tables in this
 #: size band: gathers cost 14-25ns/row on this TPU, the matmul streams;
@@ -1081,21 +1088,25 @@ def render_sample(
             + 4 * (st.ray_d[:, 2] >= 0).astype(jnp.int32)
         )
         cell = morton_codes(st.ray_o, scene_mn, scene_mx).astype(jnp.int32)
-        if SORT_BY_INSTANCE:
+        if SORT_KEY == "instance":
             # instance-major key: rays leaving the same instance share
             # origin locality AND walk the same BLAS next
             hint = jnp.clip(st.sort_hint, -1, 254) + 1  # 0..255
-            skey = jnp.where(
-                st.alive,
-                hint * (1 << 22) + octant * (1 << 19) + (cell >> 11),
-                jnp.int32(1 << 30),
-            )
-        else:
-            skey = jnp.where(
-                st.alive,
-                octant * (1 << 27) + (cell >> 5),
-                jnp.int32(1 << 30),
-            )
+            skey = hint * (1 << 22) + octant * (1 << 19) + (cell >> 11)
+        elif SORT_KEY == "morton":
+            # origin-major only: the walk-union simulator (tools/
+            # sim_visits.py) measured ~7% fewer program-iterations than
+            # the octant-major key on bounce rays — spatial locality
+            # shrinks the shared-stack visit union more than direction
+            # grouping does on interior scenes
+            skey = cell
+        elif SORT_KEY == "mortonoct":
+            # spatial-major, direction tiebreak inside a morton cell
+            # (31 bits total: 22 cell-major + 3 octant + 6 cell-minor)
+            skey = ((cell >> 8) << 9) | (octant << 6) | ((cell >> 2) & 63)
+        else:  # "octmorton" default
+            skey = octant * (1 << 27) + (cell >> 5)
+        skey = jnp.where(st.alive, skey, jnp.int32(1 << 30))
         ops = [
             st.radiance[:, 0], st.radiance[:, 1], st.radiance[:, 2],
             st.throughput[:, 0], st.throughput[:, 1], st.throughput[:, 2],
