@@ -36,10 +36,14 @@ RFW_NSTREAM=4 step 04_trav_ns4 python tools/bench_traverse.py \
 RFW_NSTREAM=8 step 05_trav_ns8 python tools/bench_traverse.py \
   --cases sorted --occluded --reps 3
 
-# 5. end-to-end A/Bs (sort key, NSTREAM)
+# 5. end-to-end A/Bs (sort key, NSTREAM, classic-vs-twophase cross)
 RFW_SORT_KEY=morton step 06_bench_morton python bench.py --spp 4 \
   --width 1920 --height 1080
 RFW_NSTREAM=8 step 07_bench_ns8 python bench.py --spp 4 \
   --width 1920 --height 1080
+RFW_SORT_KEY=morton RFW_NSTREAM=8 step 08_bench_morton_ns8 \
+  python bench.py --spp 4 --width 1920 --height 1080
+RFW_SORT_KEY=morton RFW_TWO_PHASE=0 step 09_bench_morton_classic \
+  python bench.py --spp 4 --width 1920 --height 1080
 
 echo "=== queue complete ==="

@@ -104,11 +104,15 @@ def _leaf_test(sc: SimScene, first, o, d, t_best):
     return np.minimum(t_best, t.min(axis=1))
 
 
-def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str):
+def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
+                any_hit: bool = False):
     """One stream's full traversal; returns (iterations, internal visits,
-    leaf visits). o_w/d_w: (n,3) world rays."""
+    leaf visits). o_w/d_w: (n,3) world rays. any_hit mirrors the occlusion
+    kernel: a lane with any hit goes dead; the stream exits when every
+    lane is dead or the stack drains."""
     n = o_w.shape[0]
     t_best = np.minimum(np.full(n, T_MAX, np.float32), t_lim)
+    dead = np.zeros(n, bool)
     stack = []  # entries (code, inst)
     node, inst = sc.root, -1
     o, d = o_w, d_w
@@ -141,7 +145,13 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str):
             n_leaf += 1
             lv = -node - 2
             first = (lv >> 6) << 6
-            t_best = _leaf_test(sc, first, o, d, t_best)
+            if any_hit:
+                new_t = _leaf_test(sc, first, o, d, t_best)
+                dead = dead | (new_t < t_best)
+                if dead.all():
+                    break
+            else:
+                t_best = _leaf_test(sc, first, o, d, t_best)
             node = -1
             continue
         n_int += 1
@@ -150,6 +160,8 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str):
         for c in range(8):
             box6 = sc.box[node, 6 * c:6 * c + 6]
             ok, tn = _aabb_t(box6, o, d_inv, t_best)
+            if any_hit:
+                ok = ok & ~dead
             if ok.any():
                 hits.append((c, float(tn[ok].mean())))
         if order == "axis":
@@ -190,7 +202,7 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str):
 
 
 def run_population(sc, o, d, t_lim, nstream, tiles, order, label,
-                   t_ref=None):
+                   t_ref=None, any_hit=False):
     """Tile rays into programs of nstream streams x (1024//nstream) rays;
     report sum over programs of max-stream iterations (the kernel's cost
     model) plus visit breakdown."""
@@ -206,7 +218,7 @@ def run_population(sc, o, d, t_lim, nstream, tiles, order, label,
             lo = p * lanes + k * per_stream
             it, ni, nl, tb = walk_stream(
                 sc, o[lo:lo + per_stream], d[lo:lo + per_stream],
-                t_lim, order)
+                t_lim, order, any_hit=any_hit)
             worst = max(worst, it)
             tot_int += ni
             tot_leaf += nl
@@ -240,6 +252,8 @@ def main():
                     "octmorton,instance,morton,none")
     ap.add_argument("--nstreams", default="",
                     help="extra NSTREAM values to sim (comma list)")
+    ap.add_argument("--anyhit", action="store_true",
+                    help="walk populations in occlusion (any-hit) mode")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
@@ -342,7 +356,8 @@ def main():
                     sc, po, pd, T_MAX, ns, args.tiles, strat,
                     f"{label} ns={ns}",
                     t_ref=t_ref if strat == "current" and ns == nstreams[0]
-                    else None)
+                    and not args.anyhit else None,
+                    any_hit=args.anyhit)
                 if base is None:
                     base = cost
                 else:
