@@ -281,12 +281,19 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
         meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst(=ident col), 0]
         scene_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM/SMEM)
         o_ref, d_ref, tlim_ref,  # per-step inputs, leading dim = batch
-        t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-step outputs
-        obj_ref,  # VMEM scratch (9, SUB, LANE): object-space rays per stream
-        stack_ref,  # SMEM scratch (NSTREAM, STACK_DEPTH, 2) i32
-        *hbm_scratch,  # tri_hbm only: (NSTREAM, TREELET, LANE) VMEM treelet
-        #   staging + (NSTREAM,) DMA semaphores
+        *rest,  # outputs then scratch; the any-hit kernel only OUTPUTS
+        #   prim (occlusion is a boolean) — t lives in a (1,SUB,LANE) VMEM
+        #   scratch and inst/u/v don't exist at all, which shrinks both the
+        #   per-step output copies and the compiled code size that sets the
+        #   ~650us/step fixed cost
     ):
+        if any_hit:
+            (prim_out, obj_ref, stack_ref, t_scratch,
+             *hbm_scratch) = rest
+            iout_out = u_out = v_out = None
+        else:
+            (t_out, prim_out, iout_out, u_out, v_out,
+             obj_ref, stack_ref, *hbm_scratch) = rest
         if tri_hbm:
             tri_stage, tri_sems = hbm_scratch
         tlas_root = meta_ref[0, 0]
@@ -320,9 +327,10 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
             # into the batch block (names shadow the step refs)
             t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
             prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-            iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-            u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
-            v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+            if not any_hit:
+                iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+                u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+                v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
 
             def safe_inv(x):
                 return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
@@ -476,8 +484,6 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
                                 hit_any = jnp.any(ok, axis=0, keepdims=True)
                                 prim_ref[0, rsl, :] = jnp.where(
                                     hit_any, firsts[k], prim_ref[0, rsl, :])
-                                iout_ref[0, rsl, :] = jnp.where(
-                                    hit_any, w.inst, iout_ref[0, rsl, :])
                                 continue
                             score = jnp.where(ok, tq, jnp.float32(np.inf))
                             tmin = jnp.min(score, axis=0, keepdims=True)
@@ -609,9 +615,13 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
 
         def per_batch(b, _):
             s = pl.ds(b, 1)
-            tile_walk(o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
-                      t_ref.at[s], prim_ref.at[s], iout_ref.at[s],
-                      u_ref.at[s], v_ref.at[s])
+            if any_hit:
+                tile_walk(o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                          t_scratch, prim_out.at[s], None, None, None)
+            else:
+                tile_walk(o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                          t_out.at[s], prim_out.at[s], iout_out.at[s],
+                          u_out.at[s], v_out.at[s])
             return 0
 
         jax.lax.fori_loop(0, batch, per_batch, 0)
@@ -633,6 +643,7 @@ def _run_arrays(
 ):
     T = o4.shape[0]
     assert T % batch == 0
+    assert not (stats and any_hit), "stats mode is closest-hit only"
     kernel = _traverse_kernel_factory(any_hit, stats, batch, tri_hbm)
     meta_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
@@ -644,17 +655,29 @@ def _run_arrays(
                          memory_space=pltpu.VMEM)
     tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
-    )
-    scratch = [
-        pltpu.VMEM((9, SUB, LANE), jnp.float32),
-        pltpu.SMEM((NSTREAM, STACK_DEPTH, 2), jnp.int32),
-    ]
+    if any_hit:
+        # occlusion is a boolean: prim is the only output; t is VMEM
+        # scratch and inst/u/v are never materialized
+        out_shapes = (jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),)
+        out_specs = (tile1,)
+        scratch = [
+            pltpu.VMEM((9, SUB, LANE), jnp.float32),
+            pltpu.SMEM((NSTREAM, STACK_DEPTH, 2), jnp.int32),
+            pltpu.VMEM((1, SUB, LANE), jnp.float32),  # per-tile t
+        ]
+    else:
+        out_shapes = (
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
+        )
+        out_specs = (tile1, tile1, tile1, tile1, tile1)
+        scratch = [
+            pltpu.VMEM((9, SUB, LANE), jnp.float32),
+            pltpu.SMEM((NSTREAM, STACK_DEPTH, 2), jnp.int32),
+        ]
     if tri_hbm:
         scratch += [
             pltpu.VMEM((NSTREAM, TREELET, LANE), jnp.float32),
@@ -665,7 +688,7 @@ def _run_arrays(
         grid=(T // batch,),
         in_specs=[meta_spec, scene_spec, tri_spec, scene_spec, smem_spec]
         + [tile3, tile3, tile1],
-        out_specs=(tile1, tile1, tile1, tile1, tile1),
+        out_specs=out_specs,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
@@ -739,6 +762,5 @@ def pallas_occluded(ps: PallasScene, ray_o, ray_d, t_limit,
                     interpret: bool = False,
                     tri_hbm: bool = False) -> jax.Array:
     o4, d4, tl3, T, R = _reshape_rays(ray_o, ray_d, t_limit)
-    t, prim, inst, u, v = _run(ps, o4, d4, tl3, True, interpret,
-                               tri_hbm=tri_hbm)
+    (prim,) = _run(ps, o4, d4, tl3, True, interpret, tri_hbm=tri_hbm)
     return (prim >= 0).reshape(R)

@@ -84,6 +84,20 @@ def main():
           f"({100.0*mm/n_sub:.3f}%), rel t err max {terr.max():.2e} "
           f"mean {terr.mean():.2e}")
     ok = mm <= max(1, n_sub // 2048) and terr.max() < 1e-3
+
+    # any-hit kernel: occluded(tlim) must agree with the closest-hit t.
+    # tlim slices through the scene so both outcomes are well represented;
+    # rays whose t is within epsilon of tlim are excluded (legit f32 tie).
+    from rfw_tpu.ops.traverse import pallas_occluded
+
+    tlim = jnp.where(jnp.asarray(t) < 1e20,
+                     jnp.asarray(t) * 1.5, jnp.float32(8.0))
+    occ = np.asarray(pallas_occluded(ps, o, d, tlim))
+    expect = t < np.asarray(tlim)
+    near_tie = np.abs(t - np.asarray(tlim)) < 1e-3 * np.maximum(t, 1.0)
+    omm = int((occ != expect)[~near_tie].sum())
+    print(f"any-hit: occluded mismatches {omm}/{R - int(near_tie.sum())}")
+    ok = ok and omm <= max(1, R // 100000)
     print("PASS" if ok else "FAIL")
     sys.exit(0 if ok else 1)
 

@@ -21,6 +21,11 @@ import jax, jax.numpy as jnp, numpy as np
 print('TPU OK', float(np.asarray(jnp.sum(jnp.ones((128,128))))))" \
   || { echo "TUNNEL STILL DOWN"; exit 1; }
 
+# 0b. kernel-change gate: interpret mode has passed while the chip
+# miscompiled (CLAUDE.md) — the lean any-hit kernel must pass on the real
+# backend before any numbers count
+step 00_check python tools/check_traverse.py
+
 # 1. headline bench (post gather-elimination commit)
 step 01_bench python bench.py --spp 4 --width 1920 --height 1080
 
