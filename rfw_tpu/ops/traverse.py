@@ -64,11 +64,24 @@ LANE = 128
 #: interleaved independent walks per program (latency hiding). RFW_NSTREAM
 #: env override is an experiment knob: 8 walks of (1,128)-ray sub-tiles
 #: shrink the shared-stack visit union at the cost of more unrolled code.
+#: 16/32 go further: MULTIPLE (8,128) tiles' worth of rays walk in one
+#: program as 16/32 single-sublane streams — total visits are unchanged
+#: but they complete in max-over-more-streams iterations (the walk-union
+#: simulator measured 2.3x/4.5x fewer program-iterations on bounce rays;
+#: the measured per-fetch overlap is latency-perfect through K=8, and
+#: 16/32 bet it extends — an on-chip A/B decides).
 NSTREAM = int(_os.environ.get("RFW_NSTREAM", "4"))
-assert NSTREAM in (1, 2, 4, 8), f"RFW_NSTREAM={NSTREAM} must divide 8"
-SSUB = 8 // NSTREAM  # sublanes per stream (walk owns a (SSUB,128) sub-tile)
-SUB = NSTREAM * SSUB
-LANES = SUB * LANE  # rays per grid program (1024)
+assert NSTREAM in (1, 2, 4, 8, 16, 32), f"RFW_NSTREAM={NSTREAM}"
+SSUB = max(1, 8 // NSTREAM)  # sublanes per stream ((SSUB,128) sub-tile)
+SUB = NSTREAM * SSUB  # 8 rows for NSTREAM<=8; NSTREAM rows beyond
+LANES = SUB * LANE  # rays per grid program (1024 at the default)
+#: capped aliases: the items/entries kernels and the wavefront's tile
+#: gating/swizzle stay at the canonical (8,128)-tile granularity — the
+#: classic kernel pads internally when SUB exceeds 8 (see _reshape_rays)
+NSTREAM8 = min(NSTREAM, 8)
+SSUB8 = 8 // NSTREAM8
+SUB8 = 8
+LANES8 = SUB8 * LANE
 STACK_DEPTH = 96
 TLANES = 16  # record lanes per treelet slot (12 affine floats + pad)
 TGROUPS = LANE // TLANES  # treelets per aligned fetch block
@@ -596,8 +609,8 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
 
             def cond(carry):
                 walks, iters = carry
-                live = walks[0].done & walks[1].done
-                for k in range(2, NSTREAM):
+                live = walks[0].done
+                for k in range(1, NSTREAM):
                     live = live & walks[k].done
                 return (~live) & (iters < KERNEL_MAX_ITERS)
 
@@ -713,8 +726,9 @@ def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
     )
 
     # pad to a batch multiple; one pallas_call batches CHUNK_TILES sub-tiles
-    # per grid step
-    batch = min(CHUNK_TILES, T)
+    # per grid step (scaled so rays-per-step stays constant when SUB > 8:
+    # the scoped-VMEM budget was sized for CHUNK_TILES (8,128) tiles)
+    batch = min(max(1, CHUNK_TILES * SUB8 // SUB), T)
     n_steps = -(-T // batch)
     pad = n_steps * batch - T
     if pad:
@@ -736,11 +750,21 @@ def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
 
 def _reshape_rays(ray_o, ray_d, t_limit):
     R = ray_o.shape[0]
-    assert R % LANES == 0, f"ray count {R} not divisible by {LANES}"
-    T = R // LANES
+    assert R % LANES8 == 0, f"ray count {R} not divisible by {LANES8}"
+    tl = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+    pad = (-R) % LANES
+    if pad:
+        # multi-tile NSTREAM (SUB > 8): pad to a program multiple with
+        # dead rays (t_limit 0 -> every slab test fails, the stream's
+        # padded sublane contributes no iterations past the root)
+        ray_o = jnp.concatenate(
+            [ray_o, jnp.zeros((pad, 3), ray_o.dtype)])
+        ray_d = jnp.concatenate([ray_d, jnp.ones((pad, 3), ray_d.dtype)])
+        tl = jnp.concatenate([tl, jnp.zeros((pad,), tl.dtype)])
+    Rp = R + pad
+    T = Rp // LANES
     o4 = ray_o.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
     d4 = ray_d.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
-    tl = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
     tl3 = tl.reshape(T, SUB, LANE)
     return o4, d4, tl3, T, R
 
@@ -754,8 +778,8 @@ def pallas_closest_hit(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
     o4, d4, tl3, T, R = _reshape_rays(ray_o, ray_d, t_limit)
     t, prim, inst, u, v = _run(ps, o4, d4, tl3, False, interpret, stats,
                                tri_hbm)
-    return Hit(t.reshape(R), prim.reshape(R), inst.reshape(R),
-               u.reshape(R), v.reshape(R))
+    return Hit(t.reshape(-1)[:R], prim.reshape(-1)[:R],
+               inst.reshape(-1)[:R], u.reshape(-1)[:R], v.reshape(-1)[:R])
 
 
 def pallas_occluded(ps: PallasScene, ray_o, ray_d, t_limit,
@@ -763,4 +787,4 @@ def pallas_occluded(ps: PallasScene, ray_o, ray_d, t_limit,
                     tri_hbm: bool = False) -> jax.Array:
     o4, d4, tl3, T, R = _reshape_rays(ray_o, ray_d, t_limit)
     (prim,) = _run(ps, o4, d4, tl3, True, interpret, tri_hbm=tri_hbm)
-    return (prim >= 0).reshape(R)
+    return (prim >= 0).reshape(-1)[:R]

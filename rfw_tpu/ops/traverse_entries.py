@@ -33,13 +33,16 @@ from jax.experimental.pallas import tpu as pltpu
 from rfw_tpu.ops.traverse import (
     CHUNK_TILES,
     LANE,
-    LANES,
-    NSTREAM,
     PallasScene,
-    SSUB,
     STACK_DEPTH,
-    SUB,
     KERNEL_MAX_ITERS,
+)
+# canonical (8,128)-tile granularity (see traverse_items.py note)
+from rfw_tpu.ops.traverse import (
+    LANES8 as LANES,
+    NSTREAM8 as NSTREAM,
+    SSUB8 as SSUB,
+    SUB8 as SUB,
 )
 from rfw_tpu.render.intersect import T_MAX, T_MIN
 

@@ -42,16 +42,21 @@ from rfw_tpu.accel.bvh_cpu import TREELET
 from rfw_tpu.ops.traverse import (
     CHUNK_TILES,
     LANE,
-    LANES,
-    NSTREAM,
     PallasScene,
-    SSUB,
     STACK_DEPTH,
-    SUB,
     TGROUPS,
     TLANES,
     TSHIFT,
     KERNEL_MAX_ITERS,
+)
+# the items pipeline tiles at the canonical (8,128) granularity even when
+# the classic kernel runs multi-tile stream interleaving (NSTREAM > 8):
+# its stream<->instance run packing is defined on 8-sublane tiles
+from rfw_tpu.ops.traverse import (
+    LANES8 as LANES,
+    NSTREAM8 as NSTREAM,
+    SSUB8 as SSUB,
+    SUB8 as SUB,
 )
 from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 

@@ -51,7 +51,7 @@ from rfw_tpu.render.packet import (
     prepare_packet_scene,
 )
 from rfw_tpu.ops.traverse import (
-    LANES as PALLAS_LANES,
+    LANES8 as PALLAS_LANES,
     VMEM_RESIDENT_BUDGET,
     VMEM_SCENE_BUDGET,
     pallas_closest_hit,

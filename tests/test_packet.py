@@ -124,3 +124,51 @@ def test_physics_world():
     # settled on the ground, not exploded
     assert (w.positions[:, 1] > 0.45).all() and (w.positions[:, 1] < 1.6).all()
     assert np.abs(w.velocities).max() < 1.0
+
+
+def test_multitile_nstream_subprocess():
+    """NSTREAM=16 (two-tile stream interleave + internal ray padding) is a
+    separate compiled shape of the classic kernel; module constants bind at
+    import, so it runs in a subprocess. Pins kernel==oracle at a ray count
+    that does NOT divide the 2048-lane program (padding path)."""
+    import os
+    import subprocess
+    import sys
+
+    code = """
+import numpy as np, jax.numpy as jnp
+from rfw_tpu.models import sphere
+from rfw_tpu.render import pack_trace_scene, brute_force_closest
+from rfw_tpu.render.pack import TraceScene
+from rfw_tpu.ops import prepare_pallas_scene, pallas_closest_hit, pallas_occluded
+from rfw_tpu.mathx import compose_trs, quat_identity
+mesh = sphere(quality=1)
+m = compose_trs(np.zeros(3, np.float32), quat_identity(), np.ones(3, np.float32))
+scene = pack_trace_scene([(0, mesh, None)], [(0, m[None])])
+rng = np.random.default_rng(9)
+R = 1024  # pads to one 2048-lane program
+o = rng.uniform(-4, 4, (R, 3)).astype(np.float32); o[:, 2] += 3
+d = -o / np.linalg.norm(o, axis=-1, keepdims=True)
+t_ref, p_ref, _, _ = brute_force_closest(o, d, scene.tri_v0, scene.tri_e1, scene.tri_e2)
+sd = TraceScene(*[jnp.asarray(x) for x in scene])
+ps = prepare_pallas_scene(sd)
+hit = pallas_closest_hit(ps, jnp.asarray(o), jnp.asarray(d), interpret=True)
+assert hit.t.shape == (R,)
+hm = np.asarray(hit.prim) >= 0
+assert (hm == (p_ref >= 0)).all()
+both = hm & (p_ref >= 0)
+np.testing.assert_allclose(np.asarray(hit.t)[both], t_ref[both], rtol=1e-4, atol=1e-5)
+occ = np.asarray(pallas_occluded(ps, jnp.asarray(o), jnp.asarray(d), 1e30, interpret=True))
+assert (occ == hm).all()
+print("multitile ok")
+"""
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env = dict(os.environ, RFW_NSTREAM="16", JAX_PLATFORMS="cpu",
+               JAX_PLATFORM_NAME="cpu",
+               # no conftest in the subprocess: drop the axon plugin from
+               # the path or a down tunnel hangs jax init (CLAUDE.md)
+               PYTHONPATH=repo)
+    out = subprocess.run([sys.executable, "-c", code], env=env,
+                         capture_output=True, text=True, timeout=540)
+    assert out.returncode == 0, out.stderr[-2000:]
+    assert "multitile ok" in out.stdout

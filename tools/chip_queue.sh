@@ -40,6 +40,10 @@ RFW_NSTREAM=4 step 04_trav_ns4 python tools/bench_traverse.py \
   --cases sorted --occluded --reps 3
 RFW_NSTREAM=8 step 05_trav_ns8 python tools/bench_traverse.py \
   --cases sorted --occluded --reps 3
+RFW_NSTREAM=16 step 05b_trav_ns16 python tools/bench_traverse.py \
+  --cases sorted --occluded --reps 3
+RFW_NSTREAM=32 step 05c_trav_ns32 python tools/bench_traverse.py \
+  --cases sorted --occluded --reps 3
 
 # 5. end-to-end A/Bs (sort key, NSTREAM, classic-vs-twophase cross)
 RFW_SORT_KEY=morton step 06_bench_morton python bench.py --spp 4 \
