@@ -54,11 +54,21 @@ def _expand_bits(v: jax.Array) -> jax.Array:
 
 def morton_codes(centroids: jax.Array, scene_min: jax.Array, scene_max: jax.Array) -> jax.Array:
     """(n,3) centroids -> (n,) uint32 30-bit Morton codes."""
+    return morton_codes_c(
+        (centroids[:, 0], centroids[:, 1], centroids[:, 2]),
+        scene_min, scene_max)
+
+
+def morton_codes_c(c, scene_min: jax.Array, scene_max: jax.Array) -> jax.Array:
+    """Component-form morton_codes: c is an (x, y, z) tuple of (n,) arrays
+    (full-lane VPU vectors — see disney.py LAYOUT note)."""
     extent = jnp.maximum(scene_max - scene_min, 1e-9)
-    q = jnp.clip((centroids - scene_min) / extent * 1024.0, 0.0, 1023.0).astype(jnp.uint32)
-    return (
-        (_expand_bits(q[:, 0]) << 2) | (_expand_bits(q[:, 1]) << 1) | _expand_bits(q[:, 2])
-    )
+    q = [
+        jnp.clip((c[j] - scene_min[j]) / extent[j] * 1024.0, 0.0, 1023.0
+                 ).astype(jnp.uint32)
+        for j in range(3)
+    ]
+    return (_expand_bits(q[0]) << 2) | (_expand_bits(q[1]) << 1) | _expand_bits(q[2])
 
 
 def _clz32(x: jax.Array) -> jax.Array:

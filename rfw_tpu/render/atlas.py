@@ -111,6 +111,10 @@ def sample_bilinear(
     stage cost at 2M rays, so quad rows are worth ~4x over per-corner
     gathers; the nearest-mip default halves trilinear's cost again for a
     visually minor mip-snap."""
+    # uv: (R,2) stacked, or a (u, v) tuple of (R,) components (the
+    # integrator's component-form hot path avoids the stack+slice pair)
+    uv_u, uv_v = (uv[0], uv[1]) if isinstance(uv, tuple) else (
+        uv[..., 0], uv[..., 1])
     valid = tex_id >= 0
     t = jnp.maximum(tex_id, 0)
     max_mip = (atlas.mip_count[t] - 1).astype(jnp.float32)
@@ -133,8 +137,8 @@ def sample_bilinear(
         w = atlas.width[t, m]
         h = atlas.height[t, m]
         # wrap repeat
-        u = uv[..., 0] - jnp.floor(uv[..., 0])
-        v = uv[..., 1] - jnp.floor(uv[..., 1])
+        u = uv_u - jnp.floor(uv_u)
+        v = uv_v - jnp.floor(uv_v)
         x = u * w.astype(jnp.float32) - 0.5
         y = v * h.astype(jnp.float32) - 0.5
         x0 = jnp.floor(x).astype(jnp.int32)

@@ -49,7 +49,8 @@ Vec3C = Tuple[jax.Array, jax.Array, jax.Array]
 class MatParams(NamedTuple):
     """Per-point material parameters, each (R,) or (R,3)."""
 
-    base_color: jax.Array  # (R,3) linear albedo
+    base_color: jax.Array  # (R,3) linear albedo — or a Vec3C tuple of (R,)
+    #   components (the integrator's component-form hot path)
     metallic: jax.Array
     roughness: jax.Array
     specular_f: jax.Array  # "specular" 0..1 -> F0 = 0.08 * specular_f
@@ -67,6 +68,8 @@ class MatParams(NamedTuple):
 
     @property
     def base_c(self) -> Vec3C:
+        if isinstance(self.base_color, tuple):
+            return self.base_color
         return (self.base_color[..., 0], self.base_color[..., 1],
                 self.base_color[..., 2])
 

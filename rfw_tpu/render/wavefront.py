@@ -40,11 +40,15 @@ import jax
 import jax.numpy as jnp
 
 from rfw_tpu.render import disney
+from rfw_tpu.render.disney import (
+    Vec3C, v3_add, v3_cross, v3_dot, v3_mul, v3_neg, v3_normalize, v3_scale,
+    v3_split, v3_stack, v3_sub, v3_where,
+)
 from rfw_tpu.render.atlas import TextureAtlas, sample_bilinear
 from rfw_tpu.render.intersect import Hit, T_MAX, bvh_closest_hit, bvh_occluded
 from rfw_tpu.render.lights_pack import DeviceLights
 from rfw_tpu.render.sampler import sample_slot
-from rfw_tpu.accel.lbvh import morton_codes
+from rfw_tpu.accel.lbvh import morton_codes_c
 from rfw_tpu.render.packet import (
     packet_closest_hit,
     packet_occluded,
@@ -193,14 +197,15 @@ class SampleResult(NamedTuple):
 
 
 # ------------------------------------------------------------------ camera
-def camera_rays(
+def camera_rays_c(
     view: jax.Array, width: int, height: int, key: jax.Array, pixel_ids=None,
     jitter=None,
-) -> Tuple[jax.Array, jax.Array]:
+) -> Tuple[Vec3C, Vec3C]:
     """Primary rays from the flattened CameraView3D (24,) vector
     (reference CameraView3D::generate_lens_ray, rfw-backend/src/structs.rs:
     585-640): dir = normalize(p1 + r*right + s*up - origin), origin jittered
-    on a thin-lens disk when lens_size > 0."""
+    on the lens when lens_size > 0. Component form: returns (origin, dir)
+    as (x, y, z) tuples of (R,) arrays."""
     pos = view[0:3]
     right = view[3:6]
     up = view[6:9]
@@ -239,18 +244,24 @@ def camera_rays(
     r3 = jnp.where(fold, 1.0 - r3, r3)
     a1 = blade * (PI / 4.5)
     a2 = (blade + 1.0) * (PI / 4.5)
-    xr = jnp.sin(a1) * r2 + jnp.sin(a2) * r3
-    yr = jnp.cos(a1) * r2 + jnp.cos(a2) * r3
+    xr = (jnp.sin(a1) * r2 + jnp.sin(a2) * r3) * lens_size
+    yr = (jnp.cos(a1) * r2 + jnp.cos(a2) * r3) * lens_size
     rn = right / jnp.maximum(jnp.linalg.norm(right), 1e-12)
     un = up / jnp.maximum(jnp.linalg.norm(up), 1e-12)
-    origin = pos[None] + (lens_size * xr)[:, None] * rn[None] + (
-        lens_size * yr
-    )[:, None] * un[None]
+    o = tuple(pos[j] + xr * rn[j] + yr * un[j] for j in range(3))
+    d = tuple(p1[j] + r * right[j] + s * up[j] - o[j] for j in range(3))
+    d = v3_normalize(d)
+    return (tuple(c.astype(jnp.float32) for c in o),
+            tuple(c.astype(jnp.float32) for c in d))
 
-    target = p1[None] + r[:, None] * right[None] + s[:, None] * up[None]
-    d = target - origin
-    d = d / jnp.maximum(jnp.linalg.norm(d, axis=-1, keepdims=True), 1e-12)
-    return origin.astype(jnp.float32), d.astype(jnp.float32)
+
+def camera_rays(
+    view: jax.Array, width: int, height: int, key: jax.Array, pixel_ids=None,
+    jitter=None,
+) -> Tuple[jax.Array, jax.Array]:
+    """Batched (R,3) wrapper over camera_rays_c (tools/tests API)."""
+    o, d = camera_rays_c(view, width, height, key, pixel_ids, jitter)
+    return v3_stack(o), v3_stack(d)
 
 
 # ------------------------------------------------------------------ lights
@@ -261,12 +272,14 @@ def camera_rays(
 POTENTIAL_MAX = int(_os.environ.get("RFW_POTENTIAL_MAX", "16"))
 
 
-def _light_potentials(lights: DeviceLights, p: jax.Array,
-                      ns: Optional[jax.Array]) -> jax.Array:
+def _light_potentials(lights: DeviceLights, p: Vec3C,
+                      ns: Optional[Vec3C]) -> list:
     """Per-point unshadowed contribution estimate for every padded light
-    row: (R, Lpad). The reference scores every light per shading point
-    (shade.comp:283-365); this is that scoring with the TPU twist that
-    rows are STATIC slices of the unified table (no gathers at all).
+    row: a list of L (R,) arrays. The reference scores every light per
+    shading point (shade.comp:283-365); this is that scoring with the TPU
+    twist that rows are STATIC slices of the unified table (no gathers at
+    all) and every per-row score is a full-lane (R,) vector (never an
+    (R, L) array whose minor dim starves the 128-lane axis).
     Includes the surface cosine when `ns` is given — lights behind the
     shading point score ~0. Area rows anchor at the triangle centroid
     (the same anchor the emissive-hit MIS reconstruction can rebuild)."""
@@ -282,17 +295,20 @@ def _light_potentials(lights: DeviceLights, p: jax.Array,
         is_area = i >= np_ + nsp + nd
         lum_en = (0.2126 * row[6] + 0.7152 * row[7] + 0.0722 * row[8])
         lum_rad = (0.2126 * row[12] + 0.7152 * row[13] + 0.0722 * row[14])
-        centroid = jnp.where(is_area, (row[0:3] + row[3:6] + row[6:9]) / 3.0,
-                             row[0:3])
-        vec = centroid[None] - p
-        d2 = jnp.maximum(jnp.sum(vec * vec, -1), 1e-8)
-        wi = vec / jnp.sqrt(d2)[:, None]
+        cen = tuple(
+            jnp.where(is_area, (row[j] + row[3 + j] + row[6 + j]) / 3.0,
+                      row[j])
+            for j in range(3))
+        vec = tuple(cen[j] - p[j] for j in range(3))
+        d2 = jnp.maximum(v3_dot(vec, vec), 1e-8)
+        inv_d = 1.0 / jnp.sqrt(d2)
+        wi = v3_scale(vec, inv_d)
         # linear spot falloff (matches _sample_light's radiance formula)
-        cos_to = jnp.sum(-wi * row[3:6][None], -1)
+        cos_to = -(wi[0] * row[3] + wi[1] * row[4] + wi[2] * row[5])
         falloff = jnp.clip((cos_to - row[16])
                            / jnp.maximum(row[15] - row[16], 1e-6), 0.0, 1.0)
         # emitter-side cosine for area rows
-        cos_l = jnp.abs(jnp.sum(-wi * row[9:12][None], -1))
+        cos_l = jnp.abs(wi[0] * row[9] + wi[1] * row[10] + wi[2] * row[11])
         q = jnp.where(
             is_point, lum_en / d2,
             jnp.where(
@@ -305,12 +321,13 @@ def _light_potentials(lights: DeviceLights, p: jax.Array,
             # rows must stay reconstructible at emissive-hit time from
             # quantities the next vertex can rebuild (centroid anchor, no
             # receiver normal), or the MIS weights stop partitioning unity
-            wi_eff = jnp.where(is_dir, -row[3:6][None], wi)
-            cos_s = jnp.maximum(jnp.sum(ns * wi_eff, -1), 0.0)
+            wi_eff = tuple(
+                jnp.where(is_dir, -row[3 + j], wi[j]) for j in range(3))
+            cos_s = jnp.maximum(v3_dot(ns, wi_eff), 0.0)
             q = q * jnp.where(is_area, 1.0, cos_s)
         q = jnp.where(i < total, q, 0.0)
         qs.append(q)
-    return jnp.stack(qs, axis=1)
+    return qs
 
 
 def _sample_light(
@@ -338,28 +355,44 @@ def _sample_light(
     R = p.shape[0]
     use_potential = lights.light_table.shape[0] <= POTENTIAL_MAX
     if use_potential:
-        q = _light_potentials(lights, p, ns)  # (R,L)
-        z = jnp.sum(q, axis=1)
+        # list of L (R,) potential rows — never an (R,L) array whose minor
+        # dim starves the 128-lane axis (see _light_potentials)
+        qs = _light_potentials(lights, v3_split(p),
+                               None if ns is None else v3_split(ns))
+        z = qs[0]
+        for q_i in qs[1:]:
+            z = z + q_i
         n_f = jnp.maximum(total.astype(jnp.float32), 1.0)
         # defensive 50/50 blend with uniform, mirroring the global pick:
         # bounds 1/pick_p fireflies when the potential misjudges a light
-        valid = (jnp.arange(q.shape[1]) < total)[None]
-        probs = jnp.where(
-            valid,
-            jnp.where(z[:, None] > 0, 0.5 * q / jnp.maximum(z[:, None], 1e-12),
-                      0.0) + 0.5 / n_f,
-            0.0,
-        )
-        cdf = jnp.cumsum(probs, axis=1)
-        pick = jnp.minimum(
-            jnp.sum((u[:, 0:1] * cdf[:, -1:] > cdf).astype(jnp.int32), axis=1),
-            jnp.maximum(total - 1, 0),
-        ).astype(jnp.int32)
+        inv_z = jnp.where(z > 0, 0.5 / jnp.maximum(z, 1e-12), 0.0)
+        half_u = 0.5 / n_f
+        # _light_potentials already zeroes rows >= total; the uniform term
+        # needs the same guard so invalid padded rows carry zero mass
+        probs = [
+            jnp.where(i < total, q_i * inv_z + half_u, 0.0)
+            for i, q_i in enumerate(qs)
+        ]
         # probs sum to 1 when Z > 0, to 0.5 on the all-zero-potential
-        # degenerate (uniform-only term) — normalize by the actual total
+        # degenerate (uniform-only term) — normalize by the actual total.
+        # Running-sum CDF walk over the static row list: pick = #(rows
+        # whose cdf the scaled uniform clears), picked prob selected in the
+        # same pass — all full-lane (R,) ops, no stack/cumsum/gather.
+        cdf_total = probs[0]
+        for pr in probs[1:]:
+            cdf_total = cdf_total + pr
+        target = u[:, 0] * cdf_total
+        run = jnp.zeros_like(target)
+        count = jnp.zeros(R, jnp.int32)
+        for pr in probs:
+            run = run + pr
+            count = count + (target > run).astype(jnp.int32)
+        pick = jnp.minimum(count, jnp.maximum(total - 1, 0)).astype(jnp.int32)
+        pick_pr = jnp.zeros_like(target)
+        for i, pr in enumerate(probs):
+            pick_pr = jnp.where(pick == i, pr, pick_pr)
         pick_p = jnp.maximum(
-            jnp.take_along_axis(probs, pick[:, None], axis=1)[:, 0]
-            / jnp.maximum(cdf[:, -1], 1e-12), 1e-12)
+            pick_pr / jnp.maximum(cdf_total, 1e-12), 1e-12)
         pick_norm = z
     else:
         # power-proportional pick via the precomputed global cdf
@@ -1087,7 +1120,9 @@ def render_sample(
             + 2 * (st.ray_d[:, 1] >= 0).astype(jnp.int32)
             + 4 * (st.ray_d[:, 2] >= 0).astype(jnp.int32)
         )
-        cell = morton_codes(st.ray_o, scene_mn, scene_mx).astype(jnp.int32)
+        cell = morton_codes_c(
+            (st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2]),
+            scene_mn, scene_mx).astype(jnp.int32)
         if SORT_KEY == "instance":
             # instance-major key: rays leaving the same instance share
             # origin locality AND walk the same BLAS next

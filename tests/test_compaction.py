@@ -92,9 +92,13 @@ def test_compacted_matches_uncompacted():
     # sky fraction sanity: the prefix branch must actually be sub-R
     hit_frac = float((np.asarray(a.depth) < 1e25).mean())
     assert 0.2 < hit_frac < 0.95, hit_frac
+    # 3e-5: the two static prefix shapes fuse/vectorize differently, so
+    # float op order inside a lane is not bitwise-pinned (observed worst
+    # case 1 px / 196k at 1.1e-5 rel). A real compaction bug (dropped live
+    # lane, suffix leak) diverges by whole radiance values, not 1e-5.
     np.testing.assert_allclose(np.asarray(a.radiance),
-                               np.asarray(b.radiance), rtol=1e-5, atol=1e-5)
+                               np.asarray(b.radiance), rtol=3e-5, atol=3e-5)
     for f in ("albedo", "normal", "depth", "position", "ao"):
         np.testing.assert_allclose(np.asarray(getattr(a, f)),
                                    np.asarray(getattr(b, f)),
-                                   rtol=1e-5, atol=1e-5, err_msg=f)
+                                   rtol=3e-5, atol=3e-5, err_msg=f)
