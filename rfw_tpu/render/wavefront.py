@@ -41,8 +41,8 @@ import jax.numpy as jnp
 
 from rfw_tpu.render import disney
 from rfw_tpu.render.disney import (
-    Vec3C, v3_add, v3_cross, v3_dot, v3_mul, v3_neg, v3_normalize, v3_scale,
-    v3_split, v3_stack, v3_sub, v3_where,
+    Vec3C, _luminance_c, v3_add, v3_cross, v3_dot, v3_mul, v3_neg,
+    v3_normalize, v3_scale, v3_split, v3_stack, v3_sub, v3_where,
 )
 from rfw_tpu.render.atlas import TextureAtlas, sample_bilinear
 from rfw_tpu.render.intersect import Hit, T_MAX, bvh_closest_hit, bvh_occluded
@@ -330,15 +330,16 @@ def _light_potentials(lights: DeviceLights, p: Vec3C,
     return qs
 
 
-def _sample_light(
-    lights: DeviceLights, p: jax.Array, u: jax.Array,
-    ns: Optional[jax.Array] = None,
-) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+def _sample_light_c(
+    lights: DeviceLights, p: Vec3C, u0: jax.Array, u1: jax.Array,
+    u2: jax.Array, ns: Optional[Vec3C] = None,
+) -> Tuple[Vec3C, jax.Array, Vec3C, jax.Array, jax.Array, jax.Array]:
     """Pick one light per lane; sample a point/direction toward it.
 
-    p: (R,3) shading points; u: (R,3) uniforms; ns: (R,3) shading normals
-    (enables the per-point potential-weighted pick for small light sets —
-    reference shade.comp:283-470; large sets use the global power CDF).
+    Component form (the hot path): p/ns are (x,y,z) tuples of (R,) arrays,
+    u0/u1/u2 are (R,) uniforms (pick, two area barycentrics). `ns` enables
+    the per-point potential-weighted pick for small light sets — reference
+    shade.comp:283-470; large sets use the global power CDF.
     Returns (wi, dist, radiance_over_pdf, is_delta, pdf_area_solidangle,
     pick_norm):
       radiance_over_pdf already includes the 1/pick_prob factor;
@@ -352,13 +353,12 @@ def _sample_light(
         lights.n_point[0], lights.n_spot[0], lights.n_dir[0], lights.n_area[0]
     )
     total = np_ + ns_l + nd + na
-    R = p.shape[0]
+    R = p[0].shape[0]
     use_potential = lights.light_table.shape[0] <= POTENTIAL_MAX
     if use_potential:
         # list of L (R,) potential rows — never an (R,L) array whose minor
         # dim starves the 128-lane axis (see _light_potentials)
-        qs = _light_potentials(lights, v3_split(p),
-                               None if ns is None else v3_split(ns))
+        qs = _light_potentials(lights, p, ns)
         z = qs[0]
         for q_i in qs[1:]:
             z = z + q_i
@@ -381,7 +381,7 @@ def _sample_light(
         cdf_total = probs[0]
         for pr in probs[1:]:
             cdf_total = cdf_total + pr
-        target = u[:, 0] * cdf_total
+        target = u0 * cdf_total
         run = jnp.zeros_like(target)
         count = jnp.zeros(R, jnp.int32)
         for pr in probs:
@@ -397,7 +397,7 @@ def _sample_light(
     else:
         # power-proportional pick via the precomputed global cdf
         pick = jnp.minimum(
-            jnp.searchsorted(lights.pick_cdf, u[:, 0], side="right"
+            jnp.searchsorted(lights.pick_cdf, u0, side="right"
                              ).astype(jnp.int32),
             jnp.maximum(total - 1, 0),
         )
@@ -408,9 +408,9 @@ def _sample_light(
     row = _fetch_rows(lights.light_table, pick)  # (R,20)
     if not use_potential:
         pick_p = jnp.maximum(row[:, 18], 1e-12)
-    r_pos = row[:, 0:3]   # pos | v0
-    r_dir = row[:, 3:6]   # dir | v1
-    r_en = row[:, 6:9]    # energy | v2
+    r_pos = (row[:, 0], row[:, 1], row[:, 2])   # pos | v0
+    r_dir = (row[:, 3], row[:, 4], row[:, 5])   # dir | v1
+    r_en = (row[:, 6], row[:, 7], row[:, 8])    # energy | v2
 
     is_point = pick < np_
     is_spot = (~is_point) & (pick < np_ + ns_l)
@@ -418,63 +418,69 @@ def _sample_light(
     is_area = (~is_point) & (~is_spot) & (~is_dir)
 
     # ---- point -----------------------------------------------------------
-    p_vec = r_pos - p
-    p_d2 = jnp.maximum(jnp.sum(p_vec * p_vec, -1), 1e-8)
-    p_wi = p_vec / jnp.sqrt(p_d2)[:, None]
-    p_rad = r_en / p_d2[:, None]
+    p_vec = v3_sub(r_pos, p)
+    p_d2 = jnp.maximum(v3_dot(p_vec, p_vec), 1e-8)
+    p_dist = jnp.sqrt(p_d2)
+    p_wi = v3_scale(p_vec, 1.0 / p_dist)
+    p_rad = v3_scale(r_en, 1.0 / p_d2)
 
     # ---- spot (shares p_vec/p_d2 with point: same origin column) ---------
     # LINEAR cone falloff clamp((cos-cos_outer)/(cos_inner-cos_outer),0,1)
     # — pinned to the reference (gpu-rt shade.comp:315-318 and wgpu
     # lighting.comp:109-122 both use it linearly; an earlier version
     # squared it)
-    s_wi = p_wi
-    s_d2 = p_d2
-    cos_to = jnp.sum(-s_wi * r_dir, -1)
+    cos_to = -v3_dot(p_wi, r_dir)
     ci = row[:, 15]
     co = row[:, 16]
     falloff = jnp.clip((cos_to - co) / jnp.maximum(ci - co, 1e-6), 0.0, 1.0)
-    s_rad = r_en * (falloff / s_d2)[:, None]
+    s_rad = v3_scale(r_en, falloff / p_d2)
 
     # ---- directional -----------------------------------------------------
-    d_wi = -r_dir
+    d_wi = v3_neg(r_dir)
     d_rad = r_en
 
     # ---- area ------------------------------------------------------------
-    su = jnp.sqrt(jnp.maximum(u[:, 1], 0.0))
+    su = jnp.sqrt(jnp.maximum(u1, 0.0))
     b0 = 1.0 - su
-    b1 = u[:, 2] * su
-    a_pt = (
-        r_pos * b0[:, None]
-        + r_dir * b1[:, None]
-        + r_en * (1.0 - b0 - b1)[:, None]
-    )
-    a_vec = a_pt - p
-    a_d2 = jnp.maximum(jnp.sum(a_vec * a_vec, -1), 1e-8)
+    b1 = u2 * su
+    b2 = 1.0 - b0 - b1
+    a_pt = tuple(
+        r_pos[j] * b0 + r_dir[j] * b1 + r_en[j] * b2 for j in range(3))
+    a_vec = v3_sub(a_pt, p)
+    a_d2 = jnp.maximum(v3_dot(a_vec, a_vec), 1e-8)
     a_dist = jnp.sqrt(a_d2)
-    a_wi = a_vec / a_dist[:, None]
+    a_wi = v3_scale(a_vec, 1.0 / a_dist)
     # two-sided emitters: |cos| (matches the extraction normal convention)
-    cos_l = jnp.abs(jnp.sum(-a_wi * row[:, 9:12], -1))
+    n_a = (row[:, 9], row[:, 10], row[:, 11])
+    cos_l = jnp.abs(v3_dot(a_wi, n_a))
     a_pdf_sa = a_d2 / jnp.maximum(cos_l * row[:, 17], 1e-8)
-    a_rad = row[:, 12:15] * (1.0 / jnp.maximum(a_pdf_sa, 1e-8))[:, None]
+    a_rad = v3_scale((row[:, 12], row[:, 13], row[:, 14]),
+                     1.0 / jnp.maximum(a_pdf_sa, 1e-8))
 
-    wi = jnp.where(
-        is_point[:, None], p_wi,
-        jnp.where(is_spot[:, None], s_wi, jnp.where(is_dir[:, None], d_wi, a_wi)),
-    )
+    wi = v3_where(is_point, p_wi,
+                  v3_where(is_spot, p_wi, v3_where(is_dir, d_wi, a_wi)))
     dist = jnp.where(
-        is_point, jnp.sqrt(p_d2),
-        jnp.where(is_spot, jnp.sqrt(s_d2), jnp.where(is_dir, T_MAX * 0.5, a_dist)),
-    )
-    rad_over_pdf = jnp.where(
-        is_point[:, None], p_rad,
-        jnp.where(is_spot[:, None], s_rad, jnp.where(is_dir[:, None], d_rad, a_rad)),
-    ) / pick_p[:, None]
+        is_point | is_spot, p_dist, jnp.where(is_dir, T_MAX * 0.5, a_dist))
+    rad_sel = v3_where(is_point, p_rad,
+                       v3_where(is_spot, s_rad,
+                                v3_where(is_dir, d_rad, a_rad)))
+    none = total == 0
+    scale = jnp.where(none, 0.0, 1.0 / pick_p)
+    rad_over_pdf = v3_scale(rad_sel, scale)
     is_delta = is_point | is_spot | is_dir
     pdf_sa = jnp.where(is_area, a_pdf_sa * pick_p, 0.0)
-    none = total == 0
-    return (wi, dist, jnp.where(none, 0.0, rad_over_pdf), is_delta, pdf_sa,
-            pick_norm)
+    return wi, dist, rad_over_pdf, is_delta, pdf_sa, pick_norm
+
+
+def _sample_light(
+    lights: DeviceLights, p: jax.Array, u: jax.Array,
+    ns: Optional[jax.Array] = None,
+) -> Tuple[jax.Array, jax.Array, jax.Array, jax.Array, jax.Array, jax.Array]:
+    """Batched (R,3) wrapper over _sample_light_c (tools/tests API)."""
+    wi, dist, rop, is_delta, pdf_sa, pick_norm = _sample_light_c(
+        lights, v3_split(p), u[:, 0], u[:, 1], u[:, 2],
+        None if ns is None else v3_split(ns))
+    return v3_stack(wi), dist, v3_stack(rop), is_delta, pdf_sa, pick_norm
 
 
 # ---------------------------------------------------------------- materials
@@ -505,17 +511,18 @@ def mat_feature_mask(mats) -> int:
                | (disney.FEAT_SHEEN * (pr[:, 6] > 0).any()))
 
 
-def _fetch_material(
-    mats, atlas: TextureAtlas, mat_id, uv_interp, lod, entering,
+def _fetch_material_c(
+    mats, atlas: TextureAtlas, mat_id, uv_c, lod, entering,
     tex_mask: int = 15, trilinear: bool = False,
-) -> Tuple[disney.MatParams, jax.Array, jax.Array, jax.Array, jax.Array]:
-    """Gather material params + textures for hit prims.
+) -> Tuple[disney.MatParams, Vec3C, Vec3C, Vec3C, Vec3C]:
+    """Gather material params + textures for hit prims. Component form:
+    uv_c is a (u, v) pair of (R,) arrays; every color output is a Vec3C.
 
-    Returns (params, emission_rgb (R,3), normal_map (R,3) tangent-space,
-    untextured emission, absorption_rgb). `mat_id` (R,) i32 comes decoded
-    from the tri_shade record (pack.py lane 29) — no tri_mat gather.
-    `entering` (R,) bool resolves the relative IOR side for the
-    transmission lobe (True = front-face hit)."""
+    Returns (params, emission_rgb, normal_map tangent-space, untextured
+    emission, absorption_rgb). `mat_id` (R,) i32 comes decoded from the
+    tri_shade record (pack.py lane 29) — no tri_mat gather. `entering`
+    (R,) bool resolves the relative IOR side for the transmission lobe
+    (True = front-face hit)."""
     # the WHOLE material record — float block + tex ids as exact f32 ints —
     # resolves in one fetch (one-hot MXU matmul for mid-size tables);
     # the separate tex-id gather cost another ~14-25ns/row
@@ -525,20 +532,22 @@ def _fetch_material(
                         axis=1),
         mat_id,
     )  # (R, 4+16+3+6)
-    color = blk[:, 0:4]
+    color = (blk[:, 0], blk[:, 1], blk[:, 2])
     params = blk[:, 4:20]
-    absorption = blk[:, 20:23]
+    absorption = (blk[:, 20], blk[:, 21], blk[:, 22])
     tex = jnp.round(blk[:, 23:29]).astype(jnp.int32)
 
     R = mat_id.shape[0]
+    ones = jnp.ones(R, jnp.float32)
+    zeros = jnp.zeros(R, jnp.float32)
     if tex_mask & 1:
-        diff = sample_bilinear(atlas, tex[:, 0], uv_interp, lod, trilinear)
-        base_color = color[:, :3] * diff[:, :3]
+        diff = sample_bilinear(atlas, tex[:, 0], uv_c, lod, trilinear)
+        base_color = tuple(color[j] * diff[:, j] for j in range(3))
     else:
-        base_color = color[:, :3]
+        base_color = color
 
     if tex_mask & 4:
-        mr = sample_bilinear(atlas, tex[:, 2], uv_interp, lod, trilinear)
+        mr = sample_bilinear(atlas, tex[:, 2], uv_c, lod, trilinear)
         has_mr = tex[:, 2] >= 0
         metallic = jnp.where(has_mr, params[:, 0] * mr[:, 2], params[:, 0])
         roughness = jnp.where(has_mr, params[:, 3] * mr[:, 1], params[:, 3])
@@ -547,27 +556,28 @@ def _fetch_material(
         roughness = params[:, 3]
 
     if tex_mask & 2:
-        nrm_tex = sample_bilinear(atlas, tex[:, 1], uv_interp, lod, trilinear)
+        nrm_tex = sample_bilinear(atlas, tex[:, 1], uv_c, lod, trilinear)
         has_n = tex[:, 1] >= 0
-        n_ts = jnp.where(
-            has_n[:, None],
-            nrm_tex[:, :3] * 2.0 - 1.0,
-            jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), nrm_tex[:, :3].shape),
-        )
+        n_ts = tuple(
+            jnp.where(has_n, nrm_tex[:, j] * 2.0 - 1.0,
+                      ones if j == 2 else zeros)
+            for j in range(3))
     else:
-        n_ts = jnp.broadcast_to(jnp.array([0.0, 0.0, 1.0]), (R, 3))
+        n_ts = (zeros, zeros, ones)
 
     # emission: color channels > 1 mark emissive (reference list.rs:494)
-    is_emissive = jnp.max(color[:, :3], axis=-1) > 1.0
-    if tex_mask & 8:
-        emis_tex = sample_bilinear(atlas, tex[:, 3], uv_interp, lod, trilinear)
-        emission = jnp.where(
-            is_emissive[:, None], color[:, :3] * emis_tex[:, :3], 0.0)
-    else:
-        emission = jnp.where(is_emissive[:, None], color[:, :3], 0.0)
+    is_emissive = jnp.maximum(jnp.maximum(color[0], color[1]), color[2]) > 1.0
     # untextured emission — must match what area-light extraction registered
     # (scene/lights.py radiance_per_tri) so the reconstructed pick pdf agrees
-    emission_base = jnp.where(is_emissive[:, None], color[:, :3], 0.0)
+    emission_base = tuple(
+        jnp.where(is_emissive, color[j], 0.0) for j in range(3))
+    if tex_mask & 8:
+        emis_tex = sample_bilinear(atlas, tex[:, 3], uv_c, lod, trilinear)
+        emission = tuple(
+            jnp.where(is_emissive, color[j] * emis_tex[:, j], 0.0)
+            for j in range(3))
+    else:
+        emission = emission_base
 
     # transmission lobe side: relative IOR across the interface (reference
     # disney.glsl eta branch — 1/ior entering the medium, ior leaving)
@@ -591,11 +601,37 @@ def _fetch_material(
     return p, emission, n_ts, emission_base, absorption
 
 
+def _fetch_material(
+    mats, atlas: TextureAtlas, mat_id, uv_interp, lod, entering,
+    tex_mask: int = 15, trilinear: bool = False,
+):
+    """Batched (R,3) wrapper over _fetch_material_c (tools/tests API)."""
+    uv_c = (uv_interp[:, 0], uv_interp[:, 1]) if not isinstance(
+        uv_interp, tuple) else uv_interp
+    p, emission, n_ts, emission_base, absorption = _fetch_material_c(
+        mats, atlas, mat_id, uv_c, lod, entering, tex_mask, trilinear)
+    p = p._replace(base_color=v3_stack(p.base_color))
+    return (p, v3_stack(emission), v3_stack(n_ts), v3_stack(emission_base),
+            v3_stack(absorption))
+
+
 # -------------------------------------------------------------- integrator
 
 
-def _shading_basis(scene, hit, ray_d):
-    """Interpolate shading attributes at hits. Returns dict of arrays.
+def _mat3_apply(m: jax.Array, base: int, v: Vec3C) -> Vec3C:
+    """Row-major 3x3 from columns [base:base+9] of an (R,K) fetch, applied
+    to a component vector — nine full-lane multiply-adds (the einsum form
+    kept the (R,3) minor dim on the 128-lane axis)."""
+    return (
+        m[:, base + 0] * v[0] + m[:, base + 1] * v[1] + m[:, base + 2] * v[2],
+        m[:, base + 3] * v[0] + m[:, base + 4] * v[1] + m[:, base + 5] * v[2],
+        m[:, base + 6] * v[0] + m[:, base + 7] * v[1] + m[:, base + 8] * v[2],
+    )
+
+
+def _shading_basis_c(scene, hit, ray_d: Vec3C) -> dict:
+    """Interpolate shading attributes at hits. Component form: every
+    3-vector entry is a Vec3C of (R,) arrays; uv is a (u, v) pair.
 
     One gather of the baked (T,32) tri_shade record replaces the ~12
     indirected vertex-attribute gathers (measured 215ms/bounce at 0.52M
@@ -605,16 +641,18 @@ def _shading_basis(scene, hit, ray_d):
     inst = jnp.maximum(hit.inst, 0)
     w = 1.0 - hit.u - hit.v
     rec = scene.tri_shade[prim]  # (R,32) — the ONE geometry gather
-    ns_obj = (w[:, None] * rec[:, 0:3] + hit.u[:, None] * rec[:, 3:6]
-              + hit.v[:, None] * rec[:, 6:9])
-    uv = (w[:, None] * rec[:, 9:11] + hit.u[:, None] * rec[:, 11:13]
-          + hit.v[:, None] * rec[:, 13:15])
-    tan_obj = rec[:, 15:18]
+    ns_obj = tuple(
+        w * rec[:, j] + hit.u * rec[:, 3 + j] + hit.v * rec[:, 6 + j]
+        for j in range(3))
+    uv = tuple(
+        w * rec[:, 9 + j] + hit.u * rec[:, 11 + j] + hit.v * rec[:, 13 + j]
+        for j in range(2))
+    tan_obj = (rec[:, 15], rec[:, 16], rec[:, 17])
     handed = rec[:, 18]
-    e1_obj = rec[:, 19:22]
-    e2_obj = rec[:, 22:25]
+    e1_obj = (rec[:, 19], rec[:, 20], rec[:, 21])
+    e2_obj = (rec[:, 22], rec[:, 23], rec[:, 24])
     lodf = rec[:, 25]
-    centroid_obj = rec[:, 26:29]
+    centroid_obj = (rec[:, 26], rec[:, 27], rec[:, 28])
     mat_id = rec[:, 29].astype(jnp.int32)  # exact f32 ints (pack.py)
     light_id = rec[:, 30].astype(jnp.int32)
 
@@ -626,48 +664,60 @@ def _shading_basis(scene, hit, ray_d):
              scene.inst_matrix[:, :3, 3]], axis=1),
         inst,
     )  # (R,21)
-    nm = m[:, 0:9].reshape(-1, 3, 3)
-    rot = m[:, 9:18].reshape(-1, 3, 3)
-    trans = m[:, 18:21]
-    ns = jnp.einsum("rij,rj->ri", nm, ns_obj)
-    ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
-    e1w = jnp.einsum("rij,rj->ri", rot, e1_obj)
-    e2w = jnp.einsum("rij,rj->ri", rot, e2_obj)
-    ng_raw = jnp.cross(e1w, e2w)
-    area2 = jnp.linalg.norm(ng_raw, axis=-1)
-    ng = ng_raw / jnp.maximum(area2[:, None], 1e-12)
-    flip = jnp.sum(ng * ray_d, -1) > 0
-    ng = jnp.where(flip[:, None], -ng, ng)
-    ns = jnp.where(jnp.sum(ns * ng, -1)[:, None] < 0, -ns, ns)
+    ns = v3_normalize(_mat3_apply(m, 0, ns_obj))
+    e1w = _mat3_apply(m, 9, e1_obj)
+    e2w = _mat3_apply(m, 9, e2_obj)
+    ng_raw = v3_cross(e1w, e2w)
+    area2 = jnp.sqrt(jnp.maximum(v3_dot(ng_raw, ng_raw), 0.0))
+    ng = v3_scale(ng_raw, 1.0 / jnp.maximum(area2, 1e-12))
+    flip = v3_dot(ng, ray_d) > 0
+    ng = v3_where(flip, v3_neg(ng), ng)
+    ns = v3_where(v3_dot(ns, ng) < 0, v3_neg(ns), ns)
 
-    tan = jnp.einsum("rij,rj->ri", rot, tan_obj)
-    tan = tan - ns * jnp.sum(tan * ns, -1, keepdims=True)
-    tlen = jnp.linalg.norm(tan, axis=-1, keepdims=True)
-    t_fallback, _ = disney.build_tangent_frame(ns)
-    tan = jnp.where(tlen > 1e-6, tan / jnp.maximum(tlen, 1e-12), t_fallback)
-    bitan = jnp.cross(ns, tan) * handed[:, None]
-    centroid_w = jnp.einsum("rij,rj->ri", rot, centroid_obj) + trans
+    tan = _mat3_apply(m, 9, tan_obj)
+    tan = v3_sub(tan, v3_scale(ns, v3_dot(tan, ns)))
+    tlen = jnp.sqrt(jnp.maximum(v3_dot(tan, tan), 0.0))
+    t_fallback, _ = disney.build_tangent_frame_c(ns)
+    tan = v3_where(tlen > 1e-6,
+                   v3_scale(tan, 1.0 / jnp.maximum(tlen, 1e-12)), t_fallback)
+    bitan = v3_scale(v3_cross(ns, tan), handed)
+    centroid_w = v3_add(_mat3_apply(m, 9, centroid_obj),
+                        (m[:, 18], m[:, 19], m[:, 20]))
     return dict(ns=ns, ng=ng, uv=uv, tan=tan, bitan=bitan,
                 world_area=0.5 * area2, entering=~flip, lodf=lodf,
                 centroid_w=centroid_w, mat_id=mat_id, light_id=light_id)
+
+
+def _shading_basis(scene, hit, ray_d):
+    """Batched (R,3) wrapper over _shading_basis_c (tools/tests API)."""
+    b = _shading_basis_c(scene, hit, v3_split(ray_d))
+    out = dict(b)
+    for k in ("ns", "ng", "tan", "bitan", "centroid_w"):
+        out[k] = v3_stack(b[k])
+    out["uv"] = jnp.stack(b["uv"], axis=-1)
+    return out
 
 
 class _PathState(NamedTuple):
     """Per-lane path state carried between vertices. After the first bounce
     sort, lanes live in SORTED order (live prefix, dead suffix) — `pid`
     maps each lane back to its pixel (used for pixel-keyed Sobol slots and
-    the final radiance unsort)."""
+    the final radiance unsort).
 
-    radiance: jax.Array
-    throughput: jax.Array
+    COMPONENT layout: every 3-vector is a Vec3C tuple of (R,) arrays —
+    full 128-lane math everywhere, and the per-bounce multi-operand sort
+    consumes/produces the components directly (no split/stack round trip)."""
+
+    radiance: Vec3C
+    throughput: Vec3C
     alive: jax.Array
     spec_or_first: jax.Array
     prev_bsdf_pdf: jax.Array
     sort_hint: jax.Array  # previous bounce's hit instance (-1 first bounce):
     #   the strongest locality signal for re-tiling — rays leaving the same
     #   instance walk the same BLAS
-    ray_o: jax.Array
-    ray_d: jax.Array
+    ray_o: Vec3C
+    ray_d: Vec3C
     pid: jax.Array  # pixel linear index of this lane
     pick_norm: jax.Array  # previous vertex's light-potential normalization
     #   Z (0 on the power-CDF path) — the emissive-hit MIS reconstruction
@@ -833,7 +883,7 @@ def render_sample(
         return jax.random.uniform(key_, (pid_s.shape[0], nu))
 
     if config.pixel_center:
-        ray_o, ray_d = camera_rays(
+        ray_o, ray_d = camera_rays_c(
             view, width, height, k_cam, pixel_ids,
             jitter=(jnp.full((R, 2), 0.5, jnp.float32),
                     jnp.zeros((R, 2), jnp.float32)),
@@ -841,10 +891,10 @@ def render_sample(
     elif use_sobol:
         cam_uv = uniforms(0, 2, None, pid)
         lens_uv = uniforms(1, 2, None, pid)
-        ray_o, ray_d = camera_rays(view, width, height, k_cam, pixel_ids,
-                                   jitter=(cam_uv, lens_uv))
+        ray_o, ray_d = camera_rays_c(view, width, height, k_cam, pixel_ids,
+                                     jitter=(cam_uv, lens_uv))
     else:
-        ray_o, ray_d = camera_rays(view, width, height, k_cam, pixel_ids)
+        ray_o, ray_d = camera_rays_c(view, width, height, k_cam, pixel_ids)
 
     total_lights = (
         lights.n_point[0] + lights.n_spot[0] + lights.n_dir[0] + lights.n_area[0]
@@ -861,21 +911,23 @@ def render_sample(
     carry_mis = config.has_area_lights and use_potential_pick
 
     # ------------------------------------------------------------ shading
-    def _sky(dirs):
+    def _sky(dirs: Vec3C) -> Vec3C:
         """Sky radiance per ray: constant, or equirectangular skybox
-        (reference set_skybox)."""
-        n = dirs.shape[0]
+        (reference set_skybox). Component form."""
+        n = dirs[0].shape[0]
         if sky_tex is not None:
-            sky_u = jnp.arctan2(dirs[:, 2], dirs[:, 0]) / (2.0 * PI) + 0.5
-            sky_v = jnp.arccos(jnp.clip(dirs[:, 1], -1.0, 1.0)) / PI
+            sky_u = jnp.arctan2(dirs[2], dirs[0]) / (2.0 * PI) + 0.5
+            sky_v = jnp.arccos(jnp.clip(dirs[1], -1.0, 1.0)) / PI
             sky_rgb = sample_bilinear(
                 atlas,
                 jnp.broadcast_to(sky_tex, (n,)),
-                jnp.stack([sky_u, sky_v], axis=-1),
+                (sky_u, sky_v),
                 jnp.zeros(n),
-            )[:, :3]
-            return sky_rgb * config.sky_intensity
-        return jnp.full((n, 3), config.sky_intensity, jnp.float32)
+            )
+            return tuple(sky_rgb[:, j] * config.sky_intensity
+                         for j in range(3))
+        const = jnp.full(n, config.sky_intensity, jnp.float32)
+        return (const, const, const)
 
     def shade_vertex(st: _PathState, hit, depth, kd, first: bool,
                      last: bool, add_sky: bool = True):
@@ -883,27 +935,28 @@ def render_sample(
         Returns (new state, aovs dict | None). `depth` may be traced
         (middle vertices) — only Sobol slot arithmetic consumes it.
         add_sky=False when the caller already credited sky to misses
-        (the compacted vertex 0 does it on the full front pre-sort)."""
+        (the compacted vertex 0 does it on the full front pre-sort).
+        Everything runs COMPONENT-WISE ((R,) full-lane arrays)."""
         n = st.pid.shape[0]
         found = (hit.prim >= 0) & st.alive
 
         if add_sky:
-            radiance = jnp.where(
-                (st.alive & ~found)[:, None],
-                st.radiance + st.throughput * _sky(st.ray_d),
+            radiance = v3_where(
+                st.alive & ~found,
+                v3_add(st.radiance, v3_mul(st.throughput, _sky(st.ray_d))),
                 st.radiance,
             )
         else:
             radiance = st.radiance
 
         # ---- shading point ----------------------------------------------
-        basis = _shading_basis(scene, hit, st.ray_d)
-        pos = st.ray_o + hit.t[:, None] * st.ray_d
+        basis = _shading_basis_c(scene, hit, st.ray_d)
+        pos = v3_add(st.ray_o, v3_scale(st.ray_d, hit.t))
         lod_f = basis["lodf"]  # baked into the tri_shade record
         spread = view[16]
         footprint = hit.t * spread * lod_f * 1024.0
         lod = jnp.log2(jnp.maximum(footprint, 1e-6))
-        params, emission, n_ts, emission_base, absorption = _fetch_material(
+        params, emission, n_ts, emission_base, absorption = _fetch_material_c(
             mats, atlas, basis["mat_id"], basis["uv"], lod,
             basis["entering"], config.tex_mask, config.trilinear,
         )
@@ -912,47 +965,52 @@ def render_sample(
         # absorption over the distance (reference DeviceMaterial absorption)
         if config.mat_features & disney.FEAT_TRANSMISSION:
             inside_seg = found & ~basis["entering"] & (params.transmission > 0)
-            atten = jnp.exp(-absorption * hit.t[:, None])
-            throughput0 = jnp.where(inside_seg[:, None],
-                                    st.throughput * atten, st.throughput)
+            atten = tuple(jnp.exp(-absorption[j] * hit.t) for j in range(3))
+            throughput0 = v3_where(inside_seg,
+                                   v3_mul(st.throughput, atten),
+                                   st.throughput)
         else:
             throughput0 = st.throughput
-        ns = (
-            n_ts[:, 0:1] * basis["tan"]
-            + n_ts[:, 1:2] * basis["bitan"]
-            + n_ts[:, 2:3] * basis["ns"]
-        )
-        ns = ns / jnp.maximum(jnp.linalg.norm(ns, axis=-1, keepdims=True), 1e-12)
+        ns = v3_normalize(tuple(
+            n_ts[0] * basis["tan"][j] + n_ts[1] * basis["bitan"][j]
+            + n_ts[2] * basis["ns"][j]
+            for j in range(3)))
 
         # ---- AOVs (first hit only; statically absent when the consumer
         # only needs color — the reference's gpu-rt outputs color only) ----
         aovs = None
+        zero = jnp.zeros(n, jnp.float32)
         if first and not config.aovs:
             aovs = dict(
-                albedo=jnp.zeros((n, 3), jnp.float32),
-                normal=jnp.zeros((n, 3), jnp.float32),
+                albedo=(zero, zero, zero),
+                normal=(zero, zero, zero),
                 depth=jnp.full(n, T_MAX, jnp.float32),
-                position=jnp.zeros((n, 3), jnp.float32),
+                position=(zero, zero, zero),
                 ao=jnp.ones(n, jnp.float32),
             )
         elif first:
             aov_ao = jnp.ones(n, jnp.float32)
             if config.ao_aov:
                 u_ao = uniforms(4, 3, jax.random.fold_in(kd, 7), st.pid)
-                wi_ao = disney.to_world(
+                wi_ao = disney.to_world_c(
                     basis["tan"], basis["bitan"], basis["ns"],
-                    disney._sample_cosine(u_ao[:, 0], u_ao[:, 1]),
+                    disney._sample_cosine_c(u_ao[:, 0], u_ao[:, 1]),
                 )
                 occ_ao = trace_occluded(
-                    pos + basis["ng"] * config.shadow_eps, wi_ao,
+                    v3_stack(v3_add(pos, v3_scale(basis["ng"],
+                                                  config.shadow_eps))),
+                    v3_stack(wi_ao),
                     config.ao_radius,
                 )
                 aov_ao = jnp.where(found & occ_ao, 0.0, aov_ao)
+            base_c = params.base_c
             aovs = dict(
-                albedo=jnp.where(found[:, None], params.base_color, 0.0),
-                normal=jnp.where(found[:, None], ns, 0.0),
+                albedo=tuple(jnp.where(found, base_c[j], 0.0)
+                             for j in range(3)),
+                normal=tuple(jnp.where(found, ns[j], 0.0) for j in range(3)),
                 depth=jnp.where(found, hit.t, T_MAX),
-                position=jnp.where(found[:, None], pos, 0.0),
+                position=tuple(jnp.where(found, pos[j], 0.0)
+                               for j in range(3)),
                 ao=aov_ao,
             )
 
@@ -962,19 +1020,18 @@ def render_sample(
         # sole strategy and gets full weight. At the first vertex
         # spec_or_first is statically True; without area lights there is no
         # NEE competitor at all — both cases drop the whole reconstruction.
-        is_emitter = jnp.max(emission, axis=-1) > 0.0
+        is_emitter = jnp.maximum(
+            jnp.maximum(emission[0], emission[1]), emission[2]) > 0.0
         if first or not config.has_area_lights:
             mis_w = jnp.ones(n, jnp.float32)
         else:
-            cos_hit = jnp.abs(jnp.sum(basis["ng"] * st.ray_d, -1))
+            cos_hit = jnp.abs(v3_dot(basis["ng"], st.ray_d))
             # Reconstruct the hit emitter's pick probability at the
             # PREVIOUS vertex. Instance-exact: world_area is the hit
             # instance's transformed triangle area, whereas a
             # tri_light-keyed gather would return instance 0's probability
             # for every instance.
-            lum_hit = (0.2126 * emission_base[:, 0]
-                       + 0.7152 * emission_base[:, 1]
-                       + 0.0722 * emission_base[:, 2])
+            lum_hit = _luminance_c(*emission_base)
             n_l = jnp.maximum(lights.pick_n[0], 1.0)
             if use_potential_pick:
                 # potential-weighted pick: rebuild EXACTLY the score the
@@ -985,10 +1042,9 @@ def render_sample(
                 # the pick probability (hence the MIS weights) match the
                 # sampling distribution (modulo the shadow_eps origin
                 # offset)
-                cvec = basis["centroid_w"] - st.ray_o
-                c_d2 = jnp.maximum(jnp.sum(cvec * cvec, -1), 1e-8)
-                cos_c = jnp.abs(jnp.sum(basis["ng"] * cvec, -1)
-                                / jnp.sqrt(c_d2))
+                cvec = v3_sub(basis["centroid_w"], st.ray_o)
+                c_d2 = jnp.maximum(v3_dot(cvec, cvec), 1e-8)
+                cos_c = jnp.abs(v3_dot(basis["ng"], cvec)) / jnp.sqrt(c_d2)
                 q_hit = lum_hit * basis["world_area"] * cos_c / c_d2
                 hit_pick_p = jnp.where(
                     st.pick_norm > 0,
@@ -1016,9 +1072,10 @@ def render_sample(
                 st.prev_bsdf_pdf
                 / jnp.maximum(st.prev_bsdf_pdf + pdf_nee_this, 1e-12),
             )
-        radiance = jnp.where(
-            (found & is_emitter)[:, None],
-            radiance + throughput0 * emission * mis_w[:, None],
+        emit_mask = found & is_emitter
+        radiance = v3_where(
+            emit_mask,
+            v3_add(radiance, v3_scale(v3_mul(throughput0, emission), mis_w)),
             radiance,
         )
 
@@ -1026,7 +1083,7 @@ def render_sample(
 
         # ---- local frame -------------------------------------------------
         tan, bitan = basis["tan"], basis["bitan"]
-        wo = disney.to_local(tan, bitan, ns, -st.ray_d)
+        wo = disney.to_local_c(tan, bitan, ns, v3_neg(st.ray_d))
 
         # ---- NEE ---------------------------------------------------------
         # NOTE: per-lane light picks. A tile-shared pick keeps shadow packets
@@ -1034,21 +1091,22 @@ def render_sample(
         # visible tile-shaped banding at low spp — not worth it.
         u_l = uniforms(2 + depth * 3, 3, jax.random.fold_in(kd, 1), st.pid)
         (wi_l, dist_l, rad_over_pdf, is_delta, pdf_nee_sa,
-         pick_norm) = _sample_light(lights, pos, u_l, ns)
-        wi_local = disney.to_local(tan, bitan, ns, wi_l)
-        f_l = disney.disney_eval(params, wo, wi_local, config.mat_features)
-        cos_l = jnp.maximum(wi_local[..., 2], 0.0)
+         pick_norm) = _sample_light_c(lights, pos, u_l[:, 0], u_l[:, 1],
+                                      u_l[:, 2], ns)
+        wi_local = disney.to_local_c(tan, bitan, ns, wi_l)
+        f_l = disney.disney_eval_c(params, wo, wi_local, config.mat_features)
+        cos_l = jnp.maximum(wi_local[2], 0.0)
         can_light = alive & (total_lights > 0) & (cos_l > 0)
-        shadow_o = pos + basis["ng"] * config.shadow_eps
+        shadow_o = v3_add(pos, v3_scale(basis["ng"], config.shadow_eps))
         # zero-contribution lanes (light behind the surface, dead lanes)
         # get t_limit 0: their slab tests fail immediately and tiles of
         # them exit the traversal loop at once
         occ = trace_occluded(
-            shadow_o, wi_l,
+            v3_stack(shadow_o), v3_stack(wi_l),
             jnp.where(can_light, dist_l - 2.0 * config.shadow_eps, 0.0))
         if config.has_area_lights:
-            pdf_b_l = disney.disney_pdf(params, wo, wi_local,
-                                        config.mat_features)
+            pdf_b_l = disney.disney_pdf_c(params, wo, wi_local,
+                                          config.mat_features)
             mis_nee = jnp.where(
                 is_delta, 1.0,
                 pdf_nee_sa / jnp.maximum(pdf_nee_sa + pdf_b_l, 1e-12)
@@ -1057,10 +1115,13 @@ def render_sample(
             # delta-only lights: BSDF sampling can never hit them — NEE is
             # the sole strategy and gets full weight (no disney_pdf at all)
             mis_nee = 1.0
-        contrib = throughput0 * f_l * (cos_l * mis_nee)[:, None] * rad_over_pdf
-        contrib = jnp.clip(contrib, 0.0, config.clamp)
-        radiance = jnp.where(
-            (can_light & ~occ)[:, None], radiance + contrib, radiance)
+        w_nee = cos_l * mis_nee
+        contrib = tuple(
+            jnp.clip(throughput0[j] * f_l[j] * w_nee * rad_over_pdf[j],
+                     0.0, config.clamp)
+            for j in range(3))
+        radiance = v3_where(can_light & ~occ,
+                            v3_add(radiance, contrib), radiance)
 
         # ---- BSDF bounce (statically absent at the final vertex) ---------
         if last:
@@ -1071,23 +1132,21 @@ def render_sample(
             ), aovs
 
         u_b = uniforms(3 + depth * 3, 3, jax.random.fold_in(kd, 2), st.pid)
-        wi_b, f_b, pdf_b, delta_b = disney.disney_sample(
-            params, wo, u_b, config.mat_features)
+        wi_b, f_b, pdf_b, delta_b = disney.disney_sample_c(
+            params, wo, u_b[:, 0], u_b[:, 1], u_b[:, 2], config.mat_features)
         # transmission samples leave through the lower hemisphere: |cos|
-        ok = alive & (pdf_b > 1e-9) & (jnp.abs(wi_b[..., 2]) > 1e-6)
-        wi_world = disney.to_world(tan, bitan, ns, wi_b)
-        throughput = jnp.where(
-            ok[:, None],
-            throughput0 * f_b
-            * (jnp.abs(wi_b[..., 2:3]) / jnp.maximum(pdf_b, 1e-9)[:, None]),
-            throughput0,
-        )
+        ok = alive & (pdf_b > 1e-9) & (jnp.abs(wi_b[2]) > 1e-6)
+        wi_world = disney.to_world_c(tan, bitan, ns, wi_b)
+        bsdf_w = jnp.abs(wi_b[2]) / jnp.maximum(pdf_b, 1e-9)
+        throughput = v3_where(
+            ok, v3_mul(throughput0, v3_scale(f_b, bsdf_w)), throughput0)
         # offset the continuation off the surface on the side it leaves
-        side = jnp.where(wi_b[..., 2] >= 0, 1.0, -1.0)
-        new_o = jnp.where(
-            ok[:, None],
-            pos + basis["ng"] * (config.shadow_eps * side)[:, None], st.ray_o)
-        new_d = jnp.where(ok[:, None], wi_world, st.ray_d)
+        side = jnp.where(wi_b[2] >= 0, 1.0, -1.0)
+        new_o = v3_where(
+            ok,
+            v3_add(pos, v3_scale(basis["ng"], config.shadow_eps * side)),
+            st.ray_o)
+        new_d = v3_where(ok, wi_world, st.ray_d)
 
         return st._replace(
             radiance=radiance,
@@ -1114,15 +1173,14 @@ def render_sample(
         tiles need, and the live front becomes a contiguous prefix. Ray
         fields ride lax.sort as operands instead of argsort+gather: XLA
         TPU gathers cost ~670ms per (2M,3) array while a multi-operand
-        sort is ~3ms/operand (measured) — 4x on the whole sort path."""
+        sort is ~3ms/operand (measured) — 4x on the whole sort path.
+        Component state feeds the sort directly (no split/stack)."""
         octant = (
-            (st.ray_d[:, 0] >= 0).astype(jnp.int32)
-            + 2 * (st.ray_d[:, 1] >= 0).astype(jnp.int32)
-            + 4 * (st.ray_d[:, 2] >= 0).astype(jnp.int32)
+            (st.ray_d[0] >= 0).astype(jnp.int32)
+            + 2 * (st.ray_d[1] >= 0).astype(jnp.int32)
+            + 4 * (st.ray_d[2] >= 0).astype(jnp.int32)
         )
-        cell = morton_codes_c(
-            (st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2]),
-            scene_mn, scene_mx).astype(jnp.int32)
+        cell = morton_codes_c(st.ray_o, scene_mn, scene_mx).astype(jnp.int32)
         if SORT_KEY == "instance":
             # instance-major key: rays leaving the same instance share
             # origin locality AND walk the same BLAS next
@@ -1143,11 +1201,9 @@ def render_sample(
             skey = octant * (1 << 27) + (cell >> 5)
         skey = jnp.where(st.alive, skey, jnp.int32(1 << 30))
         ops = [
-            st.radiance[:, 0], st.radiance[:, 1], st.radiance[:, 2],
-            st.throughput[:, 0], st.throughput[:, 1], st.throughput[:, 2],
+            *st.radiance, *st.throughput,
             st.alive, st.spec_or_first, st.prev_bsdf_pdf, st.sort_hint,
-            st.ray_o[:, 0], st.ray_o[:, 1], st.ray_o[:, 2],
-            st.ray_d[:, 0], st.ray_d[:, 1], st.ray_d[:, 2], st.pid,
+            *st.ray_o, *st.ray_d, st.pid,
         ]
         if carry_mis:  # +1 operand only when the reconstruction reads it
             ops += [st.pick_norm]
@@ -1155,11 +1211,11 @@ def render_sample(
         (rr, rg, rb, tr, tg, tb, al, sp, pb, sh,
          ox, oy, oz, dx, dy, dz, pp) = out[1:18]
         return _PathState(
-            radiance=jnp.stack([rr, rg, rb], axis=1),
-            throughput=jnp.stack([tr, tg, tb], axis=1),
+            radiance=(rr, rg, rb),
+            throughput=(tr, tg, tb),
             alive=al, spec_or_first=sp, prev_bsdf_pdf=pb, sort_hint=sh,
-            ray_o=jnp.stack([ox, oy, oz], axis=1),
-            ray_d=jnp.stack([dx, dy, dz], axis=1),
+            ray_o=(ox, oy, oz),
+            ray_d=(dx, dy, dz),
             pid=pp,
             pick_norm=out[18] if carry_mis else st.pick_norm,
         )
@@ -1174,7 +1230,7 @@ def render_sample(
         else:
             pre = jax.tree.map(lambda a: a[:n], st)
             suf = jax.tree.map(lambda a: a[n:], st)
-        hit = trace_bounce(pre.ray_o, pre.ray_d,
+        hit = trace_bounce(v3_stack(pre.ray_o), v3_stack(pre.ray_d),
                            jnp.where(pre.alive, T_MAX, 0.0))
         new_pre, _ = shade_vertex(pre, hit, depth, kd, first=False, last=last)
         if suf is None:
@@ -1204,16 +1260,18 @@ def render_sample(
     # shade the hit prefix at a static length. The prim-block key also
     # groups lanes by mesh region — material rows and texture pages
     # coalesce, which the miss-last octant/morton key would not give.
-    hit0 = trace_coherent(ray_o, ray_d, T_MAX)
+    hit0 = trace_coherent(v3_stack(ray_o), v3_stack(ray_d), T_MAX)
     found0 = hit0.prim >= 0
-    rad0 = jnp.where(found0[:, None], 0.0, _sky(ray_d))
+    sky0 = _sky(ray_d)
+    rad0 = tuple(jnp.where(found0, 0.0, sky0[j]) for j in range(3))
     kd0 = jax.random.fold_in(k_loop, 0)
     v0_last = config.max_bounces == 0
 
     def _mk_state(rad, alive, o, d, pp, n):
+        one = jnp.ones(n, jnp.float32)
         return _PathState(
             radiance=rad,
-            throughput=jnp.ones((n, 3), jnp.float32),
+            throughput=(one, one, one),
             alive=alive,
             spec_or_first=jnp.ones(n, bool),
             prev_bsdf_pdf=jnp.zeros(n, jnp.float32),
@@ -1222,11 +1280,12 @@ def render_sample(
             pick_norm=jnp.zeros(n, jnp.float32),
         )
 
+    _z = jnp.zeros(R, jnp.float32)
     aov_defaults = dict(
-        albedo=jnp.zeros((R, 3), jnp.float32),
-        normal=jnp.zeros((R, 3), jnp.float32),
+        albedo=(_z, _z, _z),
+        normal=(_z, _z, _z),
         depth=jnp.full(R, T_MAX, jnp.float32),
-        position=jnp.zeros((R, 3), jnp.float32),
+        position=(_z, _z, _z),
         ao=jnp.ones(R, jnp.float32),
     )
 
@@ -1236,16 +1295,12 @@ def render_sample(
         (_, t0, p0, i0, u0, v0, rr, rg, rb,
          ox, oy, oz, dx, dy, dz, pp) = jax.lax.sort(
             (key0, hit0.t, hit0.prim, hit0.inst, hit0.u, hit0.v,
-             rad0[:, 0], rad0[:, 1], rad0[:, 2],
-             ray_o[:, 0], ray_o[:, 1], ray_o[:, 2],
-             ray_d[:, 0], ray_d[:, 1], ray_d[:, 2], pid),
+             *rad0, *ray_o, *ray_d, pid),
             num_keys=1,
         )
         hit0 = Hit(t0, p0, i0, u0, v0)
-        st = _mk_state(
-            jnp.stack([rr, rg, rb], axis=1), p0 >= 0,
-            jnp.stack([ox, oy, oz], axis=1),
-            jnp.stack([dx, dy, dz], axis=1), pp, R)
+        st = _mk_state((rr, rg, rb), p0 >= 0,
+                       (ox, oy, oz), (dx, dy, dz), pp, R)
 
         def _shade0(st, hit, n: int):
             if n == R:
@@ -1259,8 +1314,9 @@ def render_sample(
                                          last=v0_last, add_sky=False)
             new = jax.tree.map(lambda a, b: jnp.concatenate([a, b]),
                                new_pre, suf)
-            aovs = {k: jnp.concatenate([aovs[k], aov_defaults[k][n:]])
-                    for k in aovs}
+            aovs = jax.tree.map(
+                lambda a, dflt: jnp.concatenate([a, dflt[n:]]),
+                aovs, aov_defaults)
             return new, aovs
 
         live0 = jnp.sum(found0.astype(jnp.int32))
@@ -1297,20 +1353,22 @@ def render_sample(
         # sorting on the carried pid (replaces per-bounce unsorts AND the
         # swizzle-inverse gather for radiance in one 4-operand sort)
         (_, rr, rg, rb) = jax.lax.sort(
-            (st.pid, st.radiance[:, 0], st.radiance[:, 1],
-             st.radiance[:, 2]),
+            (st.pid, *st.radiance),
             num_keys=1,
         )
         radiance_px = jnp.stack([rr, rg, rb], axis=1)
     else:
-        radiance_px = unswizzle(st.radiance)
+        radiance_px = v3_stack(tuple(unswizzle(c) for c in st.radiance))
 
     if not config.aovs:
         # AOV outputs are constants — return them without any unsort
         return SampleResult(
             radiance=jnp.clip(radiance_px, 0.0, None),
-            albedo=aovs["albedo"], normal=aovs["normal"],
-            depth=aovs["depth"], position=aovs["position"], ao=aovs["ao"],
+            albedo=v3_stack(aovs["albedo"]),
+            normal=v3_stack(aovs["normal"]),
+            depth=aovs["depth"],
+            position=v3_stack(aovs["position"]),
+            ao=aovs["ao"],
         )
 
     if v0_compact:
@@ -1319,13 +1377,10 @@ def render_sample(
         (_, aa0, aa1, aa2, an0, an1, an2, ad, ap0, ap1, ap2, ao_) = (
             jax.lax.sort(
                 (pid0,
-                 aovs["albedo"][:, 0], aovs["albedo"][:, 1],
-                 aovs["albedo"][:, 2],
-                 aovs["normal"][:, 0], aovs["normal"][:, 1],
-                 aovs["normal"][:, 2],
+                 *aovs["albedo"],
+                 *aovs["normal"],
                  aovs["depth"],
-                 aovs["position"][:, 0], aovs["position"][:, 1],
-                 aovs["position"][:, 2],
+                 *aovs["position"],
                  aovs["ao"]),
                 num_keys=1,
             ))
@@ -1340,9 +1395,9 @@ def render_sample(
 
     return SampleResult(
         radiance=jnp.clip(radiance_px, 0.0, None),
-        albedo=unswizzle(aovs["albedo"]),
-        normal=unswizzle(aovs["normal"]),
+        albedo=v3_stack(tuple(unswizzle(c) for c in aovs["albedo"])),
+        normal=v3_stack(tuple(unswizzle(c) for c in aovs["normal"])),
         depth=unswizzle(aovs["depth"]),
-        position=unswizzle(aovs["position"]),
+        position=v3_stack(tuple(unswizzle(c) for c in aovs["position"])),
         ao=unswizzle(aovs["ao"]),
     )

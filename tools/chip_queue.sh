@@ -15,11 +15,15 @@ step() {
   tail -5 "/tmp/chipq/${name}.log"
 }
 
-# 0. probe
-timeout 120 python -c "
+# 0. probe (tunnel init can take 60s+ when flaky; retry a few times)
+ok=0
+for i in 1 2 3; do
+  timeout 300 python -c "
 import jax, jax.numpy as jnp, numpy as np
-print('TPU OK', float(np.asarray(jnp.sum(jnp.ones((128,128))))))" \
-  || { echo "TUNNEL STILL DOWN"; exit 1; }
+print('TPU OK', float(np.asarray(jnp.sum(jnp.ones((128,128))))))" && { ok=1; break; }
+  echo "probe $i failed; retrying in 60s"; sleep 60
+done
+[ "$ok" = "1" ] || { echo "TUNNEL STILL DOWN"; exit 1; }
 
 # 0b. kernel-change gate: interpret mode has passed while the chip
 # miscompiled (CLAUDE.md) — the lean any-hit kernel must pass on the real
