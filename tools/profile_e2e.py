@@ -5,6 +5,10 @@ realistic data (bench config geometry, real hits), min-of-N with
 np.asarray timing. The sum won't equal the fused end-to-end (XLA fuses
 some of this), but the ranking tells us what to attack.
 
+Stages run the COMPONENT-FORM (_c) code paths — the same code the fused
+integrator executes (wavefront.py migrated in round 3; the batched (R,3)
+wrappers exist only for tools/tests compatibility).
+
 Usage: python tools/profile_e2e.py [--width 960 --height 544 --reps 3]
 """
 
@@ -37,9 +41,10 @@ def main():
         pallas_closest_hit, pallas_occluded, prepare_pallas_scene,
     )
     from rfw_tpu.render import disney
+    from rfw_tpu.render.disney import v3_split, v3_stack
     from rfw_tpu.render.wavefront import (
-        RenderConfig, _block_swizzle, _fetch_material,
-        _sample_light, _shading_basis, camera_rays, render_sample,
+        RenderConfig, _block_swizzle, _fetch_material_c,
+        _sample_light_c, _shading_basis_c, camera_rays, render_sample,
     )
 
     W, H = args.width, args.height
@@ -116,10 +121,10 @@ def main():
         "sort 9-op + unsort 6-op", lambda: sort_block(
             pos, d, jnp.ones(R)))
 
-    # shading basis (vertex-attribute gathers)
+    # shading basis (vertex-attribute gathers) — component form
     @functools.partial(jax.jit)
     def basis_fn(hit, d):
-        return _shading_basis(sdev, hit, d)
+        return _shading_basis_c(sdev, hit, v3_split(d))
 
     results["shading_basis"] = timeit(
         "shading basis (gathers)", lambda: basis_fn(hit, d))
@@ -127,34 +132,40 @@ def main():
     # material fetch + atlas sampling (bench tex_mask; includes basis)
     @jax.jit
     def mat_fn(hit):
-        basis = _shading_basis(sdev, hit, d)
+        basis = _shading_basis_c(sdev, hit, v3_split(d))
         lod = jnp.zeros(R)
-        return _fetch_material(
-            dmats, atlas, sdev, jnp.maximum(hit.prim, 0), basis["uv"], lod,
-            basis["entering"], cfg.tex_mask)[0].base_color
+        p = _fetch_material_c(
+            dmats, atlas, basis["mat_id"], basis["uv"], lod,
+            basis["entering"], cfg.tex_mask)[0]
+        return p.base_c
 
     results["material+atlas"] = timeit(
         "material fetch + atlas", lambda: mat_fn(hit))
 
-    # light sampling + disney eval/pdf/sample
+    # light sampling + disney eval/pdf/sample — component form
     @jax.jit
     def shade_fn(hit, d):
-        basis = _shading_basis(sdev, hit, d)
+        dc = v3_split(d)
+        basis = _shading_basis_c(sdev, hit, dc)
         lod = jnp.zeros(R)
-        params, emission, n_ts, _, _ = _fetch_material(
-            dmats, atlas, sdev, jnp.maximum(hit.prim, 0), basis["uv"], lod,
-            basis["entering"])
+        params, emission, n_ts, _, _ = _fetch_material_c(
+            dmats, atlas, basis["mat_id"], basis["uv"], lod,
+            basis["entering"], cfg.tex_mask)
         ns = basis["ns"]
-        pos = jnp.zeros((R, 3))
+        zero = jnp.zeros(R)
+        pos_c = (zero, zero, zero)
         u = jax.random.uniform(key, (R, 3))
-        wi_l, dist_l, rad, is_delta, pdf_sa, _ = _sample_light(
-            dlights, pos, u, basis["ns"])
-        wo = disney.to_local(basis["tan"], basis["bitan"], ns, -d)
-        wi_local = disney.to_local(basis["tan"], basis["bitan"], ns, wi_l)
-        f = disney.disney_eval(params, wo, wi_local)
-        pdf = disney.disney_pdf(params, wo, wi_local)
-        wi_b, f_b, pdf_b, delta = disney.disney_sample(params, wo, u)
-        return f + f_b + pdf[:, None] + pdf_b[:, None]
+        wi_l, dist_l, rad, is_delta, pdf_sa, _ = _sample_light_c(
+            dlights, pos_c, u[:, 0], u[:, 1], u[:, 2], ns)
+        wo = disney.to_local_c(basis["tan"], basis["bitan"], ns,
+                               (-dc[0], -dc[1], -dc[2]))
+        wi_local = disney.to_local_c(basis["tan"], basis["bitan"], ns, wi_l)
+        f = disney.disney_eval_c(params, wo, wi_local)
+        pdf = disney.disney_pdf_c(params, wo, wi_local)
+        wi_b, f_b, pdf_b, delta = disney.disney_sample_c(
+            params, wo, u[:, 0], u[:, 1], u[:, 2])
+        return (f[0] + f_b[0] + pdf + pdf_b,
+                f[1] + f_b[1], f[2] + f_b[2])
 
     results["light+disney"] = timeit(
         "light sample + disney", lambda: shade_fn(hit, d))

@@ -50,12 +50,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n", type=int, default=1920 * 1080)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--iters", type=int, default=512, help="chain length; keep total work far above the ~25ms tunnel dispatch floor")
     args = ap.parse_args()
 
     import jax
     import jax.numpy as jnp
 
     R = args.n
+    IT = args.iters
     key = jax.random.PRNGKey(0)
     ks = jax.random.split(key, 8)
     a3 = jax.random.uniform(ks[0], (R, 3)) + 0.1
@@ -71,21 +73,21 @@ def main():
     @jax.jit
     def rgb_madd(a, b, c):
         x = a
-        for _ in range(16):
+        for _ in range(IT):
             x = x * b + c
         return (x,)
 
     @jax.jit
     def cmp_madd(ax, ay, az, bx, by, bz, cx, cy, cz):
         xs = [ax, ay, az]
-        for _ in range(16):
+        for _ in range(IT):
             xs = [xs[0] * bx + cx, xs[1] * by + cy, xs[2] * bz + cz]
         return tuple(xs)
 
     @jax.jit
     def rgb_bcast(a, b, s):
         x = a
-        for _ in range(16):
+        for _ in range(IT):
             x = x * s[:, None] + b * (1.0 - s[:, None])
             s = jnp.maximum(x[:, 0], 1e-3)
         return (x,)
@@ -93,7 +95,7 @@ def main():
     @jax.jit
     def cmp_bcast(ax, ay, az, bx, by, bz, s):
         xs = [ax, ay, az]
-        for _ in range(16):
+        for _ in range(IT):
             xs = [xs[0] * s + bx * (1.0 - s), xs[1] * s + by * (1.0 - s),
                   xs[2] * s + bz * (1.0 - s)]
             s = jnp.maximum(xs[0], 1e-3)
@@ -102,7 +104,7 @@ def main():
     @jax.jit
     def rgb_dot(a, b):
         x = a
-        for _ in range(8):
+        for _ in range(IT // 2):
             d = jnp.sum(x * b, axis=-1, keepdims=True)
             x = x / jnp.maximum(jnp.abs(d), 1e-6)
         return (x,)
@@ -110,7 +112,7 @@ def main():
     @jax.jit
     def cmp_dot(ax, ay, az, bx, by, bz):
         xs = [ax, ay, az]
-        for _ in range(8):
+        for _ in range(IT // 2):
             d = xs[0] * bx + xs[1] * by + xs[2] * bz
             inv = 1.0 / jnp.maximum(jnp.abs(d), 1e-6)
             xs = [xs[0] * inv, xs[1] * inv, xs[2] * inv]
@@ -133,15 +135,21 @@ def main():
     @jax.jit
     def disney_rgb(base3, s):
         ndl = jnp.maximum(s, 1e-4)
-        out = _disney_chain(base3, s[:, None], ndl[:, None], ndl[:, None],
-                            ndl[:, None], ndl[:, None])
+        out = base3
+        for _ in range(max(IT // 16, 1)):
+            out = _disney_chain(
+                jnp.clip(out, 0.0, 1.0), s[:, None], ndl[:, None],
+                ndl[:, None], ndl[:, None], ndl[:, None])
         return (out,)
 
     @jax.jit
     def disney_cmp(bx, by, bz, s):
         ndl = jnp.maximum(s, 1e-4)
-        outs = tuple(_disney_chain(b, s, ndl, ndl, ndl, ndl)
-                     for b in (bx, by, bz))
+        outs = (bx, by, bz)
+        for _ in range(max(IT // 16, 1)):
+            outs = tuple(
+                _disney_chain(jnp.clip(b, 0.0, 1.0), s, ndl, ndl, ndl, ndl)
+                for b in outs)
         return outs
 
     @jax.jit
@@ -151,7 +159,7 @@ def main():
         xs = [a[:, 0], a[:, 1], a[:, 2]]
         bs = [b[:, 0], b[:, 1], b[:, 2]]
         cs = [c[:, 0], c[:, 1], c[:, 2]]
-        for _ in range(16):
+        for _ in range(IT):
             xs = [xs[j] * bs[j] + cs[j] for j in range(3)]
         return (jnp.stack(xs, axis=1),)
 
