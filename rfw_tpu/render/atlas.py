@@ -22,7 +22,7 @@ HBM-resident, uploaded once). Bit-identical to the old 4-gather path.
 
 from __future__ import annotations
 
-from typing import List, NamedTuple, Sequence
+from typing import List, NamedTuple, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -39,6 +39,16 @@ class TextureAtlas(NamedTuple):
     height: np.ndarray  # (T, MAX_MIPS) i32
     mip_count: np.ndarray  # (T,) i32
     srgb: np.ndarray  # (T,) bool — decode gamma after gather
+    meta: Optional[np.ndarray] = None  # (T,8) i32 packed per-texture row
+    #   [off0, w0, h0, mip_count, srgb, 0, 0, 0]. Every (R,) gather costs
+    #   ~12ms/2M rays on this TPU regardless of table size (latency-bound
+    #   per ROW), so the 6 per-lane metadata gathers sample_bilinear needs
+    #   (mip_count/width0/offset/width/height/srgb — measured 76ms vs the
+    #   190MB texel pool's 50) collapse into THIS one row; per-mip
+    #   offset/width/height derive arithmetically (textures are POT with
+    #   exact-halving mips — materials._to_pow2 + generate_mips). None when
+    #   any packed chain violates the halving rule (pack_atlas verifies):
+    #   sample_bilinear then falls back to the table gathers.
 
 
 def pack_atlas(textures: Sequence, pad_to: int = 1) -> TextureAtlas:
@@ -80,7 +90,27 @@ def pack_atlas(textures: Sequence, pad_to: int = 1) -> TextureAtlas:
         texels = np.concatenate(
             [texels, np.zeros((pad_to - texels.shape[0] % pad_to, 4), np.uint32)]
         )
-    return TextureAtlas(texels, offset, width, height, mip_count, srgb)
+    # packed one-gather metadata row (see TextureAtlas.meta): valid only if
+    # every recorded mip chain follows the exact-halving derivation
+    meta: Optional[np.ndarray] = np.zeros((n_tex, 8), np.int32)
+    meta[:, 0] = offset[:, 0]
+    meta[:, 1] = width[:, 0]
+    meta[:, 2] = height[:, 0]
+    meta[:, 3] = mip_count
+    meta[:, 4] = srgb.astype(np.int32)
+    for ti in range(n_tex):
+        acc = int(offset[ti, 0])
+        for mi in range(int(mip_count[ti])):
+            w_m = max(int(width[ti, 0]) >> mi, 1)
+            h_m = max(int(height[ti, 0]) >> mi, 1)
+            if (w_m != width[ti, mi] or h_m != height[ti, mi]
+                    or acc != offset[ti, mi]):
+                meta = None
+                break
+            acc += w_m * h_m
+        if meta is None:
+            break
+    return TextureAtlas(texels, offset, width, height, mip_count, srgb, meta)
 
 
 def _unpack_rgba(px: jax.Array) -> jax.Array:
@@ -117,25 +147,49 @@ def sample_bilinear(
         uv[..., 0], uv[..., 1])
     valid = tex_id >= 0
     t = jnp.maximum(tex_id, 0)
-    max_mip = (atlas.mip_count[t] - 1).astype(jnp.float32)
+    if atlas.meta is not None:
+        # ONE metadata gather; per-mip (off, w, h) derive arithmetically
+        # (POT + exact halving, verified at pack time) — the six table
+        # gathers this replaces measured 76ms/2M rays vs ~12 for one row
+        row = atlas.meta[t]  # (R,8)
+        off0, w0i, h0i = row[..., 0], row[..., 1], row[..., 2]
+        mipc = row[..., 3]
+        srgb_f = row[..., 4] > 0
+
+        def mip_owh(m):
+            w = jnp.maximum(w0i >> m, 1)
+            h = jnp.maximum(h0i >> m, 1)
+            off = off0
+            for k in range(MAX_MIPS - 1):
+                wk = jnp.maximum(w0i >> k, 1)
+                hk = jnp.maximum(h0i >> k, 1)
+                off = off + jnp.where(k < m, wk * hk, 0)
+            return off, w, h
+    else:
+        mipc = atlas.mip_count[t]
+        w0i = atlas.width[t, 0]
+        srgb_f = atlas.srgb[t]
+
+        def mip_owh(m):
+            return atlas.offset[t, m], atlas.width[t, m], atlas.height[t, m]
+
+    max_mip = (mipc - 1).astype(jnp.float32)
     # the integrator's footprint is in 1024-reference texels (wavefront
     # lod = log2(t*spread*lodf*1024)); rebase to THIS texture's actual
     # resolution or small textures over-blur (an 8x8 map sampled at a 3m
     # viewing distance landed on its 1x1 mip) and >1024 maps under-filter
-    w0 = jnp.maximum(atlas.width[t, 0].astype(jnp.float32), 1.0)
+    w0 = jnp.maximum(w0i.astype(jnp.float32), 1.0)
     lod = lod + jnp.log2(w0) - 10.0
     lod = jnp.clip(lod, 0.0, max_mip)
     if trilinear:
         m0 = jnp.floor(lod).astype(jnp.int32)
-        m1 = jnp.minimum(m0 + 1, atlas.mip_count[t] - 1)
+        m1 = jnp.minimum(m0 + 1, mipc - 1)
         frac = (lod - m0.astype(jnp.float32))[..., None]
     else:
         m0 = jnp.round(lod).astype(jnp.int32)
 
     def fetch_mip(m):
-        off = atlas.offset[t, m]
-        w = atlas.width[t, m]
-        h = atlas.height[t, m]
+        off, w, h = mip_owh(m)
         # wrap repeat
         u = uv_u - jnp.floor(uv_u)
         v = uv_v - jnp.floor(uv_v)
@@ -163,11 +217,12 @@ def sample_bilinear(
     else:
         c = fetch_mip(m0)
     rgb = jnp.where(
-        atlas.srgb[t][..., None], _srgb_to_linear(c[..., :3]), c[..., :3]
+        srgb_f[..., None], _srgb_to_linear(c[..., :3]), c[..., :3]
     )
     c = jnp.concatenate([rgb, c[..., 3:4]], axis=-1)
     return jnp.where(valid[..., None], c, jnp.ones_like(c))
 
 
 def atlas_to_device(atlas: TextureAtlas) -> TextureAtlas:
-    return TextureAtlas(*[jnp.asarray(x) for x in atlas])
+    return TextureAtlas(
+        *[None if x is None else jnp.asarray(x) for x in atlas])
