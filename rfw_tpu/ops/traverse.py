@@ -712,10 +712,36 @@ def _run_arrays(
 #: step costs ~650us fixed for this kernel on the axon stack — the cost
 #: scales with compiled code size (instruction streaming), on a ~100us
 #: pipeline floor measured for trivial kernels with the same operands —
-#: so batching B tiles per step amortizes the dominant cost. 16 tiles of
-#: in+out data = ~850KB/step; double-buffered alongside the 11.5MB scene
-#: budget stays within 16MB scoped VMEM.
+#: so batching B tiles per step amortizes the dominant cost. The batch is
+#: VMEM-adaptive (auto_chunk): scenes below the max budget spend the spare
+#: scoped VMEM on more tiles per step. RFW_CHUNK_TILES pins it (A/B knob).
 CHUNK_TILES = int(_os.environ.get("RFW_CHUNK_TILES", "16"))
+_CHUNK_PINNED = _os.environ.get("RFW_CHUNK_TILES") is not None
+
+#: scoped VMEM per core, and the headroom left for Mosaic temporaries /
+#: alignment beyond the accounted scene + step buffers. 2.5MB keeps a
+#: max-budget (11.5MB) scene at the proven 16-tile batch.
+VMEM_TOTAL = 16 * 1024 * 1024
+VMEM_STEP_MARGIN = int(2.5 * 1024 * 1024)
+#: quantized batch ladder: dynamic scenes whose bucketed arena sizes wobble
+#: still land on few distinct batches, so compiled kernels are shared
+_CHUNK_LADDER = (64, 48, 32, 24, 16, 12, 8, 6, 4, 3, 2, 1)
+
+
+def auto_chunk(resident_bytes: int, tile_bytes: int,
+               scratch_bytes: int = 0) -> int:
+    """Largest ladder batch whose double-buffered per-step ray buffers fit
+    next to the VMEM-resident scene arrays. tile_bytes = one sub-tile's
+    in+out plane bytes for the calling kernel (any-hit steps are smaller
+    than closest-hit steps, so they earn bigger batches)."""
+    if _CHUNK_PINNED:
+        return CHUNK_TILES
+    avail = VMEM_TOTAL - resident_bytes - scratch_bytes - VMEM_STEP_MARGIN
+    cap = avail // (2 * tile_bytes)
+    for q in _CHUNK_LADDER:
+        if q <= cap:
+            return q
+    return 1
 
 
 def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
@@ -725,10 +751,25 @@ def _run(ps: PallasScene, o4, d4, tl3, any_hit: bool, interpret: bool = False,
         [[ps.tlas_root, ps.n_tri, ps.n_inst, 0]], jnp.int32
     )
 
-    # pad to a batch multiple; one pallas_call batches CHUNK_TILES sub-tiles
-    # per grid step (scaled so rays-per-step stays constant when SUB > 8:
-    # the scoped-VMEM budget was sized for CHUNK_TILES (8,128) tiles)
-    batch = min(max(1, CHUNK_TILES * SUB8 // SUB), T)
+    # pad to a batch multiple; one pallas_call batches `chunk` sub-tiles
+    # per grid step, sized from the VMEM actually left by this scene
+    # (scaled so rays-per-step stays constant when SUB > 8: the ladder is
+    # calibrated in (8,128)-tile units)
+    planes = 8 if any_hit else 12  # o/d/tl in + prim | t/prim/inst/u/v out
+    scratch_b = 4 * (9 + (1 if any_hit else 0)) * SUB * LANE
+    if tri_hbm:
+        scratch_b += 4 * NSTREAM * TREELET * LANE
+        resident = ps.vmem_bytes - 4 * ps.tri_t.size
+    else:
+        resident = ps.vmem_bytes
+    if _CHUNK_PINNED:
+        # pinned chunk is calibrated in (8,128)-tile units; rescale so
+        # rays-per-step stays constant when SUB > 8
+        chunk = max(1, CHUNK_TILES * SUB8 // SUB)
+    else:
+        # tile_bytes includes SUB, so multi-tile streams self-scale
+        chunk = auto_chunk(resident, 4 * planes * SUB * LANE, scratch_b)
+    batch = min(chunk, T)
     n_steps = -(-T // batch)
     pad = n_steps * batch - T
     if pad:

@@ -31,11 +31,11 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from rfw_tpu.ops.traverse import (
-    CHUNK_TILES,
     LANE,
     PallasScene,
     STACK_DEPTH,
     KERNEL_MAX_ITERS,
+    auto_chunk,
 )
 # canonical (8,128)-tile granularity (see traverse_items.py note)
 from rfw_tpu.ops.traverse import (
@@ -282,7 +282,11 @@ def pallas_tlas_entries(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
     d4 = ray_d.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
     tl3 = tl.reshape(T, SUB, LANE)
 
-    batch = min(CHUNK_TILES, T)
+    # VMEM-adaptive batch: only scene_t is resident here, but the entry
+    # outputs are K planes per tile each, so steps are (7 + 2K)-plane wide
+    batch = min(auto_chunk(4 * ps.scene_t.size,
+                           4 * (7 + 2 * K) * SUB * LANE,
+                           4 * 3 * SUB * LANE), T)
     n_steps = -(-T // batch)
     padT = n_steps * batch - T
     if padT:

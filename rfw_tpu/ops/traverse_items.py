@@ -40,7 +40,6 @@ from jax.experimental.pallas import tpu as pltpu
 
 from rfw_tpu.accel.bvh_cpu import TREELET
 from rfw_tpu.ops.traverse import (
-    CHUNK_TILES,
     LANE,
     PallasScene,
     STACK_DEPTH,
@@ -48,6 +47,7 @@ from rfw_tpu.ops.traverse import (
     TLANES,
     TSHIFT,
     KERNEL_MAX_ITERS,
+    auto_chunk,
 )
 # the items pipeline tiles at the canonical (8,128) granularity even when
 # the classic kernel runs multi-tile stream interleaving (NSTREAM > 8):
@@ -67,6 +67,18 @@ STILE = SSUB * LANE
 #: instance-arena threshold for the dense (R,I) phase-A scan; above it the
 #: quadratic slab grid loses to the Pallas TLAS-walk kernel
 DENSE_A_MAX_INST = int(__import__("os").environ.get("RFW_DENSE_A_MAX", "512"))
+
+
+def _items_chunk(ps: PallasScene, tri_hbm: bool) -> int:
+    """VMEM-adaptive grid-step batch for the items kernel (same closest-hit
+    step planes as the classic kernel: 7 in + 5 out; sinst is SMEM)."""
+    scratch_b = 4 * 9 * SUB * LANE
+    resident = 4 * (ps.scene_t.size + ps.inst_t.size + ps.root_t.size)
+    if tri_hbm:
+        scratch_b += 4 * NSTREAM * TREELET * LANE
+    else:
+        resident += 4 * ps.tri_t.size
+    return auto_chunk(resident, 4 * 12 * SUB * LANE, scratch_b)
 
 
 class _W(NamedTuple):
@@ -549,7 +561,7 @@ def twophase_closest_fused(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
     tl3 = tl_s.reshape(T, SUB, LANE)
     sinst = stream_inst.reshape(T, NSTREAM)
 
-    batch = min(CHUNK_TILES, T)
+    batch = min(_items_chunk(ps, tri_hbm), T)
     n_steps = -(-T // batch)
     pad = n_steps * batch - T
     if pad:
@@ -749,7 +761,7 @@ def pallas_twophase_closest_hit(ps: PallasScene, scene, ray_o, ray_d,
     tl3 = tl_s.reshape(T, SUB, LANE)
     sinst = stream_inst.reshape(T, NSTREAM)
 
-    batch = min(CHUNK_TILES, T)
+    batch = min(_items_chunk(ps, False), T)
     n_steps = -(-T // batch)
     pad = n_steps * batch - T
     if pad:

@@ -1,6 +1,11 @@
 #!/bin/bash
 # Round-3 on-chip experiment queue — run when the axon tunnel returns.
 # Each step logs to /tmp/chipq/NN_name.log; steps are serialized (ONE chip).
+#
+# This edition: validate the VMEM-adaptive grid-step batch (auto_chunk —
+# pica gets 64-tile steps vs the old fixed 16, cutting the ~650us/step
+# fixed cost 4x on trace + occluded), then capture the shading sub-stage
+# table that directs the next light+disney work.
 set -u
 mkdir -p /tmp/chipq
 cd /root/repo
@@ -25,38 +30,26 @@ print('TPU OK', float(np.asarray(jnp.sum(jnp.ones((128,128))))))" && { ok=1; bre
 done
 [ "$ok" = "1" ] || { echo "TUNNEL STILL DOWN"; exit 1; }
 
-# 0b. kernel-change gate: interpret mode has passed while the chip
-# miscompiled (CLAUDE.md) — the lean any-hit kernel must pass on the real
-# backend before any numbers count
+# 0b. kernel-change gate: batch sizes changed (auto_chunk) — the kernels
+# must agree with the oracle on the REAL backend before any numbers count
 step 00_check python tools/check_traverse.py
 
-# 1. headline bench (post gather-elimination commit)
-step 01_bench python bench.py --spp 4 --width 1920 --height 1080
+# 1. headline bench, auto chunk (expect > 7.60 from the step-count cut)
+step 01_bench_auto python bench.py --spp 4 --width 1920 --height 1080
 
-# 2. fresh 1080p stage table (ROUND3.md says rerun post-6.74)
-step 02_profile python tools/profile_e2e.py --width 1920 --height 1080
-
-# 3. (R,3) lane-tax microbenchmark
-step 03_layout python tools/ubench_layout.py
-
-# 4. kernel sweeps: NSTREAM on sorted bounce + occluded populations
-RFW_NSTREAM=4 step 04_trav_ns4 python tools/bench_traverse.py \
-  --cases sorted --occluded --reps 3
-RFW_NSTREAM=8 step 05_trav_ns8 python tools/bench_traverse.py \
-  --cases sorted --occluded --reps 3
-RFW_NSTREAM=16 step 05b_trav_ns16 python tools/bench_traverse.py \
-  --cases sorted --occluded --reps 3
-RFW_NSTREAM=32 step 05c_trav_ns32 python tools/bench_traverse.py \
-  --cases sorted --occluded --reps 3
-
-# 5. end-to-end A/Bs (sort key, NSTREAM, classic-vs-twophase cross)
-RFW_SORT_KEY=morton step 06_bench_morton python bench.py --spp 4 \
+# 2. pinned-chunk controls: the old default + ladder shape
+RFW_CHUNK_TILES=16 step 02_bench_c16 python bench.py --spp 4 \
   --width 1920 --height 1080
-RFW_NSTREAM=8 step 07_bench_ns8 python bench.py --spp 4 \
+RFW_CHUNK_TILES=32 step 03_bench_c32 python bench.py --spp 4 \
   --width 1920 --height 1080
-RFW_SORT_KEY=morton RFW_NSTREAM=8 step 08_bench_morton_ns8 \
-  python bench.py --spp 4 --width 1920 --height 1080
-RFW_SORT_KEY=morton RFW_TWO_PHASE=0 step 09_bench_morton_classic \
-  python bench.py --spp 4 --width 1920 --height 1080
+
+# 3. fresh 1080p stage table under auto chunk
+step 04_profile python tools/profile_e2e.py --width 1920 --height 1080
+
+# 4. shading sub-stage marginal costs (directs the light+disney work)
+step 05_shading python tools/profile_shading.py --width 1920 --height 1080
+
+# 5. bf16 elementwise throughput probe (go/no-go for bf16 shading math)
+step 06_layout python tools/ubench_layout.py
 
 echo "=== queue complete ==="

@@ -153,6 +153,29 @@ def main():
         return outs
 
     @jax.jit
+    def cmp_madd_bf16(ax, ay, az, bx, by, bz, cx, cy, cz):
+        # bf16 throughput probe: same chain in bfloat16 — decides whether
+        # the shading stages (all (R,) f32 elementwise today) should drop
+        # to bf16 where precision allows
+        xs = [v.astype(jnp.bfloat16) for v in (ax, ay, az)]
+        bs = [v.astype(jnp.bfloat16) for v in (bx, by, bz)]
+        cs = [v.astype(jnp.bfloat16) for v in (cx, cy, cz)]
+        for _ in range(IT):
+            xs = [xs[j] * bs[j] + cs[j] for j in range(3)]
+        return tuple(x.astype(jnp.float32) for x in xs)
+
+    @jax.jit
+    def disney_cmp_bf16(bx, by, bz, s):
+        s = s.astype(jnp.bfloat16)
+        ndl = jnp.maximum(s, jnp.bfloat16(1e-4))
+        outs = tuple(v.astype(jnp.bfloat16) for v in (bx, by, bz))
+        for _ in range(max(IT // 16, 1)):
+            outs = tuple(
+                _disney_chain(jnp.clip(b, 0.0, 1.0), s, ndl, ndl, ndl, ndl)
+                for b in outs)
+        return tuple(x.astype(jnp.float32) for x in outs)
+
+    @jax.jit
     def mixed_madd(a, b, c):
         # boundary-conversion cost probe: split (R,3) -> components,
         # compute the same 16-madd chain, restack to (R,3)
@@ -175,14 +198,20 @@ def main():
     res["cmp_dot"] = clock(cmp_dot, ax, ay, az, bx, by, bz, reps=args.reps)
     res["disney_rgb"] = clock(disney_rgb, a3, s1, reps=args.reps)
     res["disney_cmp"] = clock(disney_cmp, ax, ay, az, s1, reps=args.reps)
+    res["cmp_madd_bf16"] = clock(cmp_madd_bf16, ax, ay, az, bx, by, bz,
+                                 cx, cy, cz, reps=args.reps)
+    res["disney_cmp_bf16"] = clock(disney_cmp_bf16, ax, ay, az, s1,
+                                   reps=args.reps)
 
     print(f"R={R}  (times ms, min of {args.reps})")
     for pair in (("rgb_madd", "cmp_madd"), ("rgb_madd", "mixed_madd"),
                  ("rgb_bcast", "cmp_bcast"),
-                 ("rgb_dot", "cmp_dot"), ("disney_rgb", "disney_cmp")):
+                 ("rgb_dot", "cmp_dot"), ("disney_rgb", "disney_cmp"),
+                 ("cmp_madd", "cmp_madd_bf16"),
+                 ("disney_cmp", "disney_cmp_bf16")):
         r, c = pair
-        print(f"  {r:12s} {res[r]*1e3:8.2f}   {c:12s} {res[c]*1e3:8.2f}"
-              f"   rgb/cmp = {res[r]/max(res[c],1e-9):.2f}x")
+        print(f"  {r:14s} {res[r]*1e3:8.2f}   {c:15s} {res[c]*1e3:8.2f}"
+              f"   ratio = {res[r]/max(res[c],1e-9):.2f}x")
 
 
 if __name__ == "__main__":
