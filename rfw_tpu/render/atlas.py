@@ -132,6 +132,10 @@ def sample_bilinear(
     uv: jax.Array,  # (R,2) f32, wrapped
     lod: jax.Array,  # (R,) f32 — mip level
     trilinear: bool = False,
+    meta_row=None,  # optional prefetched metadata columns
+    #   (off0, w0, h0, mip_count, srgb) as (R,) i32/bool arrays — the
+    #   integrator delivers them through the material one-hot MXU fetch
+    #   (wavefront._fetch_material_c) so this call gathers ONLY texels
 ) -> jax.Array:
     """Mip-mapped RGBA fetch. Returns (R,4) linear values.
 
@@ -147,14 +151,19 @@ def sample_bilinear(
         uv[..., 0], uv[..., 1])
     valid = tex_id >= 0
     t = jnp.maximum(tex_id, 0)
-    if atlas.meta is not None:
-        # ONE metadata gather; per-mip (off, w, h) derive arithmetically
-        # (POT + exact halving, verified at pack time) — the six table
-        # gathers this replaces measured 76ms/2M rays vs ~12 for one row
-        row = atlas.meta[t]  # (R,8)
-        off0, w0i, h0i = row[..., 0], row[..., 1], row[..., 2]
-        mipc = row[..., 3]
-        srgb_f = row[..., 4] > 0
+    if meta_row is not None or atlas.meta is not None:
+        if meta_row is not None:
+            # zero metadata gathers: the caller already carries the row
+            off0, w0i, h0i, mipc, srgb_f = meta_row
+        else:
+            # ONE metadata gather; per-mip (off, w, h) derive
+            # arithmetically (POT + exact halving, verified at pack time)
+            # — the six table gathers this replaces measured 76ms/2M rays
+            # vs ~12 for one row
+            row = atlas.meta[t]  # (R,8)
+            off0, w0i, h0i = row[..., 0], row[..., 1], row[..., 2]
+            mipc = row[..., 3]
+            srgb_f = row[..., 4] > 0
 
         def mip_owh(m):
             w = jnp.maximum(w0i >> m, 1)

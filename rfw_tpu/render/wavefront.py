@@ -526,28 +526,59 @@ def _fetch_material_c(
     # the WHOLE material record — float block + tex ids as exact f32 ints —
     # resolves in one fetch (one-hot MXU matmul for mid-size tables);
     # the separate tex-id gather cost another ~14-25ns/row
-    blk = _fetch_rows(
-        jnp.concatenate([mats.color, mats.params, mats.absorption[:, :3],
-                         mats.tex.astype(jnp.float32)],
-                        axis=1),
-        mat_id,
-    )  # (R, 4+16+3+6)
+    cols = [mats.color, mats.params, mats.absorption[:, :3],
+            mats.tex.astype(jnp.float32)]
+    # texture metadata rides the SAME row (24 more matmul columns are
+    # ~free): each kind's (off0, w0, h0, mip_count, srgb) lands per-lane
+    # without its own ~12ms/2M-ray metadata gather in sample_bilinear.
+    # off0 can exceed f32's 2^24 exact-int range (the pool is row-indexed
+    # but unbounded) so it travels as a 12-bit split (hi=off>>12, lo=off
+    # &4095 — exact through the one-hot matmul up to 2^36 rows).
+    carry_meta = atlas.meta is not None
+    if carry_meta:
+        am = atlas.meta
+        for k in range(4):
+            mk = am[jnp.maximum(mats.tex[:, k], 0)]  # (M,8) tiny gather
+            cols.append(jnp.stack([
+                (mk[:, 0] >> 12).astype(jnp.float32),
+                (mk[:, 0] & 4095).astype(jnp.float32),
+                mk[:, 1].astype(jnp.float32),
+                mk[:, 2].astype(jnp.float32),
+                mk[:, 3].astype(jnp.float32),
+                mk[:, 4].astype(jnp.float32),
+            ], axis=1))
+    blk = _fetch_rows(jnp.concatenate(cols, axis=1), mat_id)
+    # (R, 4+16+3+6 [+24])
     color = (blk[:, 0], blk[:, 1], blk[:, 2])
     params = blk[:, 4:20]
     absorption = (blk[:, 20], blk[:, 21], blk[:, 22])
     tex = jnp.round(blk[:, 23:29]).astype(jnp.int32)
 
+    def _meta_row(k):
+        if not carry_meta:
+            return None
+        b = 29 + 6 * k
+        off0 = (jnp.round(blk[:, b]).astype(jnp.int32) << 12) | jnp.round(
+            blk[:, b + 1]).astype(jnp.int32)
+        w0 = jnp.round(blk[:, b + 2]).astype(jnp.int32)
+        h0 = jnp.round(blk[:, b + 3]).astype(jnp.int32)
+        mipc = jnp.round(blk[:, b + 4]).astype(jnp.int32)
+        srgb_f = blk[:, b + 5] > 0.5
+        return (off0, w0, h0, mipc, srgb_f)
+
     R = mat_id.shape[0]
     ones = jnp.ones(R, jnp.float32)
     zeros = jnp.zeros(R, jnp.float32)
     if tex_mask & 1:
-        diff = sample_bilinear(atlas, tex[:, 0], uv_c, lod, trilinear)
+        diff = sample_bilinear(atlas, tex[:, 0], uv_c, lod, trilinear,
+                               meta_row=_meta_row(0))
         base_color = tuple(color[j] * diff[:, j] for j in range(3))
     else:
         base_color = color
 
     if tex_mask & 4:
-        mr = sample_bilinear(atlas, tex[:, 2], uv_c, lod, trilinear)
+        mr = sample_bilinear(atlas, tex[:, 2], uv_c, lod, trilinear,
+                             meta_row=_meta_row(2))
         has_mr = tex[:, 2] >= 0
         metallic = jnp.where(has_mr, params[:, 0] * mr[:, 2], params[:, 0])
         roughness = jnp.where(has_mr, params[:, 3] * mr[:, 1], params[:, 3])
@@ -556,7 +587,8 @@ def _fetch_material_c(
         roughness = params[:, 3]
 
     if tex_mask & 2:
-        nrm_tex = sample_bilinear(atlas, tex[:, 1], uv_c, lod, trilinear)
+        nrm_tex = sample_bilinear(atlas, tex[:, 1], uv_c, lod, trilinear,
+                                  meta_row=_meta_row(1))
         has_n = tex[:, 1] >= 0
         n_ts = tuple(
             jnp.where(has_n, nrm_tex[:, j] * 2.0 - 1.0,
@@ -572,7 +604,8 @@ def _fetch_material_c(
     emission_base = tuple(
         jnp.where(is_emissive, color[j], 0.0) for j in range(3))
     if tex_mask & 8:
-        emis_tex = sample_bilinear(atlas, tex[:, 3], uv_c, lod, trilinear)
+        emis_tex = sample_bilinear(atlas, tex[:, 3], uv_c, lod, trilinear,
+                                   meta_row=_meta_row(3))
         emission = tuple(
             jnp.where(is_emissive, color[j] * emis_tex[:, j], 0.0)
             for j in range(3))

@@ -104,6 +104,108 @@ def _leaf_test(sc: SimScene, first, o, d, t_best):
     return np.minimum(t_best, t.min(axis=1))
 
 
+def walk_stream_fused(sc: SimScene, o_w, db_w, ds_w, t_lim_s, order: str):
+    """Fused dual-ray stream walk: every lane carries a closest-hit bounce
+    ray (o_w, db_w) AND an any-hit shadow ray (o_w, ds_w, limit t_lim_s)
+    from the SAME origin. One shared stack; a node is visited if EITHER
+    population needs it. Models fusing the NEE occlusion trace of vertex k
+    into the bounce trace of vertex k+1 (origins coincide: both leave the
+    vertex-k hit point). Returns (iterations, t_best_bounce, shadow_dead).
+
+    Lanes whose shadow t_lim is 0 never pass a slab test (dead shadow);
+    bounce-dead lanes are encoded the same way by the caller via db zeros
+    + t_best init — here every lane's bounce ray is considered live, which
+    matches the integrator (it traces the full sorted prefix)."""
+    n = o_w.shape[0]
+    t_best = np.full(n, T_MAX, np.float32)
+    t_s = np.asarray(t_lim_s, np.float32).copy()
+    dead_s = t_s <= T_MIN
+    stack = []
+    node, inst = sc.root, -1
+    o, db, ds = o_w, db_w, ds_w
+    dinv_b = 1.0 / np.where(np.abs(db) < 1e-20,
+                            np.where(db < 0, -1e-20, 1e-20), db)
+    dinv_s = 1.0 / np.where(np.abs(ds) < 1e-20,
+                            np.where(ds < 0, -1e-20, 1e-20), ds)
+    mean_d = db_w.mean(axis=0)
+    iters = 0
+
+    def rebase(i):
+        nonlocal o, db, ds, dinv_b, dinv_s
+        if i < 0:
+            o, db, ds = o_w, db_w, ds_w
+        else:
+            m = sc.inst_inv[i]
+            o = o_w @ m[:3, :3].T + m[:3, 3]
+            db = db_w @ m[:3, :3].T
+            ds = ds_w @ m[:3, :3].T
+        dinv_b = 1.0 / np.where(np.abs(db) < 1e-20,
+                                np.where(db < 0, -1e-20, 1e-20), db)
+        dinv_s = 1.0 / np.where(np.abs(ds) < 1e-20,
+                                np.where(ds < 0, -1e-20, 1e-20), ds)
+
+    while True:
+        if node == -1:
+            if not stack:
+                break
+            node, new_inst = stack.pop()
+            if new_inst != inst:
+                inst = new_inst
+                rebase(inst)
+        iters += 1
+        if node <= -2:
+            lv = -node - 2
+            first = (lv >> 6) << 6
+            t_best = _leaf_test(sc, first, o, db, t_best)
+            sh = _leaf_test(sc, first, o, ds,
+                            np.where(dead_s, 0.0, t_s))
+            dead_s = dead_s | (sh < t_s)
+            node = -1
+            continue
+        in_tlas = inst < 0
+        hits = []
+        for c in range(8):
+            box6 = sc.box[node, 6 * c:6 * c + 6]
+            ok_b, tn = _aabb_t(box6, o, dinv_b, t_best)
+            ok_s, _ = _aabb_t(box6, o, dinv_s,
+                              np.where(dead_s, 0.0, t_s))
+            ok = ok_b | ok_s
+            if ok.any():
+                tm = tn[ok_b] if ok_b.any() else tn[ok]
+                hits.append((c, float(tm.mean())))
+        if order == "axis":
+            a = sc.axis[node]
+            sgn = mean_d[a]
+            hits.sort(key=lambda h: sc.centers[node, h[0], a],
+                      reverse=(sgn > 0))
+        elif order == "consensus":
+            hits.sort(key=lambda h: h[1], reverse=True)
+        next_code, next_inst = -1, inst
+        for c, _tn in hits:
+            code = int(sc.code[node, c])
+            cnt = int(sc.cnt[node, c])
+            if code < 0:
+                payload = -code - 1
+                if in_tlas:
+                    e_code = int(sc.blas_root[payload])
+                    e_inst = payload
+                else:
+                    e_code = -(payload + min(cnt - 1, TREELET - 1)) - 2
+                    e_inst = inst
+            else:
+                e_code, e_inst = code, inst
+            if next_code != -1:
+                stack.append((next_code, next_inst))
+            next_code, next_inst = e_code, e_inst
+        if next_inst != inst and next_code != -1:
+            inst = next_inst
+            rebase(inst)
+        node = next_code
+        if node == -1 and not stack:
+            break
+    return iters, t_best, dead_s
+
+
 def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
                 any_hit: bool = False):
     """One stream's full traversal; returns (iterations, internal visits,
@@ -198,7 +300,52 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
         node = next_code
         if node == -1 and not stack:
             break
-    return iters, n_int, n_leaf, t_best
+    return iters, n_int, n_leaf, t_best, dead
+
+
+def run_fused(sc, o, db, ds, t_s, nstream, tiles, order):
+    """Compare (closest walk on bounce rays) + (any-hit walk on shadow
+    rays) against ONE fused dual-ray walk, at the kernel's program cost
+    model (sum over programs of max-stream iterations). Also checks the
+    fused walk's outputs agree with the separate walks."""
+    lanes = 1024
+    per_stream = lanes // nstream
+    R = min(o.shape[0], tiles * lanes)
+    cost_b = cost_s = cost_f = 0
+    mism = 0
+    for p in range(R // lanes):
+        worst_b = worst_s = worst_f = 0
+        for k in range(nstream):
+            lo = p * lanes + k * per_stream
+            sl = slice(lo, lo + per_stream)
+            it_b, _, _, tb_sep, _ = walk_stream(
+                sc, o[sl], db[sl], T_MAX, order)
+            it_s, _, _, _, dead_sep = walk_stream(
+                sc, o[sl], ds[sl], t_s[sl], order, any_hit=True)
+            it_f, tb_f, dead_f = walk_stream_fused(
+                sc, o[sl], db[sl], ds[sl], t_s[sl], order)
+            worst_b = max(worst_b, it_b)
+            worst_s = max(worst_s, it_s)
+            worst_f = max(worst_f, it_f)
+            if not np.allclose(tb_f, tb_sep, rtol=1e-5, atol=1e-5):
+                mism += 1
+            live_lim = t_s[sl] > T_MIN
+            if not np.array_equal(dead_f & live_lim, dead_sep & live_lim):
+                mism += 1
+        cost_b += worst_b
+        cost_s += worst_s
+        cost_f += worst_f
+    sep = cost_b + cost_s
+    print(f"fused dual-ray walk order={order:9s} "
+          f"closest={cost_b} anyhit={cost_s} sep={sep} fused={cost_f}")
+    print(f"    -> fused/closest = {cost_f / max(cost_b, 1):.3f}x; "
+          f"fused saves {100.0 * (1 - cost_f / max(sep, 1)):.1f}% of "
+          f"separate program-iters; agreement mismatches={mism}")
+    for cpi in (1.1, 1.25, 1.5):
+        eff = cost_f * cpi
+        print(f"    -> at {cpi:.2f}x per-iter cost: saves "
+              f"{100.0 * (1 - eff / max(sep, 1)):.1f}%")
+    return cost_f, sep
 
 
 def run_population(sc, o, d, t_lim, nstream, tiles, order, label,
@@ -216,7 +363,7 @@ def run_population(sc, o, d, t_lim, nstream, tiles, order, label,
         worst = 0
         for k in range(nstream):
             lo = p * lanes + k * per_stream
-            it, ni, nl, tb = walk_stream(
+            it, ni, nl, tb, _ = walk_stream(
                 sc, o[lo:lo + per_stream], d[lo:lo + per_stream],
                 t_lim, order, any_hit=any_hit)
             worst = max(worst, it)
@@ -254,6 +401,10 @@ def main():
                     help="extra NSTREAM values to sim (comma list)")
     ap.add_argument("--anyhit", action="store_true",
                     help="walk populations in occlusion (any-hit) mode")
+    ap.add_argument("--fused", action="store_true",
+                    help="evaluate fusing the NEE shadow any-hit walk "
+                    "into the bounce closest-hit walk (shared stack, "
+                    "same per-lane origin) instead of the normal runs")
     args = ap.parse_args()
 
     os.environ.setdefault("JAX_PLATFORM_NAME", "cpu")
@@ -281,6 +432,7 @@ def main():
     d = np.asarray(ray_d, np.float32)
 
     pops = {}
+    fused_pops = {}
     if "primary" in args.populations:
         pops["primary/coherent"] = (o, d, None)
     if "bounce" in args.populations:
@@ -316,6 +468,38 @@ def main():
         bd = lx[:, None] * tx + ly[:, None] * ty + lz[:, None] * ng
         bo = pos + ng * 1e-3
         bo, bd = bo[found], bd[found]
+        ngf = ng[found]
+        sd = st_lim = None
+        if args.fused:
+            # per-lane shadow ray toward a uniformly picked point/spot/dir
+            # light, horizon-gated like the integrator (light behind the
+            # surface -> t_lim 0 -> the lane never passes a slab test)
+            dl = dlights
+            cands = (
+                [("pos", p) for p in np.asarray(
+                    dl.point_pos, np.float32)[:int(dl.n_point[0])]]
+                + [("pos", s) for s in np.asarray(
+                    dl.spot_pos, np.float32)[:int(dl.n_spot[0])]]
+                + [("dir", v) for v in np.asarray(
+                    dl.dir_dir, np.float32)[:int(dl.n_dir[0])]]
+            )
+            rng2 = np.random.default_rng(11)
+            pick = rng2.integers(0, len(cands), bo.shape[0])
+            sd = np.zeros_like(bd)
+            st_lim = np.zeros(bo.shape[0], np.float32)
+            for i, (kind, vec) in enumerate(cands):
+                m = pick == i
+                if kind == "pos":
+                    v = vec[None, :] - bo[m]
+                    dist = np.linalg.norm(v, axis=1)
+                    sd[m] = v / np.maximum(dist[:, None], 1e-12)
+                    st_lim[m] = np.maximum(dist - 2e-3, 0.0)
+                else:
+                    sd[m] = -vec[None, :] / max(
+                        float(np.linalg.norm(vec)), 1e-12)
+                    st_lim[m] = 1e8
+            cosl = np.sum(sd * ngf, axis=1)
+            st_lim = np.where(cosl > 0, st_lim, 0.0).astype(np.float32)
         oct_ = ((bd[:, 0] < 0).astype(np.int64)
                 | ((bd[:, 1] < 0).astype(np.int64) << 1)
                 | ((bd[:, 2] < 0).astype(np.int64) << 2))
@@ -342,8 +526,20 @@ def main():
                 raise SystemExit(f"unknown sortkey {skname}")
             order = np.argsort(key, kind="stable")
             pops[f"bounce/{skname}"] = (bo[order], bd[order], None)
+            if args.fused:
+                fused_pops[f"bounce/{skname}"] = (
+                    bo[order], bd[order], sd[order], st_lim[order])
         if "primary/coherent" in pops:
             pops["primary/coherent"] = (o, d, t)  # oracle anchor
+
+    if args.fused:
+        for label, (po, pdir, fsd, fst) in fused_pops.items():
+            live = float((fst > 1e-4).mean())
+            print(f"{label}: {po.shape[0]} rays, shadow-live "
+                  f"{100 * live:.1f}%")
+            run_fused(sc, po, pdir, fsd, fst, args.nstream, args.tiles,
+                      "current")
+        return
 
     nstreams = [args.nstream] + [
         int(x) for x in args.nstreams.split(",") if x]
