@@ -115,8 +115,10 @@ class PallasScene(NamedTuple):
     stored as i32 (the reduction runs in the INT domain: child-code bit
     patterns are NaNs/denormals that float relayouts would canonicalize)."""
 
-    scene_t: jax.Array  # (64, Spad) i32: rows 0..47 box f32 bits (child k
-    #   rows 6k..6k+5 = min3|max3), rows 48..55 child codes, 56..63 counts
+    scene_t: jax.Array  # (8*arity, Spad) i32: rows 0..6A-1 box f32 bits
+    #   (child k rows 6k..6k+5 = min3|max3), rows 6A..7A-1 child codes,
+    #   7A..8A-1 counts. arity = pack-time supernode width (8 default;
+    #   16 fills one 128-row column per fetch — RFW_WIDE_ARITY)
     tri_t: jax.Array  # (TREELET, TLANES*Cpad) f32: sublane j, lane group c
     #   = treelet c's slot j: a 3x4 world->unit-triangle affine in lanes
     #   16c..16c+11 (rows of [u; v; w], translation last). One leaf = one
@@ -158,12 +160,13 @@ def pallas_scene_bytes(scene) -> int:
     track the padding in `_pad_lanes`/`_bucket` exactly, or selection can
     pick a scene the kernel can't fit in scoped VMEM."""
     supers = _bucket(int(scene.blas8_box.shape[0]) + int(scene.tlas8_box.shape[0]))
+    srows = 8 * int(scene.blas8_code.shape[1])  # 8 i32 rows per child
     rows = max(int(scene.tri_v0.shape[0]), TREELET)
     treelets = -(-rows // TREELET)
     tri_lanes = _bucket(TLANES * treelets, 512)
     insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
     roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
-    return 4 * (64 * supers + TREELET * tri_lanes + 16 * insts + roots)
+    return 4 * (srows * supers + TREELET * tri_lanes + 16 * insts + roots)
 
 
 def pallas_resident_bytes(scene) -> int:
@@ -171,9 +174,10 @@ def pallas_resident_bytes(scene) -> int:
     treelet arena (which streams from HBM). Auto-selection compares this
     against VMEM_RESIDENT_BUDGET for scenes too big for the classic tier."""
     supers = _bucket(int(scene.blas8_box.shape[0]) + int(scene.tlas8_box.shape[0]))
+    srows = 8 * int(scene.blas8_code.shape[1])
     insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
     roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
-    return 4 * (64 * supers + 16 * insts + roots)
+    return 4 * (srows * supers + 16 * insts + roots)
 
 
 def _woop12(v0, e1, e2):
@@ -276,7 +280,8 @@ class _Walk(NamedTuple):
 
 
 def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
-                             batch: int = 1, tri_hbm: bool = False):
+                             batch: int = 1, tri_hbm: bool = False,
+                             arity: int = 8):
     """NSTREAM interleaved predicated walks over transposed scene columns.
 
     Each while iteration advances every live stream one node visit. Loads
@@ -521,11 +526,12 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
                             v_ref[0, rsl, :] = jnp.where(
                                 hit_any, vwin, v_ref[0, rsl, :])
 
-                # ---- phase 3: 8-wide internal test + nearest-first push.
+                # ---- phase 3: arity-wide internal test + nearest-first push.
                 for k in range(NSTREAM):
                     w = popped[k]
                     col = cols[k]
-                    boxf = jax.lax.bitcast_convert_type(col[0:48], jnp.float32)
+                    boxf = jax.lax.bitcast_convert_type(
+                        col[0:6 * arity], jnp.float32)
                     sl = slice(k * SSUB, (k + 1) * SSUB)
                     ox = obj_ref[0, sl, :]
                     oy = obj_ref[1, sl, :]
@@ -555,7 +561,7 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
                     next_code = jnp.int32(-1)
                     next_inst = w.inst
                     sp = w.sp
-                    for c in range(8):
+                    for c in range(arity):
                         mnx = boxf[6 * c + 0:6 * c + 1, 0:1]
                         mny = boxf[6 * c + 1:6 * c + 2, 0:1]
                         mnz = boxf[6 * c + 2:6 * c + 3, 0:1]
@@ -581,7 +587,8 @@ def _traverse_kernel_factory(any_hit: bool, stats: bool = False,
                             okl = okl & ~dead
                         hitk = jnp.any(okl) & is_int
 
-                        e_code, e_inst = child_entry(col[48 + c, 0], col[56 + c, 0])
+                        e_code, e_inst = child_entry(
+                            col[6 * arity + c, 0], col[7 * arity + c, 0])
                         do_push = hitk & (next_code != -1)
 
                         @pl.when(do_push)
@@ -657,12 +664,15 @@ def _run_arrays(
     T = o4.shape[0]
     assert T % batch == 0
     assert not (stats and any_hit), "stats mode is closest-hit only"
-    kernel = _traverse_kernel_factory(any_hit, stats, batch, tri_hbm)
+    # supernode arity rides the scene_t row count (8 rows per child:
+    # 6 box + 1 code + 1 cnt — see prepare_pallas_scene)
+    arity = scene_t.shape[0] // 8
+    kernel = _traverse_kernel_factory(any_hit, stats, batch, tri_hbm, arity)
     meta_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     # tri_hbm: the treelet arena stays in HBM/ANY; leaf visits DMA blocks
-    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if tri_hbm
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) if tri_hbm
                 else scene_spec)
     tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)

@@ -89,7 +89,8 @@ class _W(NamedTuple):
     done: jax.Array
 
 
-def _items_kernel_factory(batch: int, tri_hbm: bool = False):
+def _items_kernel_factory(batch: int, tri_hbm: bool = False,
+                          arity: int = 8):
     """One fixed-instance shared-stack walk per stream. Stream k's
     instance comes from sinst_ref[tile, k] (SMEM); its walk starts at
     that instance's BLAS root and never re-enters the TLAS."""
@@ -280,11 +281,12 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False):
                             v_ref[0, rsl, :] = jnp.where(
                                 hit_any, vwin, v_ref[0, rsl, :])
 
-                # ---- phase 3: 8-wide internal test + nearest-first push
+                # ---- phase 3: arity-wide internal test + nearest-first push
                 for k in range(NSTREAM):
                     w = popped[k]
                     col = cols[k]
-                    boxf = jax.lax.bitcast_convert_type(col[0:48], jnp.float32)
+                    boxf = jax.lax.bitcast_convert_type(
+                        col[0:6 * arity], jnp.float32)
                     sl = slice(k * SSUB, (k + 1) * SSUB)
                     ox = obj_ref[0, sl, :]
                     oy = obj_ref[1, sl, :]
@@ -305,7 +307,7 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False):
 
                     next_code = jnp.int32(-1)
                     sp = w.sp
-                    for c in range(8):
+                    for c in range(arity):
                         mnx = boxf[6 * c + 0:6 * c + 1, 0:1]
                         mny = boxf[6 * c + 1:6 * c + 2, 0:1]
                         mnz = boxf[6 * c + 2:6 * c + 3, 0:1]
@@ -331,7 +333,8 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False):
                         okl = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
                         hitk = jnp.any(okl) & is_int
 
-                        e_code = child_entry(col[48 + c, 0], col[56 + c, 0])
+                        e_code = child_entry(
+                            col[6 * arity + c, 0], col[7 * arity + c, 0])
                         do_push = hitk & (next_code != -1)
 
                         @pl.when(do_push)
@@ -388,10 +391,11 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
                       tri_hbm: bool = False):
     T = o4.shape[0]
     assert T % batch == 0
-    kernel = _items_kernel_factory(batch, tri_hbm)
+    # supernode arity rides the scene_t row count (8 i32 rows per child)
+    kernel = _items_kernel_factory(batch, tri_hbm, scene_t.shape[0] // 8)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
-    tri_spec = (pl.BlockSpec(memory_space=pltpu.ANY) if tri_hbm
+    tri_spec = (pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) if tri_hbm
                 else scene_spec)
     # windowed SMEM: the full (T, NSTREAM) table blew the 1MB SMEM budget
     # at 1080p capacities; each step only needs its own batch rows

@@ -181,7 +181,7 @@ def render_spp_sharded(
     frame). spp must divide by the mesh size. Returns the (R,3) mean
     radiance, fully replicated.
     """
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
 
     from rfw_tpu.render.wavefront import RenderConfig, render_sample
 
@@ -211,7 +211,7 @@ def render_spp_sharded(
 
     f = jax.jit(shard_map(
         body, mesh=mesh, in_specs=P(axis), out_specs=P(),
-        check_rep=False,
+        check_vma=False,
     ))
     with mesh:
         return f(jax.device_put(keys, NamedSharding(mesh, P(axis)))) / spp

@@ -528,16 +528,21 @@ def _fetch_material_c(
     # the separate tex-id gather cost another ~14-25ns/row
     cols = [mats.color, mats.params, mats.absorption[:, :3],
             mats.tex.astype(jnp.float32)]
-    # texture metadata rides the SAME row (24 more matmul columns are
-    # ~free): each kind's (off0, w0, h0, mip_count, srgb) lands per-lane
-    # without its own ~12ms/2M-ray metadata gather in sample_bilinear.
+    # texture metadata rides the SAME row (6 more matmul columns per BOUND
+    # kind are ~free; kinds outside the static tex_mask are skipped): each
+    # kind's (off0, w0, h0, mip_count, srgb) lands per-lane without its own
+    # ~12ms/2M-ray metadata gather in sample_bilinear.
     # off0 can exceed f32's 2^24 exact-int range (the pool is row-indexed
     # but unbounded) so it travels as a 12-bit split (hi=off>>12, lo=off
-    # &4095 — exact through the one-hot matmul up to 2^36 rows).
+    # &4095 — exact up to atlas.meta's int32 storage bound of 2^31 rows).
     carry_meta = atlas.meta is not None
+    meta_base = {}
     if carry_meta:
         am = atlas.meta
+        nb = 29
         for k in range(4):
+            if not (tex_mask >> k) & 1:
+                continue  # masked kind: never sampled, skip its columns
             mk = am[jnp.maximum(mats.tex[:, k], 0)]  # (M,8) tiny gather
             cols.append(jnp.stack([
                 (mk[:, 0] >> 12).astype(jnp.float32),
@@ -547,17 +552,19 @@ def _fetch_material_c(
                 mk[:, 3].astype(jnp.float32),
                 mk[:, 4].astype(jnp.float32),
             ], axis=1))
+            meta_base[k] = nb
+            nb += 6
     blk = _fetch_rows(jnp.concatenate(cols, axis=1), mat_id)
-    # (R, 4+16+3+6 [+24])
+    # (R, 4+16+3+6 [+6*popcount(tex_mask)])
     color = (blk[:, 0], blk[:, 1], blk[:, 2])
     params = blk[:, 4:20]
     absorption = (blk[:, 20], blk[:, 21], blk[:, 22])
     tex = jnp.round(blk[:, 23:29]).astype(jnp.int32)
 
     def _meta_row(k):
-        if not carry_meta:
+        if k not in meta_base:
             return None
-        b = 29 + 6 * k
+        b = meta_base[k]
         off0 = (jnp.round(blk[:, b]).astype(jnp.int32) << 12) | jnp.round(
             blk[:, b + 1]).astype(jnp.int32)
         w0 = jnp.round(blk[:, b + 2]).astype(jnp.int32)

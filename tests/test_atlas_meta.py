@@ -10,6 +10,7 @@ may differ by XLA fusion noise ~1e-7, covered by the golden gates).
 
 import numpy as np
 import jax.numpy as jnp
+import pytest
 
 from rfw_tpu.backend.structs import DeviceMaterials
 from rfw_tpu.render.atlas import atlas_to_device, pack_atlas, sample_bilinear
@@ -38,7 +39,9 @@ def _mk_materials(rng, n_mat, n_tex):
     )
 
 
-def test_fetch_material_meta_carried_bitwise():
+@pytest.mark.parametrize("trilinear", [False, True])
+@pytest.mark.parametrize("tex_mask", [15, 5])
+def test_fetch_material_meta_carried_bitwise(trilinear, tex_mask):
     rng = np.random.default_rng(7)
     atlas = atlas_to_device(pack_atlas(_mk_textures(rng, 5)))
     assert atlas.meta is not None  # POT exact-halving chains
@@ -56,7 +59,7 @@ def test_fetch_material_meta_carried_bitwise():
 
     def run(at):
         p, em, nts, emb, ab = _fetch_material_c(
-            dmats, at, mat_id, uv, lod, entering, 15, False)
+            dmats, at, mat_id, uv, lod, entering, tex_mask, trilinear)
         return np.stack([np.asarray(x) for x in (
             *p.base_color, p.metallic, p.roughness, *em, *nts, *emb, *ab)])
 
@@ -65,7 +68,8 @@ def test_fetch_material_meta_carried_bitwise():
     assert np.array_equal(carried, legacy)
 
 
-def test_sample_bilinear_meta_row_matches_internal():
+@pytest.mark.parametrize("trilinear", [False, True])
+def test_sample_bilinear_meta_row_matches_internal(trilinear):
     rng = np.random.default_rng(3)
     atlas = atlas_to_device(pack_atlas(_mk_textures(rng, 4)))
     R = 128
@@ -77,9 +81,10 @@ def test_sample_bilinear_meta_row_matches_internal():
     t = jnp.maximum(tid, 0)
     row = atlas.meta[t]
     meta_row = (row[:, 0], row[:, 1], row[:, 2], row[:, 3], row[:, 4] > 0)
-    a = np.asarray(sample_bilinear(atlas, tid, uv, lod, meta_row=meta_row))
-    b = np.asarray(sample_bilinear(atlas, tid, uv, lod))
+    a = np.asarray(sample_bilinear(atlas, tid, uv, lod, trilinear,
+                                   meta_row=meta_row))
+    b = np.asarray(sample_bilinear(atlas, tid, uv, lod, trilinear))
     c = np.asarray(sample_bilinear(
-        atlas._replace(meta=None), tid, uv, lod))
+        atlas._replace(meta=None), tid, uv, lod, trilinear))
     assert np.array_equal(a, b)
     assert np.array_equal(a, c)

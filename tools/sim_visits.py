@@ -39,31 +39,88 @@ T_MIN = 1e-4
 T_MAX = 1e30
 
 
-class SimScene:
-    """Merged wide8 arenas in the kernel's global id space."""
+def _rebuild_wide(scene, depth):
+    """Re-collapse the packed binary arenas at (1<<depth)-ary width.
 
-    def __init__(self, scene):
-        nb8 = int(scene.blas8_box.shape[0])
-        t_code = np.asarray(scene.tlas8_code).copy()
+    Mirrors what pack.py does at build time for another arity: per unique
+    BLAS root, collapse that subtree of the merged binary arena (leaf
+    node_left already stores GLOBAL first-triangle ids, so no offset), then
+    merge chunks with code rebasing; same for the binary TLAS. Returns
+    (blas_box, blas_code, blas_cnt, blas_roots_per_instance,
+     tlas_box, tlas_code, tlas_cnt)."""
+    from rfw_tpu.accel.bvh_cpu import BvhNodes
+    from rfw_tpu.render.pack import build_widen
+
+    arena = BvhNodes(
+        node_min=np.asarray(scene.blas_min, np.float32),
+        node_max=np.asarray(scene.blas_max, np.float32),
+        node_left=np.asarray(scene.blas_left, np.int32),
+        node_right=np.asarray(scene.blas_right, np.int32),
+        node_count=np.asarray(scene.blas_count, np.int32),
+        prim_order=np.zeros(1, np.int32),
+    )
+    roots = np.asarray(scene.blas_root, np.int32)
+    boxes, codes, cnts = [], [], []
+    off = 0
+    root_of = {}
+    for r in sorted(set(int(x) for x in roots)):
+        b, c, n = build_widen(arena, tlas=False, depth=depth, root=r)
+        c = np.where(c >= 0, c + off, c)
+        boxes.append(b)
+        codes.append(c)
+        cnts.append(n)
+        root_of[r] = off
+        off += b.shape[0]
+    blas_box = np.concatenate(boxes)
+    blas_code = np.concatenate(codes)
+    blas_cnt = np.concatenate(cnts)
+    inst_roots = np.array([root_of[int(r)] for r in roots], np.int32)
+
+    tlas = BvhNodes(
+        node_min=np.asarray(scene.tlas_min, np.float32),
+        node_max=np.asarray(scene.tlas_max, np.float32),
+        node_left=np.asarray(scene.tlas_left, np.int32),
+        node_right=np.asarray(scene.tlas_right, np.int32),
+        node_count=np.asarray(scene.tlas_count, np.int32),
+        prim_order=np.asarray(scene.tlas_prim, np.int32),
+    )
+    t_box, t_code, t_cnt = build_widen(tlas, tlas=True, depth=depth)
+    return (blas_box, blas_code, blas_cnt, inst_roots, t_box, t_code, t_cnt)
+
+
+class SimScene:
+    """Merged wideN arenas in the kernel's global id space."""
+
+    def __init__(self, scene, depth: int = 3):
+        if depth == 3:
+            blas_box = np.asarray(scene.blas8_box)
+            blas_code = np.asarray(scene.blas8_code)
+            blas_cnt = np.asarray(scene.blas8_cnt)
+            inst_roots = np.asarray(scene.blas8_root)
+            t_box = np.asarray(scene.tlas8_box)
+            t_code = np.asarray(scene.tlas8_code)
+            t_cnt = np.asarray(scene.tlas8_cnt)
+        else:
+            (blas_box, blas_code, blas_cnt, inst_roots,
+             t_box, t_code, t_cnt) = _rebuild_wide(scene, depth)
+        self.arity = blas_code.shape[1]
+        nb8 = int(blas_box.shape[0])
+        t_code = np.asarray(t_code).copy()
         t_code[t_code >= 0] += nb8
         self.box = np.concatenate(
-            [np.asarray(scene.blas8_box), np.asarray(scene.tlas8_box)]
-        ).astype(np.float32)  # (S,48)
-        self.code = np.concatenate(
-            [np.asarray(scene.blas8_code), t_code]).astype(np.int32)
-        self.cnt = np.concatenate(
-            [np.asarray(scene.blas8_cnt), np.asarray(scene.tlas8_cnt)]
-        ).astype(np.int32)
+            [blas_box, t_box]).astype(np.float32)  # (S, 6*arity)
+        self.code = np.concatenate([blas_code, t_code]).astype(np.int32)
+        self.cnt = np.concatenate([blas_cnt, t_cnt]).astype(np.int32)
         self.root = nb8
-        self.blas_root = np.asarray(scene.blas8_root).astype(np.int32)
+        self.blas_root = np.asarray(inst_roots).astype(np.int32)
         self.inst_inv = np.asarray(scene.inst_inv).astype(np.float32)
         self.v0 = np.asarray(scene.tri_v0).astype(np.float32)
         self.e1 = np.asarray(scene.tri_e1).astype(np.float32)
         self.e2 = np.asarray(scene.tri_e2).astype(np.float32)
         # per-node dominant-spread axis over the child-box centers (the
         # "axis" strategy's build-time metadata — 2 bits per node)
-        mins = self.box.reshape(-1, 8, 6)[:, :, 0:3]
-        maxs = self.box.reshape(-1, 8, 6)[:, :, 3:6]
+        mins = self.box.reshape(-1, self.arity, 6)[:, :, 0:3]
+        maxs = self.box.reshape(-1, self.arity, 6)[:, :, 3:6]
         centers = 0.5 * (mins + maxs)  # (S,8,3) (inf for empty children)
         valid = mins[:, :, 0] <= maxs[:, :, 0]
         c_masked = np.where(valid[:, :, None], centers, np.nan)
@@ -112,7 +169,10 @@ def walk_stream_fused(sc: SimScene, o_w, db_w, ds_w, t_lim_s, order: str):
     into the bounce trace of vertex k+1 (origins coincide: both leave the
     vertex-k hit point). Returns (iterations, t_best_bounce, shadow_dead).
 
-    Lanes whose shadow t_lim is 0 never pass a slab test (dead shadow);
+    Lanes whose shadow t_lim is 0 fail every slab test except for boxes
+    containing the ray origin (tn < 0 passes regardless of t_best) —
+    harmless for the cost model because the co-located live bounce ray
+    visits those same boxes anyway;
     bounce-dead lanes are encoded the same way by the caller via db zeros
     + t_best init — here every lane's bounce ray is considered live, which
     matches the integrator (it traces the full sorted prefix)."""
@@ -164,7 +224,7 @@ def walk_stream_fused(sc: SimScene, o_w, db_w, ds_w, t_lim_s, order: str):
             continue
         in_tlas = inst < 0
         hits = []
-        for c in range(8):
+        for c in range(sc.arity):
             box6 = sc.box[node, 6 * c:6 * c + 6]
             ok_b, tn = _aabb_t(box6, o, dinv_b, t_best)
             ok_s, _ = _aabb_t(box6, o, dinv_s,
@@ -259,7 +319,7 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
         n_int += 1
         in_tlas = inst < 0
         hits = []
-        for c in range(8):
+        for c in range(sc.arity):
             box6 = sc.box[node, 6 * c:6 * c + 6]
             ok, tn = _aabb_t(box6, o, d_inv, t_best)
             if any_hit:
@@ -399,6 +459,11 @@ def main():
                     "octmorton,instance,morton,none")
     ap.add_argument("--nstreams", default="",
                     help="extra NSTREAM values to sim (comma list)")
+    ap.add_argument("--arity", type=int, default=8, choices=(8, 16, 32),
+                    help="supernode width: 8 = the packed default; 16/32 "
+                    "re-collapse the binary arenas (wider node per fetch "
+                    "-> shorter dependent-fetch chains, more VPU slab "
+                    "work per visit)")
     ap.add_argument("--anyhit", action="store_true",
                     help="walk populations in occlusion (any-hit) mode")
     ap.add_argument("--fused", action="store_true",
@@ -419,7 +484,8 @@ def main():
     W, H = args.width, args.height
     R = W * H
     sdev, dmats, atlas, dlights, view = build_scene(W, H)
-    sc = SimScene(jax.tree_util.tree_map(np.asarray, sdev))
+    sc = SimScene(jax.tree_util.tree_map(np.asarray, sdev),
+                  depth=args.arity.bit_length() - 1)
     print(f"scene: {sc.v0.shape[0]} arena tris, {sc.box.shape[0]} supernodes,"
           f" tlas_root={sc.root}", file=sys.stderr)
 
