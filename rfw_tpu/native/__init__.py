@@ -26,12 +26,14 @@ def _load() -> Optional[ctypes.CDLL]:
     if _LIB is not None or _TRIED:
         return _LIB
     _TRIED = True
-    if not os.path.exists(_SO):
-        try:
-            subprocess.run(
-                ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
-            )
-        except Exception:
+    try:
+        # always invoke make: a no-op when the .so is current, a rebuild
+        # when src/ is newer (stale .so would miss newer entry points)
+        subprocess.run(
+            ["make", "-C", _DIR, "-s"], check=True, capture_output=True, timeout=120
+        )
+    except Exception:
+        if not os.path.exists(_SO):
             return None
     try:
         lib = ctypes.CDLL(_SO)
@@ -56,6 +58,13 @@ def _load() -> Optional[ctypes.CDLL]:
         ctypes.c_int, f32p, f32p, i32p, i32p, i32p, i32p,
         ctypes.c_int, ctypes.c_int, f32p, i32p, i32p,
     ]
+    if hasattr(lib, "rfw_build_widen"):  # absent only in stale .so builds
+        lib.rfw_build_widen.restype = ctypes.c_int
+        lib.rfw_build_widen.argtypes = [
+            ctypes.c_int, f32p, f32p, i32p, i32p, i32p, i32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            f32p, i32p, i32p,
+        ]
     _LIB = lib
     return _LIB
 
@@ -111,16 +120,19 @@ def refit_bvh_native(bvh, aabb_min: np.ndarray, aabb_max: np.ndarray) -> bool:
     return True
 
 
-def build_wide8_native(bvh, tlas: bool, leaf_base_offset: int = 0):
-    """Native 8-wide supernode collapse; returns (box, code, cnt) or None."""
+def build_widen_native(bvh, tlas: bool, leaf_base_offset: int = 0,
+                       depth: int = 3, root: int = 0):
+    """Native wide supernode collapse ((1<<depth)-ary, subtree at `root`);
+    returns (box, code, cnt) or None if the library is unavailable."""
     lib = _load()
-    if lib is None:
+    if lib is None or not hasattr(lib, "rfw_build_widen"):
         return None
+    arity = 1 << depth
     n = bvh.num_nodes
-    box = np.empty((n, 48), np.float32)
-    code = np.empty((n, 8), np.int32)
-    cnt = np.empty((n, 8), np.int32)
-    s = lib.rfw_build_wide8(
+    box = np.empty((n, 6 * arity), np.float32)
+    code = np.empty((n, arity), np.int32)
+    cnt = np.empty((n, arity), np.int32)
+    s = lib.rfw_build_widen(
         n,
         np.ascontiguousarray(bvh.node_min, np.float32),
         np.ascontiguousarray(bvh.node_max, np.float32),
@@ -128,9 +140,16 @@ def build_wide8_native(bvh, tlas: bool, leaf_base_offset: int = 0):
         np.ascontiguousarray(bvh.node_right, np.int32),
         np.ascontiguousarray(bvh.node_count, np.int32),
         np.ascontiguousarray(bvh.prim_order, np.int32),
-        int(tlas), leaf_base_offset, box, code, cnt,
+        int(tlas), leaf_base_offset, depth, root, box, code, cnt,
     )
+    if s < 0:
+        return None
     return box[:s].copy(), code[:s].copy(), cnt[:s].copy()
+
+
+def build_wide8_native(bvh, tlas: bool, leaf_base_offset: int = 0):
+    """Native 8-wide supernode collapse; returns (box, code, cnt) or None."""
+    return build_widen_native(bvh, tlas, leaf_base_offset, depth=3)
 
 
 def skin_positions_native(

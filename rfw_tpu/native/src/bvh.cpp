@@ -288,42 +288,52 @@ void rfw_skin_positions(int n_verts, const float *positions,
 
 }  // extern "C"
 
-// 8-wide supernode collapse (mirror of rfw_tpu.render.pack.build_wide8):
+// Wide supernode collapse (mirror of rfw_tpu.render.pack.build_widen):
 // per-frame hot path for skinned-mesh BLAS rebuilds. Same child encoding.
-extern "C" int rfw_build_wide8(
+// `depth` binary levels collapse into one (1<<depth)-ary supernode
+// (depth=3 -> 8-wide, the historical default; depth=4 -> 16-wide, whose
+// 96 box + 16 code + 16 cnt rows fill one 128-row traversal column).
+// `root` lets callers collapse a subtree of a merged node arena.
+extern "C" int rfw_build_widen(
     int n_nodes, const float *node_min, const float *node_max,
     const int32_t *node_left, const int32_t *node_right,
     const int32_t *node_count, const int32_t *prim_order, int tlas,
-    int leaf_base_offset,
+    int leaf_base_offset, int depth, int root,
     // outputs sized for worst case n_nodes supers:
-    float *box,   // (S,48)
-    int32_t *code,  // (S,8)
-    int32_t *cnt)   // (S,8)
+    float *box,     // (S, 6*arity)
+    int32_t *code,  // (S, arity)
+    int32_t *cnt)   // (S, arity)
 {
+  if (depth < 1 || depth > 5) return -1;
+  const int arity = 1 << depth;
+  const int bstride = 6 * arity;
+
   auto leaf_payload = [&](int n) -> int32_t {
     if (tlas) return prim_order[node_left[n]];
     return node_left[n] + leaf_base_offset;
   };
 
   auto empty_fill = [&](int si) {
-    for (int k = 0; k < 8; k++) {
+    // +inf/-inf (not FLT_MAX) so empty children match the Python
+    // fallback bit-for-bit — either never passes a slab test
+    for (int k = 0; k < arity; k++) {
       for (int a = 0; a < 3; a++) {
-        box[si * 48 + 6 * k + a] = FLT_MAX;
-        box[si * 48 + 6 * k + 3 + a] = -FLT_MAX;
+        box[si * bstride + 6 * k + a] = HUGE_VALF;
+        box[si * bstride + 6 * k + 3 + a] = -HUGE_VALF;
       }
-      code[si * 8 + k] = -1;
-      cnt[si * 8 + k] = 0;
+      code[si * arity + k] = -1;
+      cnt[si * arity + k] = 0;
     }
   };
 
-  if (node_count[0] > 0) {  // root is a leaf
+  if (node_count[root] > 0) {  // root is a leaf
     empty_fill(0);
     for (int a = 0; a < 3; a++) {
-      box[0 + a] = node_min[a];
-      box[3 + a] = node_max[a];
+      box[0 + a] = node_min[3 * root + a];
+      box[3 + a] = node_max[3 * root + a];
     }
-    code[0] = -(leaf_payload(0) + 1);
-    cnt[0] = node_count[0];
+    code[0] = -(leaf_payload(root) + 1);
+    cnt[0] = node_count[root];
     return 1;
   }
 
@@ -341,34 +351,33 @@ extern "C" int rfw_build_wide8(
     }
     return super_of[b];
   };
-  sid(0);
+  sid(root);
 
   struct Frame { int32_t n, dpt; };
-  std::vector<std::pair<int32_t, std::array<int32_t, 8>>> pending;
 
   size_t qi = 0;
   while (qi < queue.size()) {
     int b = queue[qi++];
     int si = super_of[b];
     empty_fill(si);
-    Frame frontier[16];
+    Frame frontier[64];
     int fp = 0;
     frontier[fp++] = {node_left[b], 1};
     frontier[fp++] = {node_right[b], 1};
     int k = 0;
     while (fp > 0) {
       Frame f = frontier[--fp];
-      if (node_count[f.n] > 0 || f.dpt >= 3) {
+      if (node_count[f.n] > 0 || f.dpt >= depth) {
         for (int a = 0; a < 3; a++) {
-          box[si * 48 + 6 * k + a] = node_min[3 * f.n + a];
-          box[si * 48 + 6 * k + 3 + a] = node_max[3 * f.n + a];
+          box[si * bstride + 6 * k + a] = node_min[3 * f.n + a];
+          box[si * bstride + 6 * k + 3 + a] = node_max[3 * f.n + a];
         }
         if (node_count[f.n] > 0) {
-          code[si * 8 + k] = -(leaf_payload(f.n) + 1);
-          cnt[si * 8 + k] = node_count[f.n];
+          code[si * arity + k] = -(leaf_payload(f.n) + 1);
+          cnt[si * arity + k] = node_count[f.n];
         } else {
-          code[si * 8 + k] = sid(f.n);
-          cnt[si * 8 + k] = 0;
+          code[si * arity + k] = sid(f.n);
+          cnt[si * arity + k] = 0;
         }
         k++;
       } else {
@@ -378,4 +387,16 @@ extern "C" int rfw_build_wide8(
     }
   }
   return (int)order.size();
+}
+
+// Back-compat 8-wide entry (stale callers / old bindings).
+extern "C" int rfw_build_wide8(
+    int n_nodes, const float *node_min, const float *node_max,
+    const int32_t *node_left, const int32_t *node_right,
+    const int32_t *node_count, const int32_t *prim_order, int tlas,
+    int leaf_base_offset, float *box, int32_t *code, int32_t *cnt)
+{
+  return rfw_build_widen(n_nodes, node_min, node_max, node_left, node_right,
+                         node_count, prim_order, tlas, leaf_base_offset,
+                         3, 0, box, code, cnt);
 }

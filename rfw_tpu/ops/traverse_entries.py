@@ -47,10 +47,10 @@ from rfw_tpu.ops.traverse import (
 from rfw_tpu.render.intersect import T_MAX, T_MIN
 
 
-def _entries_kernel_factory(K: int, batch: int):
+def _entries_kernel_factory(K: int, batch: int, arity: int = 8):
     def kernel(
         meta_ref,  # SMEM (1,4) i32: [tlas_root, 0, 0, 0]
-        scene_ref,  # VMEM (64, Spad) i32 merged supernode columns
+        scene_ref,  # VMEM (8*arity, Spad) i32 merged supernode columns
         o_ref, d_ref, tlim_ref,  # per-step inputs, leading dim = batch
         ts_ref, ins_ref,  # outputs (batch, K, SUB, LANE) f32 / i32
         inv_ref,  # VMEM scratch (3, SUB, LANE): 1/d per tile
@@ -66,7 +66,7 @@ def _entries_kernel_factory(K: int, batch: int):
             return jnp.sum(
                 jnp.where(onehot, block, jnp.zeros_like(block)),
                 axis=1, keepdims=True,
-            )  # (64,1) i32 — box rows bitcast to f32 at use
+            )  # (8*arity,1) i32 — box rows bitcast to f32 at use
 
         def tile_walk(o_ref, d_ref, tlim_ref, ts_ref, ins_ref):
             for j in range(K):
@@ -98,7 +98,8 @@ def _entries_kernel_factory(K: int, batch: int):
                 for k in range(NSTREAM):
                     node, sp, done = popped[k]
                     col = cols[k]
-                    boxf = jax.lax.bitcast_convert_type(col[0:48], jnp.float32)
+                    boxf = jax.lax.bitcast_convert_type(
+                        col[0:6 * arity], jnp.float32)
                     sl = slice(k * SSUB, (k + 1) * SSUB)
                     ox = o_ref[0, 0, sl, :]
                     oy = o_ref[0, 1, sl, :]
@@ -110,7 +111,7 @@ def _entries_kernel_factory(K: int, batch: int):
                     is_int = (node >= 0) & ~done
 
                     next_code = jnp.int32(-1)
-                    for c in range(8):
+                    for c in range(arity):
                         mnx = boxf[6 * c + 0:6 * c + 1, 0:1]
                         mny = boxf[6 * c + 1:6 * c + 2, 0:1]
                         mnz = boxf[6 * c + 2:6 * c + 3, 0:1]
@@ -141,7 +142,7 @@ def _entries_kernel_factory(K: int, batch: int):
                                & (jnp.maximum(tn, 0.0) < t_cull))
                         hitk = jnp.any(okl) & is_int
 
-                        code = col[48 + c, 0]
+                        code = col[6 * arity + c, 0]
                         leaf = code < 0
                         # Unused child slots carry INVERTED boxes (+inf min,
                         # -inf max) which slab as tn=-inf/tf=+inf and would
@@ -231,7 +232,7 @@ def _run_entries_arrays(meta, scene_t, o4, d4, tl3,
                         K: int, interpret: bool = False, batch: int = 1):
     T = o4.shape[0]
     assert T % batch == 0
-    kernel = _entries_kernel_factory(K, batch)
+    kernel = _entries_kernel_factory(K, batch, scene_t.shape[0] // 8)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),

@@ -28,6 +28,23 @@ from rfw_tpu.mathx import Aabb, aabb_transform, inverse_transpose3
 from rfw_tpu.models.mesh3d import Mesh3D
 
 
+
+def wide_depth() -> int:
+    """Supernode collapse depth for the Pallas traversal mirrors.
+
+    RFW_WIDE_ARITY in {8, 16, 32} (default 8) sets the supernode width:
+    the kernel's node fetch is latency-bound and flat in width, so a wider
+    collapse shortens the dependent-fetch chain at more VPU slab work per
+    visit. 16 packs 96 box + 16 code + 16 cnt i32 rows into exactly one
+    128-row traversal column. Traversal semantics are exact at any width
+    (same leaves, same Woop tests) — this is a perf A/B knob."""
+    import os
+
+    a = int(os.environ.get("RFW_WIDE_ARITY", "8"))
+    assert a in (8, 16, 32), f"RFW_WIDE_ARITY={a}"
+    return a.bit_length() - 1
+
+
 class TraceScene(NamedTuple):
     """Packed SoA arenas for two-level traversal. All numpy here; the
     backend device_puts the pytree once and updates slices on change."""
@@ -281,6 +298,8 @@ def pack_trace_scene(
     """
     deformed_positions = deformed_positions or {}
     deformed_attrs = deformed_attrs or {}
+    depth8 = wide_depth()  # supernode width knob (RFW_WIDE_ARITY)
+    arity8 = 1 << depth8
 
     # ---- per-mesh: triangles + BLAS ---------------------------------------
     mesh_index = {}
@@ -383,8 +402,9 @@ def pack_trace_scene(
         wide_f_chunks.append(wf)
         wide_i_chunks.append(wi)
 
-        # 8-wide supernode mirror
-        b8, c8, n8 = build_wide8(bvh, tlas=False, leaf_base_offset=tri_offset)
+        # wide supernode mirror (arity = RFW_WIDE_ARITY, default 8)
+        b8, c8, n8 = build_widen(bvh, tlas=False,
+                                 leaf_base_offset=tri_offset, depth=depth8)
         c8 = np.where(c8 >= 0, c8 + wide8_offset, c8)
         wide8_box_chunks.append(b8)
         wide8_code_chunks.append(c8)
@@ -474,7 +494,8 @@ def pack_trace_scene(
         tlas = build_bvh_sah(wb.min, wb.max, max_leaf=1)
         tlas_wf, tlas_wi, tlas_wroot = build_wide_nodes(tlas, tlas=True)
         assert tlas_wroot == 0
-        tlas8_box, tlas8_code, tlas8_cnt = build_wide8(tlas, tlas=True)
+        tlas8_box, tlas8_code, tlas8_cnt = build_widen(
+            tlas, tlas=True, depth=depth8)
         if mesh_ranges_out is not None:
             mesh_ranges_out["__tlas__"] = {
                 "nodes": tlas.num_nodes, "inst": n_inst,
@@ -486,18 +507,18 @@ def pack_trace_scene(
         tlas = build_bvh_sah(np.zeros((0, 3)), np.zeros((0, 3)))
         tlas_wf = np.zeros((1, 12), np.float32)
         tlas_wi = np.full((1, 4), -1, np.int32)
-        tlas8_box = np.full((1, 48), np.inf, np.float32)
-        tlas8_code = np.full((1, 8), -1, np.int32)
-        tlas8_cnt = np.zeros((1, 8), np.int32)
+        tlas8_box = np.full((1, 6 * arity8), np.inf, np.float32)
+        tlas8_code = np.full((1, arity8), -1, np.int32)
+        tlas8_cnt = np.zeros((1, arity8), np.int32)
 
     P = _pad_rows
     blas8_box_arr = (np.concatenate(wide8_box_chunks) if wide8_box_chunks
-                     else np.full((1, 48), np.inf, np.float32))
+                     else np.full((1, 6 * arity8), np.inf, np.float32))
     # pad unused wide8 children with never-hit boxes so padded supernodes
     # are inert even if ever referenced
     blas8_box_pad = _cap_rows(blas8_box_arr.shape[0]) - blas8_box_arr.shape[0]
     if blas8_box_pad:
-        empty = np.full((blas8_box_pad, 48), np.inf, np.float32)
+        empty = np.full((blas8_box_pad, 6 * arity8), np.inf, np.float32)
         empty[:, 3::6] = -np.inf
         empty[:, 4::6] = -np.inf
         empty[:, 5::6] = -np.inf
@@ -524,9 +545,9 @@ def pack_trace_scene(
         tlas8_cnt=P(tlas8_cnt),
         blas8_box=blas8_box_arr,
         blas8_code=P(np.concatenate(wide8_code_chunks) if wide8_code_chunks
-                     else np.full((1, 8), -1, np.int32), fill=-1),
+                     else np.full((1, arity8), -1, np.int32), fill=-1),
         blas8_cnt=P(np.concatenate(wide8_cnt_chunks) if wide8_cnt_chunks
-                    else np.zeros((1, 8), np.int32)),
+                    else np.zeros((1, arity8), np.int32)),
         blas8_root=P(blas8_root),
         tri_v0=P(cat("v0", tri_chunks, (0, 3), np.float32), 8192, linear=True),
         tri_e1=P(cat("e1", tri_chunks, (0, 3), np.float32), 8192, linear=True),
@@ -598,7 +619,10 @@ def repack_instances(
                              local_max.astype(np.float32)), inst_matrix)
     tlas = build_bvh_sah(wb.min, wb.max, max_leaf=1)
     tlas_wf, tlas_wi, _ = build_wide_nodes(tlas, tlas=True)
-    tlas8_box, tlas8_code, tlas8_cnt = build_wide8(tlas, tlas=True)
+    # match the base pack's supernode arity (shape-derived, not env)
+    base_depth = int(base.blas8_code.shape[1]).bit_length() - 1
+    tlas8_box, tlas8_code, tlas8_cnt = build_widen(
+        tlas, tlas=True, depth=base_depth)
     slot_root8 = {}
     for i in range(base.inst_matrix.shape[0]):
         m = int(base.inst_mesh[i])
@@ -623,27 +647,35 @@ def repack_instances(
     )
 
 
-def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
-    """Collapse the binary BVH into 8-wide super nodes (3 levels at a time)
-    for the Pallas traversal: ~3x fewer node visits per ray at ~4x the VPU
-    work per visit — a clear win when fetch/branch overhead per visit is
-    comparable to the vector math (measured on v5e).
+def build_widen(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0,
+                depth: int = 3, root: int = 0):
+    """Collapse the binary BVH into (1<<depth)-wide super nodes (`depth`
+    levels at a time) for the Pallas traversal: fewer latency-bound node
+    visits per ray at more VPU work per visit. depth=3 (8-wide) is the
+    proven default; depth=4 (16-wide) packs 96 box + 16 code + 16 cnt rows
+    into exactly one 128-row traversal column — the node fetch is
+    latency-bound and flat in width, so the deeper collapse halves the
+    dependent-fetch chain for the same per-fetch cost (traversal A/B).
 
-    Returns (box (S,48) f32, code (S,8) i32, cnt (S,8) i32):
+    Returns (box (S,6*arity) f32, code (S,arity) i32, cnt (S,arity) i32):
       child k occupies box[:, 6k:6k+6] = [min3 | max3];
       code >= 0: child super-node id; code < 0: leaf, payload = -code-1
         (TLAS: instance id; BLAS: first packed-triangle index, pre-offset);
       unused children carry empty boxes (+inf/-inf) and are never visited.
+
+    `root` collapses the subtree rooted there (merged node arenas).
 
     Uses the C++ collapse (rfw_tpu.native, per-frame hot for skinned BLAS
     rebuilds) when available; this Python path is the reference fallback.
     """
     import os as _os
 
+    arity = 1 << depth
     if _os.environ.get("RFW_NO_NATIVE") != "1":
         from rfw_tpu import native
 
-        built = native.build_wide8_native(bvh, tlas, leaf_base_offset)
+        built = native.build_widen_native(bvh, tlas, leaf_base_offset,
+                                          depth, root)
         if built is not None:
             return built
 
@@ -659,18 +691,17 @@ def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
         return int(n_left[n]) + leaf_base_offset
 
     # root is a leaf: single super node with one leaf child
-    if n_count[0] > 0:
-        box = np.full((1, 48), np.inf, np.float32)
-        box[0, 3:6] = -np.inf  # child 0 gets the real box below
-        for k in range(8):
+    if n_count[root] > 0:
+        box = np.empty((1, 6 * arity), np.float32)
+        for k in range(arity):
             box[0, 6 * k : 6 * k + 3] = np.inf
             box[0, 6 * k + 3 : 6 * k + 6] = -np.inf
-        box[0, 0:3] = bvh.node_min[0]
-        box[0, 3:6] = bvh.node_max[0]
-        code = np.full((1, 8), -1, np.int32)
-        cnt = np.zeros((1, 8), np.int32)
-        code[0, 0] = -(leaf_payload(0) + 1)
-        cnt[0, 0] = int(n_count[0])
+        box[0, 0:3] = bvh.node_min[root]
+        box[0, 3:6] = bvh.node_max[root]
+        code = np.full((1, arity), -1, np.int32)
+        cnt = np.zeros((1, arity), np.int32)
+        code[0, 0] = -(leaf_payload(root) + 1)
+        cnt[0, 0] = int(n_count[root])
         return box, code, cnt
 
     super_of = {}
@@ -684,7 +715,7 @@ def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
             queue.append(b)
         return super_of[b]
 
-    sid(0)
+    sid(root)
     children = []
     while queue:
         b = queue.popleft()
@@ -694,7 +725,7 @@ def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
             n, dpt = frontier.pop()
             if n_count[n] > 0:
                 entries.append(("leaf", n))
-            elif dpt >= 3:
+            elif dpt >= depth:
                 entries.append(("int", n))
             else:
                 frontier.append((int(n_left[n]), dpt + 1))
@@ -705,15 +736,15 @@ def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
                 sid(n)
 
     S = len(order)
-    box = np.empty((S, 48), np.float32)
+    box = np.empty((S, 6 * arity), np.float32)
     box[:, 0::6] = np.inf
     box[:, 1::6] = np.inf
     box[:, 2::6] = np.inf
     box[:, 3::6] = -np.inf
     box[:, 4::6] = -np.inf
     box[:, 5::6] = -np.inf
-    code = np.full((S, 8), -1, np.int32)
-    cnt = np.zeros((S, 8), np.int32)
+    code = np.full((S, arity), -1, np.int32)
+    cnt = np.zeros((S, arity), np.int32)
     for si, entries in enumerate(children):
         for k, (kind, n) in enumerate(entries):
             box[si, 6 * k : 6 * k + 3] = bvh.node_min[n]
@@ -724,3 +755,8 @@ def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
             else:
                 code[si, k] = super_of[n]
     return box, code, cnt
+
+
+def build_wide8(bvh: BvhNodes, tlas: bool, leaf_base_offset: int = 0):
+    """8-wide supernode collapse (see build_widen)."""
+    return build_widen(bvh, tlas, leaf_base_offset, depth=3)

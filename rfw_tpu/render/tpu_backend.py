@@ -508,6 +508,9 @@ class TpuBackend:
             # boxes against the HOST topology — the device-built morton
             # tlas8 would disagree with it, so keep host tlas8 here
             and self._dyn is None
+            # the device builder emits 8-ary nodes only; wide-arity packs
+            # (RFW_WIDE_ARITY A/B) keep the host collapse
+            and new_host.tlas8_code.shape[1] == 8
         )
         if use_device_tlas:
             fields = [f for f in fields
@@ -863,6 +866,10 @@ class TpuBackend:
         full pack."""
         self._dyn = None
         if not self.settings.device_dynamics:
+            return
+        if scene.blas8_code.shape[1] != 8:
+            # the refit-plan builder emits 8-ary schedules only; wide-arity
+            # packs (RFW_WIDE_ARITY A/B) fall back to the host repack path
             return
         import jax
 

@@ -267,21 +267,29 @@ def walk_stream_fused(sc: SimScene, o_w, db_w, ds_w, t_lim_s, order: str):
 
 
 def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
-                any_hit: bool = False):
+                any_hit: bool = False, cull: bool = False):
     """One stream's full traversal; returns (iterations, internal visits,
     leaf visits). o_w/d_w: (n,3) world rays. any_hit mirrors the occlusion
     kernel: a lane with any hit goes dead; the stream exits when every
-    lane is dead or the stack drains."""
+    lane is dead or the stack drains.
+
+    cull=True models STACK CULLING (candidate kernel change): each pushed
+    entry carries min-over-lanes clamped entry distance; at pop time,
+    entries whose stored distance already exceeds the stream's worst
+    live-lane t_best are discarded for free (the kernel would consume
+    them with cheap scalar SMEM pops before issuing the node fetch).
+    Safe per-lane: skip only if min_lane(tn) >= max_lane(t_best) implies
+    tn_lane >= t_best_lane for every lane."""
     n = o_w.shape[0]
     t_best = np.minimum(np.full(n, T_MAX, np.float32), t_lim)
     dead = np.zeros(n, bool)
-    stack = []  # entries (code, inst)
+    stack = []  # entries (code, inst, min_entry_t)
     node, inst = sc.root, -1
     o, d = o_w, d_w
     d_inv = 1.0 / np.where(np.abs(d) < 1e-20,
                            np.where(d < 0, -1e-20, 1e-20), d)
     mean_d = d_w.mean(axis=0)
-    iters = n_int = n_leaf = 0
+    iters = n_int = n_leaf = n_culled = 0
 
     def rebase(i):
         nonlocal o, d, d_inv
@@ -294,11 +302,26 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
         d_inv = 1.0 / np.where(np.abs(d) < 1e-20,
                                np.where(d < 0, -1e-20, 1e-20), d)
 
+    def t_worst():
+        if any_hit:
+            live = ~dead
+            return float(t_best[live].max()) if live.any() else 0.0
+        return float(t_best.max())
+
     while True:
         if node == -1:
             if not stack:
                 break
-            node, new_inst = stack.pop()
+            node, new_inst, etn = stack.pop()
+            if cull:
+                while etn >= t_worst():
+                    n_culled += 1
+                    if not stack:
+                        node = None
+                        break
+                    node, new_inst, etn = stack.pop()
+                if node is None:
+                    break
             if new_inst != inst:
                 inst = new_inst
                 rebase(inst)
@@ -325,7 +348,8 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
             if any_hit:
                 ok = ok & ~dead
             if ok.any():
-                hits.append((c, float(tn[ok].mean())))
+                hits.append((c, float(tn[ok].mean()),
+                             max(0.0, float(tn[ok].min()))))
         if order == "axis":
             a = sc.axis[node]
             sgn = mean_d[a]
@@ -337,8 +361,8 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
         elif order == "consensus":
             hits.sort(key=lambda h: h[1], reverse=True)  # far .. near
         # "current": build order 0..7 as-is
-        next_code, next_inst = -1, inst
-        for c, _tn in hits:
+        next_code, next_inst, next_tn = -1, inst, 0.0
+        for c, _tn, mtn in hits:
             code = int(sc.code[node, c])
             cnt = int(sc.cnt[node, c])
             if code < 0:  # leaf child
@@ -352,15 +376,15 @@ def walk_stream(sc: SimScene, o_w, d_w, t_lim, order: str,
             else:
                 e_code, e_inst = code, inst
             if next_code != -1:
-                stack.append((next_code, next_inst))
-            next_code, next_inst = e_code, e_inst
+                stack.append((next_code, next_inst, next_tn))
+            next_code, next_inst, next_tn = e_code, e_inst, mtn
         if next_inst != inst and next_code != -1:
             inst = next_inst
             rebase(inst)
         node = next_code
         if node == -1 and not stack:
             break
-    return iters, n_int, n_leaf, t_best, dead
+    return iters, n_int, n_leaf, t_best, dead, n_culled
 
 
 def run_fused(sc, o, db, ds, t_s, nstream, tiles, order):
@@ -378,9 +402,9 @@ def run_fused(sc, o, db, ds, t_s, nstream, tiles, order):
         for k in range(nstream):
             lo = p * lanes + k * per_stream
             sl = slice(lo, lo + per_stream)
-            it_b, _, _, tb_sep, _ = walk_stream(
+            it_b, _, _, tb_sep, _, _ = walk_stream(
                 sc, o[sl], db[sl], T_MAX, order)
-            it_s, _, _, _, dead_sep = walk_stream(
+            it_s, _, _, _, dead_sep, _ = walk_stream(
                 sc, o[sl], ds[sl], t_s[sl], order, any_hit=True)
             it_f, tb_f, dead_f = walk_stream_fused(
                 sc, o[sl], db[sl], ds[sl], t_s[sl], order)
@@ -409,7 +433,7 @@ def run_fused(sc, o, db, ds, t_s, nstream, tiles, order):
 
 
 def run_population(sc, o, d, t_lim, nstream, tiles, order, label,
-                   t_ref=None, any_hit=False):
+                   t_ref=None, any_hit=False, cull=False):
     """Tile rays into programs of nstream streams x (1024//nstream) rays;
     report sum over programs of max-stream iterations (the kernel's cost
     model) plus visit breakdown."""
@@ -417,19 +441,20 @@ def run_population(sc, o, d, t_lim, nstream, tiles, order, label,
     per_stream = lanes // nstream
     R = min(o.shape[0], tiles * lanes)
     prog_cost = 0
-    tot_int = tot_leaf = tot_iter = 0
+    tot_int = tot_leaf = tot_iter = tot_cull = 0
     max_t_err = 0.0
     for p in range(R // lanes):
         worst = 0
         for k in range(nstream):
             lo = p * lanes + k * per_stream
-            it, ni, nl, tb, _ = walk_stream(
+            it, ni, nl, tb, _, nc = walk_stream(
                 sc, o[lo:lo + per_stream], d[lo:lo + per_stream],
-                t_lim, order, any_hit=any_hit)
+                t_lim, order, any_hit=any_hit, cull=cull)
             worst = max(worst, it)
             tot_int += ni
             tot_leaf += nl
             tot_iter += it
+            tot_cull += nc
             if t_ref is not None:
                 tr = t_ref[lo:lo + per_stream]
                 both = (tb < 1e25) & (tr < 1e25)
@@ -442,7 +467,8 @@ def run_population(sc, o, d, t_lim, nstream, tiles, order, label,
     if t_ref is not None:
         print(f"    oracle t agreement: max |dt| = {max_t_err:.2e}")
     print(f"{label:28s} order={order:9s} prog-iters={prog_cost:8d} "
-          f"(sum visits: int={tot_int} leaf={tot_leaf})")
+          f"(sum visits: int={tot_int} leaf={tot_leaf}"
+          + (f" culled={tot_cull}" if cull else "") + ")")
     return prog_cost
 
 
@@ -466,6 +492,9 @@ def main():
                     "work per visit)")
     ap.add_argument("--anyhit", action="store_true",
                     help="walk populations in occlusion (any-hit) mode")
+    ap.add_argument("--cull", action="store_true",
+                    help="model stack culling: pushed entries carry their "
+                    "min entry distance; stale entries pop for free")
     ap.add_argument("--fused", action="store_true",
                     help="evaluate fusing the NEE shadow any-hit walk "
                     "into the bounce closest-hit walk (shared stack, "
@@ -619,7 +648,7 @@ def main():
                     f"{label} ns={ns}",
                     t_ref=t_ref if strat == "current" and ns == nstreams[0]
                     and not args.anyhit else None,
-                    any_hit=args.anyhit)
+                    any_hit=args.anyhit, cull=args.cull)
                 if base is None:
                     base = cost
                 else:
