@@ -72,8 +72,19 @@ LANE = 128
 #: 16/32 bet it extends — an on-chip A/B decides).
 NSTREAM = int(_os.environ.get("RFW_NSTREAM", "4"))
 assert NSTREAM in (1, 2, 4, 8, 16, 32), f"RFW_NSTREAM={NSTREAM}"
-SSUB = max(1, 8 // NSTREAM)  # sublanes per stream ((SSUB,128) sub-tile)
-SUB = NSTREAM * SSUB  # 8 rows for NSTREAM<=8; NSTREAM rows beyond
+#: sublanes per stream ((SSUB,128)-ray sub-tile per walk). RFW_SSUB raises
+#: it above the canonical 8//NSTREAM: phases 1/3 run on (SSUB,128) slices
+#: whose instruction count is CONSTANT in SSUB (a (2,128) op already burns
+#: a full (8,128) vreg), so wider streams serve more rays per instruction;
+#: the cost is the wider visit union + SSUB-unrolled leaf tests. Sim
+#: (tools/sim_visits --lanes): 1024-ray streams walk pica bounce rays in
+#: 2.34x fewer TOTAL program-iterations than 256-ray streams at equal
+#: coverage (sum of visits itself halves — locality-sorted rays share
+#: their unions). On-chip A/B: RFW_SSUB=4/8 vs default.
+SSUB = int(_os.environ.get("RFW_SSUB", str(max(1, 8 // NSTREAM))))
+assert SSUB in (1, 2, 4, 8, 16) and SSUB >= max(1, 8 // NSTREAM), \
+    f"RFW_SSUB={SSUB} (NSTREAM={NSTREAM})"
+SUB = NSTREAM * SSUB  # 8 rows at the defaults; more for SSUB/NSTREAM overrides
 LANES = SUB * LANE  # rays per grid program (1024 at the default)
 #: capped aliases: the items/entries kernels and the wavefront's tile
 #: gating/swizzle stay at the canonical (8,128)-tile granularity — the

@@ -111,29 +111,35 @@ def render_sharded_2d(
     config=None,
 ):
     """Hybrid scale-out over a 2-D (spp, film) mesh: each device renders
-    ITS film tile for ITS slice of the samples; the sample mean reduces
+    ITS film strip for ITS slice of the samples; the sample mean reduces
     over the spp axis (one psum on ICI), leaving the film sharded over
     the film axis. Combines the two 1-D strategies: more chips than film
     tiles can load-balance, more samples than chips stay parallel.
 
-    Implementation: vmap render_sample over the sample keys — the (S, R)
-    output grid is elementwise in both axes, so GSPMD partitions it over
-    the whole mesh from one out_shardings annotation; the mean over S
-    lowers to the spp-axis collective automatically.
+    Implementation: shard_map over BOTH axes — each shard runs plain
+    per-shard render_sample calls on its film strip (row0 from
+    lax.axis_index), so data-dependent control flow like the live-prefix
+    compaction lax.switch stays un-vmapped and fully active (an earlier
+    vmap formulation executed every switch branch, silently turning the
+    round-3 compaction win off on the flagship scale-out path).
 
-    NOTE: uses compaction="off" — under vmap, lax.switch lowers to
-    executing every branch (batch elements cannot diverge), so the
-    live-prefix dispatch would run all prefix lengths. Returns the (R,3)
-    mean radiance sharded over the film axis.
+    With the "sobol" sampler pass per-sample indices: sampling is then
+    pixel-keyed and the result is bit-identical to the sequential mean.
+    The "random" sampler draws lane-shaped uniforms, so strip splits
+    change the randoms (still an unbiased estimator, not bit-equal).
+    Returns the (R,3) mean radiance sharded over the film axis.
     """
-    from dataclasses import replace
+    from jax import shard_map
 
     from rfw_tpu.render.wavefront import RenderConfig, render_sample
 
     config = config or RenderConfig()
-    config = replace(config, compaction="off")
-    n_spp_ax = mesh.devices.shape[0]
+    n_spp_ax, n_film = mesh.devices.shape
     assert spp % n_spp_ax == 0, f"spp {spp} must divide the spp axis {n_spp_ax}"
+    assert height % n_film == 0, f"height {height} must divide {n_film} strips"
+    h_loc = height // n_film
+    r_loc = width * h_loc
+    spp_loc = spp // n_spp_ax
     keys = jax.random.split(key, spp)
 
     scene_r = replicate(mesh, scene)
@@ -141,20 +147,32 @@ def render_sharded_2d(
     atlas_r = replicate(mesh, atlas)
     lights_r = replicate(mesh, lights)
     view_r = jax.device_put(view, NamedSharding(mesh, P()))
+    use_sobol = config.sampler == "sobol"
 
-    def one(k):
-        return render_sample(
-            scene_r, mats_r, atlas_r, lights_r, view_r, k, width, height,
-            config,
-        ).radiance
+    def body(keys_local):
+        row0 = jax.lax.axis_index("film").astype(jnp.int32) * h_loc
+        s0 = jax.lax.axis_index("spp").astype(jnp.uint32) * spp_loc
 
-    grid = jax.jit(
-        jax.vmap(one),
-        out_shardings=NamedSharding(mesh, P("spp", "film")),
-    )
+        def one(i, acc):
+            r = render_sample(
+                scene_r, mats_r, atlas_r, lights_r, view_r, keys_local[i],
+                width, h_loc, config,
+                sample_index=(s0 + i.astype(jnp.uint32)) if use_sobol
+                else None,
+                row0=row0,
+            )
+            return acc + r.radiance
+
+        acc = jax.lax.fori_loop(
+            0, spp_loc, one, jnp.zeros((r_loc, 3), jnp.float32))
+        return jax.lax.psum(acc, "spp")
+
+    f = jax.jit(shard_map(
+        body, mesh=mesh, in_specs=P("spp"), out_specs=P("film"),
+        check_vma=False,
+    ))
     with mesh:
-        rad = grid(jax.device_put(keys, NamedSharding(mesh, P("spp"))))
-        return jnp.mean(rad, axis=0)  # spp-axis reduce -> film-sharded (R,3)
+        return f(jax.device_put(keys, NamedSharding(mesh, P("spp")))) / spp
 
 
 def render_spp_sharded(

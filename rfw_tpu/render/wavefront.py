@@ -764,16 +764,22 @@ class _PathState(NamedTuple):
     #   rebuilds that vertex's pick probability from it
 
 
-def _prefix_sizes(R: int, g: int) -> list:
+def _prefix_sizes(R: int, g: int, max_bounces: int = 1) -> list:
     """Static live-prefix lengths for bounce-vertex compaction: multiples
     of the tile width g, ascending, last == R. Fractions bracket the
     measured live-fraction decay on the bench scene (0.50 after primaries,
-    0.36 after bounce 1, decaying after). Small rays counts (tests) get a
-    single full-length branch — compaction needs scale to pay."""
+    0.36 after bounce 1, decaying after). Deep-bounce configs (>= 3) add
+    two sub-floor rungs: their tails decay well below the 18.75% floor
+    and were paying the smallest prefix every vertex (round-3 verdict).
+    Small ray counts (tests) get a single full-length branch — compaction
+    needs scale to pay."""
     if R < 4 * g or R < 16384:
         return [R]
+    fracs = (0.1875, 0.375, 0.5625, 1.0)
+    if max_bounces >= 3:
+        fracs = (0.046875, 0.09375) + fracs
     out = []
-    for f in (0.1875, 0.375, 0.5625, 1.0):
+    for f in fracs:
         p = min(R, -(-int(R * f) // g) * g)
         if p not in out:
             out.append(p)
@@ -793,6 +799,10 @@ def render_sample(
     config: RenderConfig = RenderConfig(),
     sky_tex: Optional[jax.Array] = None,  # (1,) i32 atlas texture id; <0/None = constant sky
     sample_index: Optional[jax.Array] = None,  # () uint32 progressive index (sobol)
+    row0=0,  # first film row of this call's strip (int or traced scalar):
+    #   `height` then counts the STRIP's rows while camera NDC / sobol
+    #   pixel keys stay global — lets shard_map split the film across
+    #   devices with per-shard render_sample calls (parallel.mesh)
 ) -> SampleResult:
     """Trace one sample per pixel; returns radiance + first-hit AOVs.
 
@@ -911,6 +921,17 @@ def render_sample(
             return bvh_occluded(scene, o, d, tl)
 
     use_sobol = config.sampler == "sobol" and sample_index is not None
+    if not (isinstance(row0, int) and row0 == 0):
+        # film-strip render (parallel.mesh.render_sharded_2d shards): this
+        # call covers rows [row0, row0+height) of the FULL camera frame —
+        # offset py so camera NDC, pixel-keyed sobol, and pid are global.
+        # row0 may be traced (lax.axis_index inside shard_map).
+        if pixel_ids is None:
+            px = jnp.arange(R, dtype=jnp.int32) % width
+            py = jnp.arange(R, dtype=jnp.int32) // width
+        else:
+            px, py = pixel_ids
+        pixel_ids = (px, py + jnp.asarray(row0, jnp.int32))
     if pixel_ids is not None:
         pid = pixel_ids[1] * width + pixel_ids[0]
     else:
@@ -1205,7 +1226,11 @@ def render_sample(
                and config.max_bounces >= 1)
     compact_on = (do_sort and config.compaction == "auto"
                   and _os.environ.get("RFW_COMPACTION", "1") == "1")
-    sizes = _prefix_sizes(R, max(tile_lanes, 1)) if compact_on else [R]
+    sizes = (_prefix_sizes(R, max(tile_lanes, 1), config.max_bounces)
+             if compact_on else [R])
+    # vertex 0 keeps the shallow ladder (live ~50% after primaries): the
+    # sub-floor rungs would compile two more never-chosen branches there
+    sizes0 = _prefix_sizes(R, max(tile_lanes, 1)) if compact_on else [R]
 
     def _sort_state(st: _PathState) -> _PathState:
         """Re-tile by (direction octant, origin morton), dead lanes last:
@@ -1329,7 +1354,7 @@ def render_sample(
         ao=jnp.ones(R, jnp.float32),
     )
 
-    v0_compact = compact_on and len(sizes) > 1
+    v0_compact = compact_on and len(sizes0) > 1
     if v0_compact:
         key0 = jnp.where(found0, hit0.prim >> 4, jnp.int32(1 << 30))
         (_, t0, p0, i0, u0, v0, rr, rg, rb,
@@ -1361,10 +1386,10 @@ def render_sample(
 
         live0 = jnp.sum(found0.astype(jnp.int32))
         idx0 = jnp.int32(0)
-        for p in sizes[:-1]:
+        for p in sizes0[:-1]:
             idx0 = idx0 + (live0 > p).astype(jnp.int32)
         st, aovs = jax.lax.switch(
-            idx0, [functools.partial(_shade0, n=p) for p in sizes],
+            idx0, [functools.partial(_shade0, n=p) for p in sizes0],
             st, hit0)
     else:
         st = _mk_state(rad0, found0, ray_o, ray_d, pid, R)

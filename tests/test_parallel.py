@@ -100,16 +100,18 @@ def test_sharded_film_accumulation_with_aovs_and_compaction(ctx):
 
 
 def test_2d_mesh_matches_sequential(ctx):
-    """2-D (spp x film) hybrid: a 2x4 virtual mesh renders 4 samples; the
-    film-sharded mean must equal the sequential mean exactly and actually
-    shard over the film axis."""
+    """2-D (spp x film) hybrid: a 2x4 virtual mesh renders 4 samples over
+    film STRIPS via shard_map with compaction AUTO (the round-3 verdict
+    item: the old vmap formulation silently forced compaction off); the
+    film-sharded mean must equal the sequential sobol mean pixel-exact
+    and actually shard over the film axis."""
     from rfw_tpu.parallel.mesh import mesh_2d, render_sharded_2d
 
     sd, dmats, atlas, dl, view = ctx
-    from dataclasses import replace as _replace
 
-    cfg = RenderConfig(max_bounces=1, clamp=50.0, sky_intensity=0.4,
-                       traversal="packet")
+    cfg = RenderConfig(max_bounces=2, clamp=50.0, sky_intensity=0.4,
+                       traversal="packet", sampler="sobol",
+                       compaction="auto")
     key = jax.random.PRNGKey(6)
     spp = 4
 
@@ -119,13 +121,33 @@ def test_2d_mesh_matches_sequential(ctx):
     assert out.sharding.spec in (P(None, None), P("film"), P("film", None)), \
         out.sharding
     keys = jax.random.split(key, spp)
-    cfg_off = _replace(cfg, compaction="off")
     acc = jnp.zeros((W * H, 3), jnp.float32)
     for i in range(spp):
-        acc = acc + render_sample(sd, dmats, atlas, dl, view, keys[i],
-                                  W, H, cfg_off).radiance
+        acc = acc + render_sample(
+            sd, dmats, atlas, dl, view, keys[i], W, H, cfg,
+            sample_index=jnp.uint32(i)).radiance
     np.testing.assert_allclose(np.asarray(out), np.asarray(acc / spp),
                                rtol=1e-5, atol=1e-6)
+
+
+def test_strip_render_matches_full_frame(ctx):
+    """render_sample row0 strips (the shard_map 2-D path's building block):
+    two half-frame strips rendered separately must reproduce the full
+    frame bit-for-bit under the pixel-keyed sobol sampler."""
+    sd, dmats, atlas, dl, view = ctx
+    cfg = RenderConfig(max_bounces=1, clamp=50.0, sky_intensity=0.4,
+                       traversal="packet", sampler="sobol")
+    si = jnp.uint32(0)
+    key = jax.random.PRNGKey(8)
+    full = render_sample(sd, dmats, atlas, dl, view, key, W, H, cfg,
+                         sample_index=si).radiance
+    h2 = H // 2
+    top = render_sample(sd, dmats, atlas, dl, view, key, W, h2, cfg,
+                        sample_index=si, row0=0).radiance
+    bot = render_sample(sd, dmats, atlas, dl, view, key, W, h2, cfg,
+                        sample_index=si, row0=h2).radiance
+    np.testing.assert_array_equal(
+        np.asarray(jnp.concatenate([top, bot])), np.asarray(full))
 
 
 def test_spp_sharded_matches_sequential(ctx):

@@ -433,11 +433,12 @@ def run_fused(sc, o, db, ds, t_s, nstream, tiles, order):
 
 
 def run_population(sc, o, d, t_lim, nstream, tiles, order, label,
-                   t_ref=None, any_hit=False, cull=False):
-    """Tile rays into programs of nstream streams x (1024//nstream) rays;
+                   t_ref=None, any_hit=False, cull=False, lanes=1024):
+    """Tile rays into programs of nstream streams x (lanes//nstream) rays;
     report sum over programs of max-stream iterations (the kernel's cost
-    model) plus visit breakdown."""
-    lanes = 1024
+    model) plus visit breakdown. `lanes` = rays per program (kernel:
+    NSTREAM * SSUB * 128 — bigger SSUB packs more rays into the same
+    phase-1/3 instruction stream at the cost of wider visit unions)."""
     per_stream = lanes // nstream
     R = min(o.shape[0], tiles * lanes)
     prog_cost = 0
@@ -492,6 +493,8 @@ def main():
                     "work per visit)")
     ap.add_argument("--anyhit", action="store_true",
                     help="walk populations in occlusion (any-hit) mode")
+    ap.add_argument("--lanes", type=int, default=1024,
+                    help="rays per program (kernel: NSTREAM*SSUB*128)")
     ap.add_argument("--cull", action="store_true",
                     help="model stack culling: pushed entries carry their "
                     "min entry distance; stale entries pop for free")
@@ -648,7 +651,7 @@ def main():
                     f"{label} ns={ns}",
                     t_ref=t_ref if strat == "current" and ns == nstreams[0]
                     and not args.anyhit else None,
-                    any_hit=args.anyhit, cull=args.cull)
+                    any_hit=args.anyhit, cull=args.cull, lanes=args.lanes)
                 if base is None:
                     base = cost
                 else:
