@@ -666,7 +666,49 @@ def apply_dynamic(
     return _refit_tlas(scene, tlas_plan, ibmin, ibmax)
 
 
+def instance_motion_update(
+    scene: TraceScene,
+    tlas_plan: TlasPlan,
+    mats,  # (Icap,4,4) f32 object->world, capacity padding rows = identity
+    local_min,  # (Icap,3) per-instance LOCAL mesh AABB (static per layout)
+    local_max,  # (Icap,3)
+    live,  # (Icap,) bool, False on capacity padding rows
+) -> TraceScene:
+    """Instance-motion-only device update: fresh object->world matrices in,
+    every TLAS mirror plus the instance arrays refit ON DEVICE.
+
+    Reference gpu-rt rebuilds its TLAS from instance AABBs every
+    synchronize (backends/gpu-rt/src/lib.rs:1570-1581) — on host, every
+    frame. Here the binary/2-wide/8-ary TLAS *topologies* are kept from the
+    last host build and only their boxes refit (always a valid bound), so a
+    steady-state moving-instance frame uploads one (Icap,4,4) matrix array
+    and runs this single jit: inverse + normal (inverse-transpose) matrices,
+    world AABBs via the |R|·extent identity (exact for affine maps), then
+    the shared `_refit_tlas` Jacobi sweep. Zero host TLAS repack.
+    """
+    import jax.numpy as jnp
+
+    inv = jnp.linalg.inv(mats)
+    # affine inverse-transpose of the 3x3 block == transpose(inv[:3,:3])
+    nrm = jnp.swapaxes(inv[:, :3, :3], 1, 2)
+    c = 0.5 * (local_min + local_max)
+    e = 0.5 * (local_max - local_min)
+    rot = mats[:, :3, :3]
+    wc = jnp.einsum("iab,ib->ia", rot, c) + mats[:, :3, 3]
+    we = jnp.einsum("iab,ib->ia", jnp.abs(rot), e)
+    inf = jnp.float32(jnp.inf)
+    ibmin = jnp.where(live[:, None], wc - we, inf)
+    ibmax = jnp.where(live[:, None], wc + we, -inf)
+    scene = scene._replace(
+        inst_matrix=mats.astype(jnp.float32),
+        inst_inv=inv.astype(jnp.float32),
+        inst_normal=nrm.astype(jnp.float32),
+    )
+    return _refit_tlas(scene, tlas_plan, ibmin, ibmax)
+
+
 _apply_jit = None
+_motion_jit = None
 
 
 def apply_dynamic_jit():
@@ -678,3 +720,13 @@ def apply_dynamic_jit():
 
         _apply_jit = jax.jit(apply_dynamic)
     return _apply_jit
+
+
+def instance_motion_jit():
+    """Shared jitted instance_motion_update (same caching rationale)."""
+    global _motion_jit
+    if _motion_jit is None:
+        import jax
+
+        _motion_jit = jax.jit(instance_motion_update)
+    return _motion_jit

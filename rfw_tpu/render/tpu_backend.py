@@ -85,6 +85,15 @@ class TpuSettings:
     #   deferred_fxaa.frag)
     pixel_center: bool = False  # deterministic pixel-center primaries (for
     #   AOV parity tests against CpuReferenceBackend)
+    device_motion: bool = True  # instance-motion-only syncs refit every
+    #   TLAS mirror ON DEVICE (refit_device.instance_motion_update): upload
+    #   one matrix array per frame, zero host TLAS repack (reference
+    #   gpu-rt rebuilds the TLAS on host every synchronize,
+    #   backends/gpu-rt/src/lib.rs:1570-1581). Off -> host SAH rebuild.
+    motion_rebuild_every: int = 0  # >0: every Nth motion sync falls back
+    #   to the host SAH rebuild to refresh TLAS topology (refit keeps
+    #   boxes valid but frame-0 topology; long drifts may degrade
+    #   traversal quality). 0 = never (steady state stays on device).
 
 
 def _mesh_from_view(v: MeshView3D) -> Mesh3D:
@@ -265,6 +274,10 @@ class TpuBackend:
         # device dynamic-geometry state (render/refit_device.py):
         # (unit_slots, plans, tlas_plan, jitted apply) or None
         self._dyn = None
+        # device instance-motion state: armed cache for the zero-host-
+        # repack TLAS refit path (_try_device_motion) or None
+        self._motion = None
+        self._motion_syncs = 0  # fast-path syncs since last host rebuild
         self._group_sig: Dict[int, tuple] = {}  # per-slot grouping pattern
         #   of the last pack (_instance_layout); a pattern change forces a
         #   full repack
@@ -481,6 +494,8 @@ class TpuBackend:
             (ps, self._meshes[slot].aabb_min, self._meshes[slot].aabb_max)
             for ps, slot in pack_meshes
         ]
+        if self._try_device_motion(meshes_info, instances):
+            return
         new_host = repack_instances(self._scene_host, meshes_info, instances)
         fields = [
             "tlas_min", "tlas_max", "tlas_left", "tlas_right",
@@ -531,6 +546,7 @@ class TpuBackend:
             changed["tlas8_cnt"] = cnt
         self._scene_dev = self._scene_dev._replace(**changed)
         self._scene_host = new_host
+        self._motion_syncs = 0  # host rebuild refreshed TLAS topology
         if self._dyn is not None:
             # instance set/TLAS topology changed: the refit plan's TLAS
             # schedule is stale — rebuild it from the new host arrays
@@ -539,6 +555,81 @@ class TpuBackend:
             prev = self._dyn["tlas_plan"].passes_shape.shape[0]
             self._dyn["tlas_plan"] = jax.device_put(
                 build_tlas_plan(new_host, min_passes=prev))
+
+    def _try_device_motion(self, meshes_info, instances) -> bool:
+        """Instance-motion fast path: when only matrices changed (same
+        instance set/layout as the packed arenas), refit every TLAS mirror
+        on device via refit_device.instance_motion_update — the per-frame
+        upload is one (Icap,4,4) array, the host does ZERO TLAS work
+        (VERDICT round-3 item 6; reference rebuilds its TLAS on host every
+        synchronize, gpu-rt lib.rs:1570-1581). Returns False to fall back
+        to the host SAH rebuild (which refreshes topology)."""
+        import jax
+
+        base = self._scene_host
+        if (not self.settings.device_motion or self._scene_dev is None
+                or base is None):
+            return False
+        every = self.settings.motion_rebuild_every
+        if every > 0 and self._motion_syncs + 1 >= every:
+            return False  # periodic host rebuild refreshes topology
+        # mirror repack_instances' row layout: rows ordered by the
+        # instances sequence, slots unknown to the base pack skipped
+        known = {int(m) for m in base.inst_mesh if m >= 0}
+        info = {s: (mn, mx) for s, mn, mx in meshes_info}
+        mats_list, mesh_rows = [], []
+        for slot, mats in instances:
+            if slot not in known or slot not in info:
+                continue
+            m = np.asarray(mats, np.float32).reshape(-1, 4, 4)
+            mats_list.append(m)
+            mesh_rows.append(np.full(m.shape[0], slot, np.int32))
+        if not mats_list:
+            return False
+        inst_mesh = np.concatenate(mesh_rows)
+        n = inst_mesh.shape[0]
+        icap = base.inst_matrix.shape[0]
+        if n > icap or not np.array_equal(base.inst_mesh[:n], inst_mesh) \
+                or not (base.inst_mesh[n:] < 0).all():
+            self._motion = None  # instance set changed: host repack
+            return False
+
+        from rfw_tpu.render.refit_device import (
+            build_tlas_plan, instance_motion_jit,
+        )
+
+        key = inst_mesh.tobytes()
+        if self._motion is None or self._motion["key"] != key:
+            # arm: static per-layout inputs (plan, local AABBs, live mask)
+            plan = (self._dyn["tlas_plan"] if self._dyn is not None
+                    else jax.device_put(build_tlas_plan(base)))
+            lmin = np.zeros((icap, 3), np.float32)
+            lmax = np.zeros((icap, 3), np.float32)
+            lmin[:n] = np.stack([info[int(s)][0] for s in inst_mesh])
+            lmax[:n] = np.stack([info[int(s)][1] for s in inst_mesh])
+            live = np.zeros(icap, bool)
+            live[:n] = True
+            self._motion = {
+                "key": key,
+                "plan": plan,
+                "lmin": jax.device_put(lmin),
+                "lmax": jax.device_put(lmax),
+                "live": jax.device_put(live),
+            }
+        pad = np.broadcast_to(np.eye(4, dtype=np.float32),
+                              (icap - n, 4, 4))
+        mats = np.concatenate([np.concatenate(mats_list), pad])
+        self._scene_dev = instance_motion_jit()(
+            self._scene_dev, self._motion["plan"], jax.device_put(mats),
+            self._motion["lmin"], self._motion["lmax"], self._motion["live"],
+        )
+        self._dev_stale |= {
+            "tlas_min", "tlas_max", "tlas_wide_f", "tlas8_box",
+            "inst_matrix", "inst_inv", "inst_normal",
+            "inst_aabb_min", "inst_aabb_max",
+        }
+        self._motion_syncs += 1
+        return True
 
     def _sync_textures(self) -> None:
         tex_list: List = []
@@ -851,6 +942,8 @@ class TpuBackend:
             self._scene_dev = jax.device_put(scene)
         self._dev_stale.clear()
         self._scene_host = scene
+        self._motion = None  # arena capacities may have changed: re-arm
+        self._motion_syncs = 0
         self._build_dynamic_plans(scene, ranges, units)
         _LOG.info(
             "scene packed: %d tris, %d instances", scene.num_triangles,
