@@ -86,10 +86,19 @@ def main(argv=None):
 
     from PIL import Image
 
+    import time as _time
+
+    ms = []
     for i in range(args.frames):
-        frame = app.render_frame()
+        t0 = _time.perf_counter()
+        frame = app.render_frame()  # sync + render + film pull
+        ms.append((_time.perf_counter() - t0) * 1e3)
         Image.fromarray(frame).save(f"{args.out_dir}/frame_{i:04d}.png")
-        print(f"frame {i} ok", flush=True)
+        print(f"frame {i} ok  {ms[-1]:.1f} ms", flush=True)
+    if len(ms) > 4:
+        steady = sorted(ms[4:])
+        print(f"steady-state median {steady[len(steady) // 2]:.1f} ms/frame "
+              f"(frames 4..{args.frames - 1})", flush=True)
 
 
 if __name__ == "__main__":

@@ -85,7 +85,9 @@ class TpuSettings:
     #   deferred_fxaa.frag)
     pixel_center: bool = False  # deterministic pixel-center primaries (for
     #   AOV parity tests against CpuReferenceBackend)
-    device_motion: bool = True  # instance-motion-only syncs refit every
+    device_motion: bool = __import__("os").environ.get(
+        "RFW_DEVICE_MOTION", "1") != "0"
+    #   instance-motion-only syncs refit every
     #   TLAS mirror ON DEVICE (refit_device.instance_motion_update): upload
     #   one matrix array per frame, zero host TLAS repack (reference
     #   gpu-rt rebuilds the TLAS on host every synchronize,
