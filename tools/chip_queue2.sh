@@ -47,3 +47,7 @@ step 24_nee_sweep python tools/bench_nee.py --sweep --width 512 --height 288 --f
 # 5. physics steady state on the device-motion path
 step 25_physics python examples/physics.py --frames 24 --size 256x128 --spp 1
 step 26_physics_hostpath env RFW_DEVICE_MOTION=0 python examples/physics.py --frames 24 --size 256x128 --spp 1
+
+# 6. gather cost curve: table size x dtype x index locality (prices the
+#    atlas-pool size effect and the bf16-tables VERDICT item)
+step 27_gather_sweep python tools/ubench_gather.py --sweep-size --rays 2073600

@@ -16,6 +16,15 @@ relative numbers are trustworthy):
   searchsorted  (R,) into (64,) cdf
 
 Usage: python tools/ubench_gather.py [--rays 518400 --reps 5]
+
+--sweep-size (round 4): the flagship-profile marginals broke the "flat in
+table size" assumption — one random quad-row gather on the 190MB atlas
+pool costs 49.3 ms/2.07M rays vs 10.4 for the 10MB tri_shade record. The
+sweep prices (R,) row gathers against (a) table size 0.5MB..192MB, (b)
+row dtype f32 vs bf16 (does halving the row bytes halve the cost, i.e.
+is the bf16-tables VERDICT item worth anything on gathers), and (c)
+index locality (random vs sorted indices — what ray re-tiling buys the
+shading gathers).
 """
 
 from __future__ import annotations
@@ -31,11 +40,67 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 
 
+def sweep_size(args):
+    import jax
+    import jax.numpy as jnp
+
+    R = args.rays
+    rng = np.random.default_rng(0)
+    out = {}
+    # (rows, cols, dtype) grid: 16B/row u32 quads (atlas-shaped) across
+    # sizes, and 32-col records in f32 vs bf16 (tri_shade-shaped)
+    cases = []
+    for n in (32 * 1024, 256 * 1024, 2 * 1024 * 1024, 12 * 1024 * 1024):
+        cases.append((f"u32x4_{n//1024}k", n, 4, np.uint32))
+    for n in (64 * 1024, 1024 * 1024, 4 * 1024 * 1024):
+        cases.append((f"f32x32_{n//1024}k", n, 32, np.float32))
+        cases.append((f"bf16x32_{n//1024}k", n, 32, "bf16"))
+
+    for name, n, c, dt in cases:
+        if dt == "bf16":
+            tbl = jnp.asarray(rng.normal(size=(n, c)).astype(np.float32),
+                              dtype=jnp.bfloat16)
+        elif dt == np.uint32:
+            tbl = jnp.asarray(
+                rng.integers(0, 2**32, (n, c), dtype=np.uint64)
+                .astype(np.uint32))
+        else:
+            tbl = jnp.asarray(rng.normal(size=(n, c)).astype(dt))
+        idx_r = rng.integers(0, n, R).astype(np.int32)
+        for loc, idx in (("rand", idx_r), ("sorted", np.sort(idx_r))):
+            di = jnp.asarray(idx)
+
+            @jax.jit
+            def g(i, tbl=tbl):
+                r = tbl[i]
+                return jnp.sum(r[:, 0].astype(jnp.float32)) + jnp.sum(
+                    r[:, -1].astype(jnp.float32))
+
+            np.asarray(g(di))
+            best = np.inf
+            for _ in range(args.reps):
+                t0 = time.perf_counter()
+                np.asarray(g(di))
+                best = min(best, time.perf_counter() - t0)
+            mb = n * c * (2 if dt == "bf16" else 4) / 1e6
+            key = f"{name}_{loc}"
+            out[key] = round(best / R * 1e9, 2)
+            print(f"{key:22s} {best*1e3:8.2f} ms  ({out[key]:7.2f} ns/row, "
+                  f"table {mb:7.1f} MB)", file=sys.stderr)
+    print(json.dumps(out))
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--rays", type=int, default=518400)
     ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--sweep-size", action="store_true",
+                    help="table-size x dtype x locality gather cost curve")
     args = ap.parse_args()
+
+    if args.sweep_size:
+        sweep_size(args)
+        return
 
     import jax
     import jax.numpy as jnp
