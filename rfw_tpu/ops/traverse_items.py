@@ -49,16 +49,27 @@ from rfw_tpu.ops.traverse import (
     KERNEL_MAX_ITERS,
     auto_chunk,
 )
-# the items pipeline tiles at the canonical (8,128) granularity even when
-# the classic kernel runs multi-tile stream interleaving (NSTREAM > 8):
-# its stream<->instance run packing is defined on 8-sublane tiles
+# the items pipeline keeps the canonical NSTREAM8 stream count even when
+# the classic kernel runs multi-tile stream interleaving (NSTREAM > 8),
+# but its stream WIDTH (sublanes per single-instance run) is its own
+# knob: the classic kernel's RFW_SSUB A/B showed phases 1/3 are
+# constant-instruction in the sub-tile height ((2,128) ops burn a full
+# (8,128) vreg), so wider runs serve more rays per instruction. The cost
+# here is run-alignment padding (every same-instance run pads to a STILE
+# boundary: n_inst * STILE worst-case extra slots) plus the SSUB-unrolled
+# dense leaf test. RFW_SSUB_ITEMS overrides for A/B.
 from rfw_tpu.ops.traverse import (
-    LANES8 as LANES,
     NSTREAM8 as NSTREAM,
-    SSUB8 as SSUB,
-    SUB8 as SUB,
+    SSUB8,
 )
 from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
+
+import os as _os
+
+SSUB = int(_os.environ.get("RFW_SSUB_ITEMS", str(SSUB8)))
+assert SSUB in (1, 2, 4, 8) and SSUB >= SSUB8, f"RFW_SSUB_ITEMS={SSUB}"
+SUB = NSTREAM * SSUB
+LANES = SUB * LANE
 
 #: items per stream sub-tile; every run of same-instance items is padded
 #: to a STILE boundary so each stream walks exactly one BLAS

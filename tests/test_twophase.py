@@ -172,7 +172,10 @@ class TestPallasItems:
 
         N = 2048
         inst = rng.integers(-1, 5, N).astype(np.int32)
-        C = 4096
+        # capacity = items + worst-case per-instance STILE alignment (the
+        # production sizing, twophase_closest_fused) — STILE follows the
+        # RFW_SSUB_ITEMS stream width
+        C = -(-(N + 5 * STILE) // STILE) * STILE
         slot_item, stream_inst, ovf = _pack_items(jnp.asarray(inst), 5, C)
         slot_item = np.asarray(slot_item)
         stream_inst = np.asarray(stream_inst)
