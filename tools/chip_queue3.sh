@@ -42,3 +42,12 @@ step 33_bench_combo env RFW_SSUB=8 RFW_SSUB_ITEMS=4 python bench.py --spp 4 --wi
 # 3. animated frame decomposition: fixed cost vs scaling
 step 34_anim_1spp python examples/animated.py --size 256x128 --frames 12 --spp 1
 step 35_anim_512 python examples/animated.py --size 512x256 --frames 12 --spp 1
+
+# 4. fewer-streams x wider-tiles: per-iteration cost tracks compiled code
+#    size (NSTREAM-unrolled); SSUB widens at CONSTANT code. NSTREAM=2
+#    halves phase-1/3 code at the same 4096 rays/program (overlap drops
+#    to 2-way, but if code streaming binds, net wins).
+step 36_oracle_n2s16 env RFW_NSTREAM=2 RFW_SSUB=16 python tools/check_traverse.py
+step 37_trav_n2s16 env RFW_NSTREAM=2 RFW_SSUB=16 python tools/bench_traverse.py --occluded --cases coherent,sorted
+step 38_trav_n2s8 env RFW_NSTREAM=2 RFW_SSUB=8 python tools/bench_traverse.py --cases coherent,sorted
+step 39_trav_n1s16 env RFW_NSTREAM=1 RFW_SSUB=16 python tools/bench_traverse.py --cases coherent,sorted
