@@ -80,8 +80,12 @@ assert NSTREAM in (1, 2, 4, 8, 16, 32), f"RFW_NSTREAM={NSTREAM}"
 #: (tools/sim_visits --lanes): 1024-ray streams walk pica bounce rays in
 #: 2.34x fewer TOTAL program-iterations than 256-ray streams at equal
 #: coverage (sum of visits itself halves — locality-sorted rays share
-#: their unions). On-chip A/B: RFW_SSUB=4/8 vs default.
-SSUB = int(_os.environ.get("RFW_SSUB", str(max(1, 8 // NSTREAM))))
+#: their unions). Round-4 on-chip A/B (docs/ROUND4.md): SSUB=8 swept the
+#: grid — kernel coherent 14.9 -> ~20-24.6 Mrays/s, sorted occluded
+#: 6.9 -> 9.9, end-to-end bench 7.75 -> 9.17 within one session — so 8
+#: is the DEFAULT (canonical 8//NSTREAM only for NSTREAM > 8 widths).
+SSUB = int(_os.environ.get(
+    "RFW_SSUB", str(8 if NSTREAM <= 8 else max(1, 8 // NSTREAM))))
 assert SSUB in (1, 2, 4, 8, 16) and SSUB >= max(1, 8 // NSTREAM), \
     f"RFW_SSUB={SSUB} (NSTREAM={NSTREAM})"
 SUB = NSTREAM * SSUB  # 8 rows at the defaults; more for SSUB/NSTREAM overrides

@@ -31,9 +31,9 @@ done
 [ "$ok" = "1" ] || { echo "TUNNEL STILL DOWN"; exit 1; }
 
 # 1. items kernel stream-width A/B (sorted bounce rays, the real workload)
-step 30_items_s2 python tools/bench_items.py
-step 31_items_s4 env RFW_SSUB_ITEMS=4 python tools/bench_items.py
-step 32_items_s8 env RFW_SSUB_ITEMS=8 python tools/bench_items.py
+step 30_items_s2 python tools/bench_items.py --fused --breakdown
+step 31_items_s4 env RFW_SSUB_ITEMS=4 python tools/bench_items.py --fused --breakdown
+step 32_items_s8 env RFW_SSUB_ITEMS=8 python tools/bench_items.py --fused --breakdown
 
 # 2. end-to-end with the combined winners (edit before running if the
 #    A/Bs above disagree with the expectation SSUB=8 + SSUB_ITEMS=4)
@@ -51,3 +51,7 @@ step 36_oracle_n2s16 env RFW_NSTREAM=2 RFW_SSUB=16 python tools/check_traverse.p
 step 37_trav_n2s16 env RFW_NSTREAM=2 RFW_SSUB=16 python tools/bench_traverse.py --occluded --cases coherent,sorted
 step 38_trav_n2s8 env RFW_NSTREAM=2 RFW_SSUB=8 python tools/bench_traverse.py --cases coherent,sorted
 step 39_trav_n1s16 env RFW_NSTREAM=1 RFW_SSUB=16 python tools/bench_traverse.py --cases coherent,sorted
+
+# 5. HBM-streamed tier safety at the new SSUB=8 default (4x step buffers;
+#    auto_chunk must still fit the 500k-tri resident arrays)
+step 40_hbm_s8 python tools/bench_hbm.py
