@@ -80,16 +80,19 @@ STILE = SSUB * LANE
 DENSE_A_MAX_INST = int(__import__("os").environ.get("RFW_DENSE_A_MAX", "512"))
 
 
-def _items_chunk(ps: PallasScene, tri_hbm: bool) -> int:
-    """VMEM-adaptive grid-step batch for the items kernel (same closest-hit
-    step planes as the classic kernel: 7 in + 5 out; sinst is SMEM)."""
-    scratch_b = 4 * 9 * SUB * LANE
+def _items_chunk(ps: PallasScene, tri_hbm: bool,
+                 any_hit: bool = False) -> int:
+    """VMEM-adaptive grid-step batch for the items kernel (closest-hit
+    step planes match the classic kernel: 7 in + 5 out; the lean any-hit
+    variant is 7 in + 1 out + 1 scratch t plane; sinst is SMEM)."""
+    scratch_b = 4 * (10 if any_hit else 9) * SUB * LANE
     resident = 4 * (ps.scene_t.size + ps.inst_t.size + ps.root_t.size)
     if tri_hbm:
         scratch_b += 4 * NSTREAM * TREELET * LANE
     else:
         resident += 4 * ps.tri_t.size
-    return auto_chunk(resident, 4 * 12 * SUB * LANE, scratch_b)
+    planes = 8 if any_hit else 12
+    return auto_chunk(resident, 4 * planes * SUB * LANE, scratch_b)
 
 
 class _W(NamedTuple):
@@ -101,21 +104,27 @@ class _W(NamedTuple):
 
 
 def _items_kernel_factory(batch: int, tri_hbm: bool = False,
-                          arity: int = 8):
+                          arity: int = 8, any_hit: bool = False):
     """One fixed-instance shared-stack walk per stream. Stream k's
     instance comes from sinst_ref[tile, k] (SMEM); its walk starts at
-    that instance's BLAS root and never re-enters the TLAS."""
+    that instance's BLAS root and never re-enters the TLAS.
 
-    def kernel(
-        meta_ref,  # SMEM (1,4) i32: [tlas_root, n_tri, n_inst, 0]
-        scene_ref, tri_ref, inst_ref, root_ref,  # scene (VMEM/SMEM)
-        sinst_ref,  # SMEM (batch, NSTREAM) i32 window: per-stream instance
-        o_ref, d_ref, tlim_ref,  # per-step inputs, leading dim = batch
-        t_ref, prim_ref, iout_ref, u_ref, v_ref,  # per-step outputs
-        obj_ref,  # VMEM scratch (9, SUB, LANE): object-space rays
-        stack_ref,  # SMEM scratch (NSTREAM, STACK_DEPTH) i32
-        *hbm_scratch,  # tri_hbm only: treelet staging + DMA semaphores
-    ):
+    any_hit mirrors the classic lean occlusion kernel (ops.traverse):
+    the only OUTPUT is prim (>= 0 == occluded flag), t stays a scratch
+    plane holding the per-lane limit, occluded lanes are masked out of
+    leaf and slab tests, and a stream retires early once every lane it
+    owns is occluded."""
+
+    def kernel(*refs):
+        if any_hit:
+            (meta_ref, scene_ref, tri_ref, inst_ref, root_ref, sinst_ref,
+             o_ref, d_ref, tlim_ref, prim_out,
+             t_scratch, obj_ref, stack_ref, *hbm_scratch) = refs
+        else:
+            (meta_ref, scene_ref, tri_ref, inst_ref, root_ref, sinst_ref,
+             o_ref, d_ref, tlim_ref,
+             t_out, prim_out, iout_out, u_out, v_out,
+             obj_ref, stack_ref, *hbm_scratch) = refs
         if tri_hbm:
             tri_stage, tri_sems = hbm_scratch
         n_inst = meta_ref[0, 2]
@@ -144,9 +153,10 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
             insts = [sinst_ref[b, k] for k in range(NSTREAM)]
             t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
             prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-            iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-            u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
-            v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+            if not any_hit:
+                iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+                u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+                v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
 
             def safe_inv(x):
                 return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
@@ -269,6 +279,12 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
                                 & (uq + vq <= 1 + 1e-7)
                                 & (tq > T_MIN) & (tq < tcur)
                             )
+                            if any_hit:
+                                ok = ok & (prim_ref[0, rsl, :] < 0)
+                                occl = jnp.any(ok, axis=0, keepdims=True)
+                                prim_ref[0, rsl, :] = jnp.where(
+                                    occl, firsts[k], prim_ref[0, rsl, :])
+                                continue
                             score = jnp.where(ok, tq, jnp.float32(np.inf))
                             tmin = jnp.min(score, axis=0, keepdims=True)
                             hit_any = tmin < tcur
@@ -306,6 +322,7 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
                     iy = obj_ref[7, sl, :]
                     iz = obj_ref[8, sl, :]
                     t_best = t_ref[0, sl, :]
+                    dead = prim_ref[0, sl, :] >= 0 if any_hit else None
 
                     is_int = (w.node >= 0) & ~w.done
 
@@ -342,6 +359,8 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
                             jnp.maximum(tz0, tz1),
                         )
                         okl = (tn <= tf) & (tf > T_MIN) & (tn < t_best)
+                        if any_hit:
+                            okl = okl & ~dead
                         hitk = jnp.any(okl) & is_int
 
                         e_code = child_entry(
@@ -362,6 +381,8 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
                                      jnp.int32(-1))
                     exhausted = (node == -1) & (sp <= 0)
                     done = w.done | exhausted
+                    if any_hit:
+                        done = done | jnp.all(prim_ref[0, sl, :] >= 0)
                     new_walks.append(w._replace(node=node, sp=sp, done=done))
 
                 return tuple(new_walks), iters + 1
@@ -385,9 +406,13 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
 
         def per_batch(b, _):
             s = pl.ds(b, 1)
-            tile_walk(b, o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
-                      t_ref.at[s], prim_ref.at[s], iout_ref.at[s],
-                      u_ref.at[s], v_ref.at[s])
+            if any_hit:
+                tile_walk(b, o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                          t_scratch, prim_out.at[s], None, None, None)
+            else:
+                tile_walk(b, o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                          t_out.at[s], prim_out.at[s], iout_out.at[s],
+                          u_out.at[s], v_out.at[s])
             return 0
 
         jax.lax.fori_loop(0, batch, per_batch, 0)
@@ -396,14 +421,15 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
 
 
 @functools.partial(jax.jit, static_argnames=("interpret", "batch",
-                                              "tri_hbm"))
+                                              "tri_hbm", "any_hit"))
 def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
                       o4, d4, tl3, interpret: bool = False, batch: int = 1,
-                      tri_hbm: bool = False):
+                      tri_hbm: bool = False, any_hit: bool = False):
     T = o4.shape[0]
     assert T % batch == 0
     # supernode arity rides the scene_t row count (8 i32 rows per child)
-    kernel = _items_kernel_factory(batch, tri_hbm, scene_t.shape[0] // 8)
+    kernel = _items_kernel_factory(batch, tri_hbm, scene_t.shape[0] // 8,
+                                   any_hit)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     tri_spec = (pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) if tri_hbm
@@ -416,14 +442,18 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
                          memory_space=pltpu.VMEM)
     tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
-    )
-    scratch = [
+    if any_hit:
+        out_shapes = jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32)  # prim
+    else:
+        out_shapes = (
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
+        )
+    scratch = ([pltpu.VMEM((1, SUB, LANE), jnp.float32)] if any_hit
+               else []) + [
         pltpu.VMEM((9, SUB, LANE), jnp.float32),
         pltpu.SMEM((NSTREAM, STACK_DEPTH), jnp.int32),
     ]
@@ -438,7 +468,7 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
         in_specs=[smem_spec, scene_spec, tri_spec, scene_spec,
                   smem_spec, sinst_spec]
         + [tile3, tile3, tile1],
-        out_specs=(tile1, tile1, tile1, tile1, tile1),
+        out_specs=tile1 if any_hit else (tile1,) * 5,
         out_shape=out_shapes,
         scratch_shapes=scratch,
         interpret=interpret,
@@ -675,6 +705,135 @@ def twophase_closest_with_fallback(ps: PallasScene, ray_o, ray_d,
         put(hit.u, fhit.u),
         put(hit.v, fhit.v),
     )
+
+
+def twophase_occluded_fused(ps: PallasScene, ray_o, ray_d, t_limit,
+                            K: int = 8, items_per_ray: float = 1.5,
+                            n_inst_static: int | None = None,
+                            interpret: bool = False,
+                            tri_hbm: bool = False):
+    """Two-phase ANY-HIT: the bounce-vertex NEE shadow rays share the
+    closest path's shape (sorted incoherent origins), so they get the same
+    ray-binned treatment — TLAS entries, single-instance stream runs, then
+    the LEAN any-hit item kernel (prim-flag output only, occluded lanes
+    masked out, early stream retirement — mirroring ops.traverse's
+    classic any-hit variant).
+
+    Returns (occluded (R,) bool, undecided (R,) bool): `undecided` rays
+    are NOT occluded by their K nearest instances but had a full entry
+    list or dropped items — an unseen instance could still occlude, so
+    they need a classic retrace (twophase_occluded_with_fallback).
+    Zero-t_limit lanes produce no entries and cost nothing in either
+    kernel (the NEE dead-lane contract).
+
+    Reference anchor: ray_shadow.comp's compacted shadow-queue occlusion
+    pass (backends/gpu-rt/shaders/ray_shadow.comp:1-268)."""
+    from rfw_tpu.ops.traverse_entries import pallas_tlas_entries
+    from rfw_tpu.render.twophase import dense_tlas_entries
+
+    R = ray_o.shape[0]
+    i32 = jnp.int32
+    n_inst = n_inst_static or ps.inst_box_min.shape[0]
+    tl_ray = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+
+    if ps.inst_box_min.shape[0] <= DENSE_A_MAX_INST:
+        ents = dense_tlas_entries(ps.inst_box_min, ps.inst_box_max,
+                                  ray_o, ray_d, tl_ray, K=K)
+    else:
+        ents = pallas_tlas_entries(ps, ray_o, ray_d, tl_ray, K=K,
+                                   interpret=interpret)
+    inst_flat = ents.inst.reshape(-1)
+
+    Ccap = max(LANES, -(-int(R * items_per_ray) // LANES) * LANES)
+    C = Ccap + n_inst * STILE
+    C = -(-C // LANES) * LANES
+
+    citem, ray_ovf = _compact_entries(ents.inst, Ccap)
+    slot_item, stream_inst, cap_ovf_sorted, sitem = _pack_compact(
+        citem, inst_flat, n_inst, C)
+    cap_ovf_ray = (jnp.zeros(R + 1, i32)
+                   .at[jnp.where(cap_ovf_sorted, sitem // K, R)]
+                   .max(cap_ovf_sorted.astype(i32))[:R] > 0)
+
+    ray_id = jnp.maximum(slot_item, 0) // K
+    od = jnp.concatenate([ray_o, ray_d, tl_ray[:, None]], axis=1)  # (R,7)
+    od_s = od[ray_id]
+    o_s = od_s[:, 0:3]
+    d_s = od_s[:, 3:6]
+    tl_s = jnp.where(slot_item >= 0, od_s[:, 6], -jnp.inf)
+
+    T = C // LANES
+    o4 = o_s.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    d4 = d_s.reshape(T, SUB, LANE, 3).transpose(0, 3, 1, 2)
+    tl3 = tl_s.reshape(T, SUB, LANE)
+    sinst = stream_inst.reshape(T, NSTREAM)
+
+    batch = min(_items_chunk(ps, tri_hbm, any_hit=True), T)
+    n_steps = -(-T // batch)
+    pad = n_steps * batch - T
+    if pad:
+        o4 = jnp.concatenate([o4, jnp.zeros((pad,) + o4.shape[1:], o4.dtype)])
+        d4 = jnp.concatenate([d4, jnp.ones((pad,) + d4.shape[1:], d4.dtype)])
+        tl3 = jnp.concatenate(
+            [tl3, jnp.full((pad,) + tl3.shape[1:], -jnp.inf, tl3.dtype)])
+        sinst = jnp.concatenate(
+            [sinst, jnp.full((pad, NSTREAM), -1, sinst.dtype)])
+
+    meta = jnp.stack([jnp.asarray(ps.tlas_root, i32),
+                      jnp.asarray(ps.n_tri, i32),
+                      jnp.asarray(ps.n_inst, i32),
+                      jnp.zeros((), i32)])[None]
+    prim_s = _run_items_arrays(
+        meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
+        o4, d4, tl3, interpret=interpret, batch=batch, tri_hbm=tri_hbm,
+        any_hit=True)
+    prim_f = prim_s[:T].reshape(C)
+
+    # per-ray OR by scatter-max
+    hit_ok = (slot_item >= 0) & (prim_f >= 0)
+    rid = jnp.where(hit_ok, slot_item // K, R)
+    occluded = (jnp.zeros(R + 1, i32).at[rid].max(
+        hit_ok.astype(i32))[:R] > 0)
+
+    full = ents.inst[:, K - 1] >= 0
+    undecided = (full | ray_ovf | cap_ovf_ray) & ~occluded
+    return occluded, undecided
+
+
+def twophase_occluded_with_fallback(ps: PallasScene, ray_o, ray_d, t_limit,
+                                    K: int = 8, items_per_ray: float = 1.5,
+                                    n_inst_static: int | None = None,
+                                    fallback_frac: int = 64,
+                                    interpret: bool = False,
+                                    tri_hbm: bool = False):
+    """Exact-result two-phase occlusion: undecided rays (full K-list or
+    dropped items, and not yet occluded) are compacted and retraced with
+    the classic any-hit kernel. Surplus rays beyond the static fallback
+    buffer keep `occluded=False` — conservative for NEE (light leaks are
+    bounded by the buffer being >= 20x the measured truncation rate, and
+    the estimator stays unbiased in the limit: the classic path is used
+    whenever capacity allows)."""
+    from rfw_tpu.ops.traverse import pallas_occluded
+
+    R = ray_o.shape[0]
+    tl_ray = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
+    occ, undecided = twophase_occluded_fused(
+        ps, ray_o, ray_d, tl_ray, K=K, items_per_ray=items_per_ray,
+        n_inst_static=n_inst_static, interpret=interpret, tri_hbm=tri_hbm)
+
+    F = max(LANES, -(-(R // fallback_frac) // LANES) * LANES)
+    idx = jnp.nonzero(undecided, size=F, fill_value=R)[0].astype(jnp.int32)
+    sel = idx < R
+    ic = jnp.minimum(idx, R - 1)
+    o_f = ray_o[ic]
+    d_f = ray_d[ic]
+    tl_f = jnp.where(sel, tl_ray[ic], 0.0)
+    focc = pallas_occluded(ps, o_f, d_f, tl_f, interpret=interpret,
+                           tri_hbm=tri_hbm)
+    occ_i = occ.astype(jnp.int32)
+    merged = (jnp.concatenate([occ_i, occ_i[-1:]])
+              .at[idx].max((sel & focc).astype(jnp.int32))[:R])
+    return merged > 0
 
 
 @functools.partial(jax.jit, static_argnames=("n_inst", "capacity"))

@@ -870,6 +870,7 @@ def render_sample(
         if use_tp:
             from rfw_tpu.ops.traverse_items import (
                 twophase_closest_with_fallback,
+                twophase_occluded_with_fallback,
             )
 
             n_inst_static = scene.inst_matrix.shape[0]
@@ -885,8 +886,23 @@ def render_sample(
                     pps, o, d, tl, K=config.tp_K,
                     items_per_ray=config.tp_items_per_ray,
                     n_inst_static=n_inst_static, tri_hbm=tri_hbm)
+
+            if _os.environ.get("RFW_TP_SHADOW", "1") == "1":
+                # bounce-vertex NEE shadow rays share the bounce rays'
+                # incoherence (they leave the same sorted hit points), so
+                # they get the same ray-binned treatment via the lean
+                # any-hit items kernel (vertex 0 stays classic: its
+                # shadow packets inherit the primaries' image coherence)
+                def trace_occluded_bounce(o, d, tl):
+                    return twophase_occluded_with_fallback(
+                        pps, o, d, tl, K=config.tp_K,
+                        items_per_ray=config.tp_items_per_ray,
+                        n_inst_static=n_inst_static, tri_hbm=tri_hbm)
+            else:
+                trace_occluded_bounce = None
         else:
             trace_bounce = trace_coherent
+            trace_occluded_bounce = None
 
         def trace_occluded(o, d, tl):
             return pallas_occluded(pps, o, d, tl, tri_hbm=tri_hbm)
@@ -908,6 +924,7 @@ def render_sample(
                 return packet_closest_hit(ps, o, d, tl, lanes=lanes)
 
             trace_bounce = trace_coherent
+            trace_occluded_bounce = None
 
             def trace_occluded(o, d, tl):
                 return packet_occluded(ps, o, d, tl, lanes=lanes)
@@ -916,6 +933,7 @@ def render_sample(
             return bvh_closest_hit(scene, o, d, tl)
 
         trace_bounce = trace_coherent
+        trace_occluded_bounce = None
 
         def trace_occluded(o, d, tl):
             return bvh_occluded(scene, o, d, tl)
@@ -1161,8 +1179,13 @@ def render_sample(
         shadow_o = v3_add(pos, v3_scale(basis["ng"], config.shadow_eps))
         # zero-contribution lanes (light behind the surface, dead lanes)
         # get t_limit 0: their slab tests fail immediately and tiles of
-        # them exit the traversal loop at once
-        occ = trace_occluded(
+        # them exit the traversal loop at once. Bounce vertices route
+        # through the ray-binned two-phase any-hit when available (their
+        # shadow rays leave sorted-but-incoherent hit points; vertex 0's
+        # inherit the primaries' image coherence and stay classic).
+        occ_fn = (trace_occluded if first or trace_occluded_bounce is None
+                  else trace_occluded_bounce)
+        occ = occ_fn(
             v3_stack(shadow_o), v3_stack(wi_l),
             jnp.where(can_light, dist_l - 2.0 * config.shadow_eps, 0.0))
         if config.has_area_lights:

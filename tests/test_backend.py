@@ -98,12 +98,17 @@ def test_repack_instances_matches_full_pack():
 
 
 def test_instance_motion_updates_all_device_arenas(app_scene):
-    """Instance-only sync must upload every TLAS-derived arena, including the
-    8-wide supernode fields the Pallas tier traverses (a stale tlas8_box
-    leaves rays transformed by the new inst_inv but traversed against last
-    frame's TLAS — and the equality gate then keeps it stale forever)."""
+    """Instance-only sync on the HOST repack path must upload every
+    TLAS-derived arena, including the 8-wide supernode fields the Pallas
+    tier traverses (a stale tlas8_box leaves rays transformed by the new
+    inst_inv but traversed against last frame's TLAS — and the equality
+    gate then keeps it stale forever). device_motion=False pins that
+    path; the round-4 device fast path intentionally leaves the HOST
+    arrays behind (tracked via _dev_stale) and is covered by
+    tests/test_device_motion.py instead."""
     scene, mid = app_scene
-    be = TpuBackend(32, 32, TpuSettings(samples_per_frame=1, max_bounces=0))
+    be = TpuBackend(32, 32, TpuSettings(samples_per_frame=1, max_bounces=0,
+                                        device_motion=False))
     scene.meshes_3d.trigger_changed_all()
     scene._instances_changed = True
     scene.materials.materials.trigger_changed_all()

@@ -462,3 +462,81 @@ def test_dense_entries_match_tree_walk(rng):
                               jnp.asarray(o), jnp.asarray(d),
                               jnp.asarray(tl), K=K)
     assert (np.asarray(dead.inst) == -1).all()
+
+
+class TestFusedOcclusion:
+    """twophase_occluded_fused / twophase_occluded_with_fallback: the
+    any-hit twin of the fused items path (bounce-vertex NEE shadow rays).
+    Lean item kernel (prim-flag only) + per-ray OR merge + classic
+    any-hit retrace of undecided rays."""
+
+    def _scene(self, rng):
+        from rfw_tpu.ops import prepare_pallas_scene
+        from tests.test_traversal import scene_dev
+
+        scene = pack_trace_scene(
+            [(0, sphere(quality=1), None), (1, cube(), None)],
+            [(0, _random_instances(rng, 7)), (1, _random_instances(rng, 4))],
+        )
+        sd = scene_dev(scene)
+        return sd, prepare_pallas_scene(sd)
+
+    def test_occluded_matches_classic(self, rng):
+        from rfw_tpu.render.intersect import bvh_occluded
+        from rfw_tpu.ops.traverse_items import twophase_occluded_with_fallback
+
+        sd, ps = self._scene(rng)
+        o, d = make_rays(256, rng, origin_box=8.0, target_box=6.0)
+        # shadow-ray contract: mixed finite limits + dead lanes at 0
+        tl = rng.uniform(0.5, 20.0, 256).astype(np.float32)
+        tl[::5] = 0.0  # dead lanes cost nothing and stay unoccluded
+        got = twophase_occluded_with_fallback(
+            ps, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tl),
+            K=4, items_per_ray=4.0,
+            n_inst_static=sd.inst_matrix.shape[0], interpret=True)
+        ref = bvh_occluded(sd, jnp.asarray(o), jnp.asarray(d),
+                           jnp.asarray(tl))
+        assert (np.asarray(got) == np.asarray(ref)).all()
+        assert not np.asarray(got)[::5].any()
+
+    def test_occluded_fused_undecided_contract(self, rng):
+        """K below the overlap depth: fused alone flags undecided rays
+        (conservative, never falsely occluded); the fallback makes every
+        ray exact."""
+        from rfw_tpu.ops import prepare_pallas_scene
+        from rfw_tpu.render.intersect import bvh_occluded
+        from rfw_tpu.ops.traverse_items import (
+            twophase_occluded_fused, twophase_occluded_with_fallback,
+        )
+        from tests.test_traversal import scene_dev
+
+        mats = [compose_trs(np.array([0, 0, -2.0 * i], np.float32),
+                            quat_identity(), np.ones(3, np.float32))
+                for i in range(12)]
+        scene = pack_trace_scene([(0, sphere(quality=1), None)],
+                                 [(0, np.stack(mats))])
+        sd = scene_dev(scene)
+        ps = prepare_pallas_scene(sd)
+        rng2 = np.random.default_rng(7)
+        o = np.stack([rng2.uniform(-0.95, 0.95, 64),
+                      rng2.uniform(-0.95, 0.95, 64),
+                      np.full(64, 6.0)], axis=1).astype(np.float32)
+        d = np.tile(np.array([[0, 0, -1.0]], np.float32), (64, 1))
+        tl = np.full(64, 40.0, np.float32)
+        occ, und = twophase_occluded_fused(
+            ps, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tl),
+            K=2, items_per_ray=2.0,
+            n_inst_static=sd.inst_matrix.shape[0], interpret=True)
+        ref = np.asarray(bvh_occluded(sd, jnp.asarray(o), jnp.asarray(d),
+                                      jnp.asarray(tl)))
+        occ = np.asarray(occ)
+        und = np.asarray(und)
+        # fused never claims occlusion falsely, and every miss it cannot
+        # prove is flagged undecided
+        assert not (occ & ~ref).any()
+        assert (ref[~occ] <= und[~occ]).all()
+        got = np.asarray(twophase_occluded_with_fallback(
+            ps, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tl),
+            K=2, items_per_ray=2.0,
+            n_inst_static=sd.inst_matrix.shape[0], interpret=True))
+        assert (got == ref).all()

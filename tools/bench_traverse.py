@@ -34,6 +34,10 @@ def main():
     ap.add_argument("--reps", type=int, default=4)
     ap.add_argument("--occluded", action="store_true",
                     help="also time the any-hit kernel")
+    ap.add_argument("--tp-occluded", action="store_true",
+                    help="also time + verify the two-phase any-hit "
+                         "(ray-binned items kernel) vs the classic "
+                         "occlusion at NEE-like finite t limits")
     ap.add_argument("--stats", action="store_true",
                     help="also report per-program while-iteration counts")
     ap.add_argument("--cases", default="coherent,sorted,unsorted",
@@ -118,6 +122,21 @@ def main():
         if args.occluded:
             fns.append(("occluded",
                         lambda: jnp.sum(pallas_occluded(ps, o, d, 1e26))))
+        if args.tp_occluded:
+            from rfw_tpu.ops.traverse_items import (
+                twophase_occluded_with_fallback,
+            )
+
+            # NEE-like finite limits: distance toward a fixed in-scene
+            # point (the first light's position region) per ray
+            lp = 0.5 * (mn + mx) + jnp.asarray([0.0, 0.25, 0.0]) * (mx - mn)
+            tl_nee = jnp.linalg.norm(lp[None] - o, axis=1)
+            ni = int(sdev.inst_matrix.shape[0])
+            fns.append(("occl_cl_nee",
+                        lambda: jnp.sum(pallas_occluded(ps, o, d, tl_nee))))
+            fns.append(("occl_tp_nee",
+                        lambda: jnp.sum(twophase_occluded_with_fallback(
+                            ps, o, d, tl_nee, n_inst_static=ni))))
         for fname, fn in fns:
             np.asarray(fn())  # compile + warm
             best = np.inf
@@ -129,6 +148,14 @@ def main():
             results[f"{name}.{fname}"] = round(mrays, 2)
             print(f"{name:9s} {fname:9s} {best*1e3:8.1f} ms "
                   f"{mrays:8.2f} Mrays/s", file=sys.stderr)
+        if args.tp_occluded:
+            a = np.asarray(pallas_occluded(ps, o, d, tl_nee))
+            b = np.asarray(twophase_occluded_with_fallback(
+                ps, o, d, tl_nee, n_inst_static=ni))
+            mism = int((a != b).sum())
+            results[f"{name}.occl_mismatch"] = mism
+            print(f"{name:9s} occl tp-vs-classic mismatches {mism}/{R}",
+                  file=sys.stderr)
         if args.stats:
             from rfw_tpu.ops.traverse import LANES
             hs = pallas_closest_hit(ps, o, d, stats=True)

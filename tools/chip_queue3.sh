@@ -55,3 +55,9 @@ step 39_trav_n1s16 env RFW_NSTREAM=1 RFW_SSUB=16 python tools/bench_traverse.py 
 # 5. HBM-streamed tier safety at the new SSUB=8 default (4x step buffers;
 #    auto_chunk must still fit the 500k-tri resident arrays)
 step 40_hbm_s8 python tools/bench_hbm.py
+
+# 6. two-phase any-hit (bounce shadow rays): on-chip verify + A/B vs the
+#    classic occlusion at NEE-like finite t limits, then end-to-end
+step 41_tp_occl python tools/bench_traverse.py --tp-occluded --cases sorted,coherent
+step 42_bench_tpsh python bench.py --spp 4 --width 1920 --height 1080
+step 43_bench_notpsh env RFW_TP_SHADOW=0 python bench.py --spp 4 --width 1920 --height 1080
