@@ -163,9 +163,9 @@ def main(argv=None):
         Image.fromarray(frame).save(f"{args.out_dir}/frame_{i:04d}.png")
         st = backend.stats
         print(f"frame {i}: {t.elapsed_ms():.0f}ms  "
-              f"(sync {st['sync_ms'].average():.0f}ms, "
-              f"render {st['render_ms'].average():.0f}ms, "
-              f"{st['mrays_per_s'].average():.1f} Mray/s)")
+              f"(sync {st['sync_ms'].last():.0f}ms, "
+              f"render {st['render_ms'].last():.0f}ms, "
+              f"{st['mrays_per_s'].last():.1f} Mray/s)")
         t.reset()
 
 

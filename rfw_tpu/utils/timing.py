@@ -54,5 +54,13 @@ class Averager:
             return 0.0
         return sum(self._vals) / len(self._vals)
 
+    def last(self) -> float:
+        """Most recent sample (per-frame readouts; the rolling average
+        folds in first-frame compile spikes for ~100 frames)."""
+        if not self._vals:
+            return 0.0
+        idx = (self._idx - 1) % len(self._vals) if self._full else -1
+        return self._vals[idx]
+
     def __len__(self) -> int:
         return len(self._vals)
