@@ -96,6 +96,12 @@ class TpuSettings:
     #   to the host SAH rebuild to refresh TLAS topology (refit keeps
     #   boxes valid but frame-0 topology; long drifts may degrade
     #   traversal quality). 0 = never (steady state stays on device).
+    motion_min_instances: int = 64  # device motion pays one extra jit
+    #   dispatch (~15 ms/frame measured over the tunnel, physics demo A/B
+    #   82.5 vs 67.7 ms at 13 instances) while the host SAH rebuild is
+    #   O(I log I) + an upload that grows with I — below this count the
+    #   host path is strictly faster AND refreshes topology. 0 = always
+    #   device (tests pin the fast path this way).
 
 
 def _mesh_from_view(v: MeshView3D) -> Mesh3D:
@@ -590,6 +596,8 @@ class TpuBackend:
             return False
         inst_mesh = np.concatenate(mesh_rows)
         n = inst_mesh.shape[0]
+        if n < self.settings.motion_min_instances:
+            return False  # host SAH rebuild is faster below the gate
         icap = base.inst_matrix.shape[0]
         if n > icap or not np.array_equal(base.inst_mesh[:n], inst_mesh) \
                 or not (base.inst_mesh[n:] < 0).all():

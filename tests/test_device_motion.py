@@ -25,6 +25,11 @@ CAM = Camera3D(fov=60).look_at(np.array([1.5, 1.5, 5.0], np.float32),
 
 
 def _settings(**kw):
+    # motion_min_instances=0: tests pin the device fast path at tiny
+    # instance counts (the production gate routes small pools to the
+    # faster host rebuild — measured 82.5 vs 67.7 ms/frame at 13
+    # instances on chip, docs/ROUND4.md)
+    kw.setdefault("motion_min_instances", 0)
     return TpuSettings(samples_per_frame=1, max_bounces=0,
                        pixel_center=True, **kw)
 
@@ -150,7 +155,7 @@ def test_motion_with_shading_bounce():
     for dm in (True, False):
         be = TpuBackend(W, H, TpuSettings(
             samples_per_frame=1, max_bounces=1, pixel_center=True,
-            sampler="sobol", device_motion=dm))
+            sampler="sobol", device_motion=dm, motion_min_instances=0))
         _feed(be, _static_mesh(), _instances([(0, 0), (2, 0)]))
         from rfw_tpu.scene.lights import PointLightsView
 
