@@ -22,6 +22,9 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=10)
     ap.add_argument("--size", default="320x180")
     ap.add_argument("--spp", type=int, default=2)
+    ap.add_argument("--balls", type=int, default=12,
+                    help="sphere instance count (large pools exercise the "
+                         "device instance-motion path, gated at >= 64)")
     ap.add_argument("--out-dir", default="/tmp/physics")
     args = ap.parse_args(argv)
     W, H = (int(x) for x in args.size.split("x"))
@@ -57,9 +60,10 @@ def main(argv=None):
     world = SphereWorld.new()
     handles = []
     rng = np.random.default_rng(3)
-    for k in range(12):
-        p = np.array([rng.uniform(-1.5, 1.5), 2.0 + k * 1.1,
-                      rng.uniform(-1.5, 1.5)], np.float32)
+    side = max(1.5, 0.45 * float(args.balls) ** 0.5 * 1.2)
+    for k in range(args.balls):
+        p = np.array([rng.uniform(-side, side), 2.0 + (k % 24) * 1.1,
+                      rng.uniform(-side, side)], np.float32)
         world.add_sphere(p, radius=0.5)
         handles.append(scene.add_3d_instance(ball_id))
 
