@@ -128,6 +128,9 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
         if tri_hbm:
             tri_stage, tri_sems = hbm_scratch
         n_inst = meta_ref[0, 2]
+        # hoisted: program_id inside the per_batch fori_loop body fails the
+        # interpret-mode lowering (no CPU rule once it lands in a jaxpr)
+        row_base = pl.program_id(0) * batch
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         n_grp = tri_ref.shape[1] // LANE
 
@@ -150,7 +153,11 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
 
         def tile_walk(b, o_ref, d_ref, tlim_ref, t_ref, prim_ref,
                       iout_ref, u_ref, v_ref):
-            insts = [sinst_ref[b, k] for k in range(NSTREAM)]
+            # sinst rides un-blocked in SMEM (full (T, NSTREAM) table is a
+            # few KB-100KB at realistic capacities) — absolute row indexing
+            # frees the grid-step batch from Mosaic's divisible-by-8 block
+            # rule (batch=12 used to fail lowering at RFW_SSUB_ITEMS=8)
+            insts = [sinst_ref[row_base + b, k] for k in range(NSTREAM)]
             t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
             prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
             if not any_hit:
@@ -434,10 +441,12 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     tri_spec = (pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) if tri_hbm
                 else scene_spec)
-    # windowed SMEM: the full (T, NSTREAM) table blew the 1MB SMEM budget
-    # at 1080p capacities; each step only needs its own batch rows
-    sinst_spec = pl.BlockSpec((batch, NSTREAM), lambda i: (i, 0),
-                              memory_space=pltpu.SMEM)
+    # full-table SMEM: (T, NSTREAM) is <= ~100KB at realistic capacities
+    # with NSTREAM <= 8 (the historical 1MB blow-up was the NSTREAM=32
+    # era). Un-blocked + absolute row indexing in the kernel frees the
+    # step batch from the SMEM block divisibility rule (a (12, 4) block
+    # failed Mosaic lowering when auto_chunk landed on the 12 rung).
+    sinst_spec = smem_spec
     tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
