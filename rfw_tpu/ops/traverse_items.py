@@ -128,9 +128,6 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
         if tri_hbm:
             tri_stage, tri_sems = hbm_scratch
         n_inst = meta_ref[0, 2]
-        # hoisted: program_id inside the per_batch fori_loop body fails the
-        # interpret-mode lowering (no CPU rule once it lands in a jaxpr)
-        row_base = pl.program_id(0) * batch
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         n_grp = tri_ref.shape[1] // LANE
 
@@ -153,11 +150,7 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
 
         def tile_walk(b, o_ref, d_ref, tlim_ref, t_ref, prim_ref,
                       iout_ref, u_ref, v_ref):
-            # sinst rides un-blocked in SMEM (full (T, NSTREAM) table is a
-            # few KB-100KB at realistic capacities) — absolute row indexing
-            # frees the grid-step batch from Mosaic's divisible-by-8 block
-            # rule (batch=12 used to fail lowering at RFW_SSUB_ITEMS=8)
-            insts = [sinst_ref[row_base + b, k] for k in range(NSTREAM)]
+            insts = [sinst_ref[b, k] for k in range(NSTREAM)]
             t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
             prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
             if not any_hit:
@@ -441,12 +434,22 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
     scene_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     tri_spec = (pl.BlockSpec(memory_space=pltpu.MemorySpace.ANY) if tri_hbm
                 else scene_spec)
-    # full-table SMEM: (T, NSTREAM) is <= ~100KB at realistic capacities
-    # with NSTREAM <= 8 (the historical 1MB blow-up was the NSTREAM=32
-    # era). Un-blocked + absolute row indexing in the kernel frees the
-    # step batch from the SMEM block divisibility rule (a (12, 4) block
-    # failed Mosaic lowering when auto_chunk landed on the 12 rung).
-    sinst_spec = smem_spec
+    # windowed SMEM with 8-row step groups: each grid step only needs its
+    # own batch rows (the full table can't ride SMEM whole — SMEM
+    # allocates ~128B per scalar, so (2640, 4) i32 is 1.35MB against the
+    # 1MB budget at 1080p capacities), but a (batch, NSTREAM) block with
+    # batch % 8 != 0 fails Mosaic's divisibility rule (batch=12 at
+    # RFW_SSUB_ITEMS=8). So step i's rows live at i*batch8 in a repacked
+    # (steps*batch8, NSTREAM) array with batch8 = batch rounded up to 8;
+    # when batch is already a multiple of 8 this is the identity layout.
+    batch8 = -(-batch // 8) * 8
+    if batch8 != batch:
+        sinst = jnp.pad(
+            sinst.reshape(T // batch, batch, NSTREAM),
+            ((0, 0), (0, batch8 - batch), (0, 0)), constant_values=-1,
+        ).reshape(T // batch * batch8, NSTREAM)
+    sinst_spec = pl.BlockSpec((batch8, NSTREAM), lambda i: (i, 0),
+                              memory_space=pltpu.SMEM)
     tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
                          memory_space=pltpu.VMEM)
     tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),

@@ -540,3 +540,42 @@ class TestFusedOcclusion:
             K=2, items_per_ray=2.0,
             n_inst_static=sd.inst_matrix.shape[0], interpret=True))
         assert (got == ref).all()
+
+
+class TestOddGridBatch:
+    def test_matches_classic_at_batch_3(self, rng, monkeypatch):
+        """Grid batches that are not multiples of 8 must still be exact:
+        Mosaic requires the windowed SMEM `sinst` block's row count % 8
+        == 0, so _run_items_arrays repacks step i's rows to offset
+        i*batch8 (batch8 = batch rounded up to 8). batch=3 forces the
+        repack; parity vs the classic walker pins the layout."""
+        from rfw_tpu.render import bvh_closest_hit
+        from rfw_tpu.ops import prepare_pallas_scene, traverse
+        from rfw_tpu.ops.traverse_items import pallas_twophase_closest_hit
+        from tests.test_traversal import scene_dev
+
+        monkeypatch.setattr(traverse, "_CHUNK_PINNED", True)
+        monkeypatch.setattr(traverse, "CHUNK_TILES", 3)
+
+        scene = pack_trace_scene(
+            [(0, sphere(quality=1), None), (1, cube(), None)],
+            [(0, _random_instances(rng, 7)), (1, _random_instances(rng, 4))],
+        )
+        sd = scene_dev(scene)
+        ps = prepare_pallas_scene(sd)
+        o, d = make_rays(256, rng, origin_box=8.0, target_box=6.0)
+        got, trunc = pallas_twophase_closest_hit(
+            ps, sd, jnp.asarray(o), jnp.asarray(d), K=4, capacity_tiles=4,
+            interpret=True)
+        ref = bvh_closest_hit(sd, jnp.asarray(o), jnp.asarray(d))
+        ok = ~np.asarray(trunc)
+        m_ref = np.asarray(ref.prim) >= 0
+        m_got = np.asarray(got.prim) >= 0
+        assert (m_ref[ok] == m_got[ok]).all()
+        both = ok & m_ref & m_got
+        assert both.any()
+        np.testing.assert_allclose(np.asarray(got.t)[both],
+                                   np.asarray(ref.t)[both],
+                                   rtol=1e-4, atol=1e-4)
+        assert (np.asarray(got.prim)[both]
+                == np.asarray(ref.prim)[both]).all()
