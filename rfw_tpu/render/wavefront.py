@@ -776,7 +776,9 @@ def _prefix_sizes(R: int, g: int, max_bounces: int = 1) -> list:
     if R < 4 * g or R < 16384:
         return [R]
     fracs = (0.1875, 0.375, 0.5625, 1.0)
-    if max_bounces >= 3:
+    if max_bounces >= 3 and _os.environ.get("RFW_DEEP_LADDER", "1") == "1":
+        # RFW_DEEP_LADDER=0 is the measurement knob for the sub-floor
+        # rungs' on-chip A/B (they are shapes, so this must be static)
         fracs = (0.046875, 0.09375) + fracs
     out = []
     for f in fracs:
