@@ -189,3 +189,51 @@ def pack_lights(
         pick_n=np.array([float(n)], np.float32),
         light_table=table,
     )
+
+
+# ---------------------------------------------------------------- upload
+
+_UPLOAD_JIT = None
+
+
+def upload_lights(host: DeviceLights) -> DeviceLights:
+    """Single-transfer device upload of a host-packed DeviceLights.
+
+    Per-field `jnp.asarray` costs one tunnel round trip per array — ~24
+    RTTs every animated frame where a light moves (measured: the light
+    repack dominated the animated demo's per-frame sync, docs/ROUND4.md).
+    Instead: concatenate every f32 field into ONE flat blob (the i32
+    counts into a second), upload the two blobs, and re-slice the pytree
+    on device inside one cached jit (shapes are static per scene, so
+    steady-state frames never retrace). 24+ RTTs -> 2 uploads + 1
+    dispatch."""
+    global _UPLOAD_JIT
+    import jax
+    import jax.numpy as jnp
+
+    fields = list(host)
+    is_i32 = [np.asarray(a).dtype == np.int32 for a in fields]
+    shapes = tuple(tuple(np.asarray(a).shape) for a in fields)
+    blob_i = np.concatenate(
+        [np.asarray(a, np.int32).ravel() for a, m in zip(fields, is_i32) if m])
+    blob_f = np.concatenate(
+        [np.asarray(a, np.float32).ravel()
+         for a, m in zip(fields, is_i32) if not m])
+
+    if _UPLOAD_JIT is None:
+        def _unpack(bi, bf, shapes_, is_i32_):
+            oi = of = 0
+            out = []
+            for shp, m in zip(shapes_, is_i32_):
+                n = int(np.prod(shp)) if shp else 1
+                if m:
+                    out.append(bi[oi:oi + n].reshape(shp))
+                    oi += n
+                else:
+                    out.append(bf[of:of + n].reshape(shp))
+                    of += n
+            return DeviceLights(*out)
+
+        _UPLOAD_JIT = jax.jit(_unpack, static_argnums=(2, 3))
+    return _UPLOAD_JIT(jnp.asarray(blob_i), jnp.asarray(blob_f),
+                       shapes, tuple(is_i32))

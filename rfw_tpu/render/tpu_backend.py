@@ -475,8 +475,12 @@ class TpuBackend:
         if self._tex_dirty:
             self._sync_textures()
         if self._light_dirty:
+            from rfw_tpu.render.lights_pack import upload_lights
+
             dl = pack_lights(self._point, self._spot, self._directional, self._area)
-            self._lights_dev = DeviceLights(*[jnp.asarray(x) for x in dl])
+            # 2 blob uploads + 1 dispatch instead of ~24 per-field RTTs —
+            # this runs EVERY frame in light-animated scenes
+            self._lights_dev = upload_lights(dl)
             self._light_dirty = False
             self._reset_film()
         self.stats["sync_ms"].add((_time.perf_counter() - _t0) * 1e3)
@@ -688,8 +692,10 @@ class TpuBackend:
         if self._atlas_dev is None:
             self._atlas_dev = atlas_to_device(pack_atlas([]))
         if self._lights_dev is None:
+            from rfw_tpu.render.lights_pack import upload_lights
+
             dl = pack_lights(self._point, self._spot, self._directional, self._area)
-            self._lights_dev = DeviceLights(*[jnp.asarray(x) for x in dl])
+            self._lights_dev = upload_lights(dl)
 
         view_arr = view_3d.as_array()
         if mode == RenderMode.RESET or self._last_view is None or not np.allclose(

@@ -162,3 +162,42 @@ class TestEcsEntities:
         w = World()
         w.spawn(a=1.0)
         assert len(w.query("a", "nope")) == 0
+
+
+def test_upload_lights_single_transfer_parity():
+    """upload_lights (2-blob + 1-dispatch device upload) must reproduce
+    every DeviceLights field bit-exactly vs per-field jnp.asarray — it is
+    the per-frame path for light-animated scenes."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from rfw_tpu.backend.lights import (
+        AreaLightsView, DirectionalLightsView, PointLightsView,
+        SpotLightsView,
+    )
+    from rfw_tpu.render.lights_pack import pack_lights, upload_lights
+
+    rng = np.random.default_rng(3)
+
+    def f(*shape):
+        return rng.uniform(0.1, 5, shape).astype(np.float32)
+
+    point = PointLightsView(f(3, 3), f(3, 3), np.zeros(3, bool))
+    spot = SpotLightsView(f(2, 3), f(2, 3), f(2, 3),
+                          np.array([0.9, 0.8], np.float32),
+                          np.array([0.7, 0.6], np.float32),
+                          np.zeros(2, bool))
+    directional = DirectionalLightsView(f(1, 3), f(1, 3), np.zeros(1, bool))
+    zi = np.array([0, 1], np.int32)
+    area = AreaLightsView(f(2, 3), f(2, 3), f(2, 3), f(2, 3), f(2),
+                          f(2, 3), f(2, 3), f(2, 3),
+                          zi, zi, zi, np.zeros(2, bool))
+    host = pack_lights(point, spot, directional, area)
+
+    ref = [np.asarray(jnp.asarray(x)) for x in host]
+    got = upload_lights(host)
+    for name, r, g in zip(host._fields, ref, list(got)):
+        g = np.asarray(g)
+        assert g.dtype == r.dtype, name
+        assert g.shape == r.shape, name
+        np.testing.assert_array_equal(g, r, err_msg=name)
