@@ -889,12 +889,14 @@ def render_sample(
                     items_per_ray=config.tp_items_per_ray,
                     n_inst_static=n_inst_static, tri_hbm=tri_hbm)
 
-            if _os.environ.get("RFW_TP_SHADOW", "1") == "1":
-                # bounce-vertex NEE shadow rays share the bounce rays'
-                # incoherence (they leave the same sorted hit points), so
-                # they get the same ray-binned treatment via the lean
-                # any-hit items kernel (vertex 0 stays classic: its
-                # shadow packets inherit the primaries' image coherence)
+            if _os.environ.get("RFW_TP_SHADOW", "0") == "1":
+                # OFF by default since the round-4 e2e decision grid:
+                # classic occluded (the strongest kernel tier, 36-41
+                # Mrays/s coherent/sorted any-hit at SSUB=8) beats the
+                # ray-binned items any-hit stack on bounce shadows —
+                # RFW_TP_SHADOW=0 scored 9.10 vs the 8.86 same-session
+                # anchor at 1080p (docs/ROUND4.md). The items any-hit
+                # path stays available for A/B via RFW_TP_SHADOW=1.
                 def trace_occluded_bounce(o, d, tl):
                     return twophase_occluded_with_fallback(
                         pps, o, d, tl, K=config.tp_K,
