@@ -97,6 +97,16 @@ NSTREAM8 = min(NSTREAM, 8)
 SSUB8 = 8 // NSTREAM8
 SUB8 = 8
 LANES8 = SUB8 * LANE
+#: two-phase pipeline stream count (items + entries kernels), DECOUPLED
+#: from the classic kernel's RFW_NSTREAM. Round-4 queue 8 measured the
+#: coupling cost: classic n2s16 wins the classic-kernel A/B (+2.3% e2e
+#: all-classic) but LOST end-to-end (8.58 vs 8.86) because the shared
+#: NSTREAM dragged the items kernel to 4-row tiles (more grid steps on
+#: the bounce trace). The two-phase shape is its own knob so classic
+#: stream experiments stop reshaping the bounce path; 4 is the measured
+#: canonical two-phase width (docs/ROUND4.md queue 6).
+NSTREAM_TP = int(_os.environ.get("RFW_NSTREAM_ITEMS", "4"))
+assert NSTREAM_TP in (1, 2, 4, 8), f"RFW_NSTREAM_ITEMS={NSTREAM_TP}"
 STACK_DEPTH = 96
 TLANES = 16  # record lanes per treelet slot (12 affine floats + pad)
 TGROUPS = LANE // TLANES  # treelets per aligned fetch block

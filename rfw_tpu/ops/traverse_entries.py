@@ -37,13 +37,16 @@ from rfw_tpu.ops.traverse import (
     KERNEL_MAX_ITERS,
     auto_chunk,
 )
-# canonical (8,128)-tile granularity (see traverse_items.py note)
+# canonical (8,128)-tile granularity; the stream count follows the
+# two-phase pipeline knob (traverse.NSTREAM_TP), NOT the classic
+# kernel's RFW_NSTREAM (see traverse_items.py note)
 from rfw_tpu.ops.traverse import (
     LANES8 as LANES,
-    NSTREAM8 as NSTREAM,
-    SSUB8 as SSUB,
+    NSTREAM_TP as NSTREAM,
     SUB8 as SUB,
 )
+
+SSUB = SUB // NSTREAM
 from rfw_tpu.render.intersect import T_MAX, T_MIN
 
 

@@ -49,25 +49,23 @@ from rfw_tpu.ops.traverse import (
     KERNEL_MAX_ITERS,
     auto_chunk,
 )
-# the items pipeline keeps the canonical NSTREAM8 stream count even when
-# the classic kernel runs multi-tile stream interleaving (NSTREAM > 8),
-# but its stream WIDTH (sublanes per single-instance run) is its own
-# knob: the classic kernel's RFW_SSUB A/B showed phases 1/3 are
-# constant-instruction in the sub-tile height ((2,128) ops burn a full
-# (8,128) vreg), so wider runs serve more rays per instruction. The cost
-# here is run-alignment padding (every same-instance run pads to a STILE
-# boundary: n_inst * STILE worst-case extra slots) plus the SSUB-unrolled
-# dense leaf test. RFW_SSUB_ITEMS overrides for A/B.
-from rfw_tpu.ops.traverse import (
-    NSTREAM8 as NSTREAM,
-    SSUB8,
-)
+# the items pipeline runs its OWN stream shape (RFW_NSTREAM_ITEMS x
+# RFW_SSUB_ITEMS), decoupled from the classic kernel's RFW_NSTREAM —
+# see traverse.NSTREAM_TP for the measured coupling cost. Its stream
+# WIDTH (sublanes per single-instance run) is its own knob: the classic
+# kernel's RFW_SSUB A/B showed phases 1/3 are constant-instruction in
+# the sub-tile height ((2,128) ops burn a full (8,128) vreg), so wider
+# runs serve more rays per instruction. The cost here is run-alignment
+# padding (every same-instance run pads to a STILE boundary:
+# n_inst * STILE worst-case extra slots) plus the SSUB-unrolled dense
+# leaf test. RFW_SSUB_ITEMS overrides for A/B.
+from rfw_tpu.ops.traverse import NSTREAM_TP as NSTREAM
 from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 
 import os as _os
 
-SSUB = int(_os.environ.get("RFW_SSUB_ITEMS", str(SSUB8)))
-assert SSUB in (1, 2, 4, 8) and SSUB >= SSUB8, f"RFW_SSUB_ITEMS={SSUB}"
+SSUB = int(_os.environ.get("RFW_SSUB_ITEMS", str(max(1, 8 // NSTREAM))))
+assert SSUB in (1, 2, 4, 8), f"RFW_SSUB_ITEMS={SSUB}"
 SUB = NSTREAM * SSUB
 LANES = SUB * LANE
 
