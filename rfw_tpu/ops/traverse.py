@@ -90,9 +90,11 @@ assert SSUB in (1, 2, 4, 8, 16) and SSUB >= max(1, 8 // NSTREAM), \
     f"RFW_SSUB={SSUB} (NSTREAM={NSTREAM})"
 SUB = NSTREAM * SSUB  # 8 rows at the defaults; more for SSUB/NSTREAM overrides
 LANES = SUB * LANE  # rays per grid program (1024 at the default)
-#: capped aliases: the items/entries kernels and the wavefront's tile
-#: gating/swizzle stay at the canonical (8,128)-tile granularity — the
-#: classic kernel pads internally when SUB exceeds 8 (see _reshape_rays)
+#: capped aliases: the wavefront's tile gating/swizzle (LANES8) and the
+#: entries kernel's fixed tile (SUB8/LANES8) stay at the canonical
+#: (8,128) granularity — the classic kernel pads internally when SUB
+#: exceeds 8 (see _reshape_rays). The two-phase ITEMS kernel's stream
+#: count is its own knob, NSTREAM_TP below.
 NSTREAM8 = min(NSTREAM, 8)
 SSUB8 = 8 // NSTREAM8
 SUB8 = 8

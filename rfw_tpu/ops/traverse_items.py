@@ -65,7 +65,10 @@ from rfw_tpu.render.intersect import Hit, T_MAX, T_MIN
 import os as _os
 
 SSUB = int(_os.environ.get("RFW_SSUB_ITEMS", str(max(1, 8 // NSTREAM))))
-assert SSUB in (1, 2, 4, 8), f"RFW_SSUB_ITEMS={SSUB}"
+# sub-8-row tiles (NSTREAM*SSUB < 8) waste full (8,128) vregs per the
+# cost note above — reject override combos that build them
+assert SSUB in (1, 2, 4, 8) and NSTREAM * SSUB >= 8, \
+    f"RFW_SSUB_ITEMS={SSUB} (NSTREAM_ITEMS={NSTREAM}: need NSTREAM*SSUB >= 8)"
 SUB = NSTREAM * SSUB
 LANES = SUB * LANE
 

@@ -277,57 +277,68 @@ def _light_potentials(lights: DeviceLights, p: Vec3C,
     """Per-point unshadowed contribution estimate for every padded light
     row: a list of L (R,) arrays. The reference scores every light per
     shading point (shade.comp:283-365); this is that scoring with the TPU
-    twist that rows are STATIC slices of the unified table (no gathers at
-    all) and every per-row score is a full-lane (R,) vector (never an
-    (R, L) array whose minor dim starves the 128-lane axis).
+    twist that the whole table is scored as ONE batched (L, R) program —
+    (L, 1) row columns broadcast against the (R,) lane axis, so the lane
+    (minor) dimension stays the full ray count and the traced program is
+    FLAT in L. (Round 4's Python-unrolled per-row version made the
+    16-light compile exceed a 40-minute budget on the remote toolchain —
+    docs/ROUND4.md; this form compiles in ordinary time at any
+    RFW_POTENTIAL_MAX, which is what made the crossover measurable.)
     Includes the surface cosine when `ns` is given — lights behind the
     shading point score ~0. Area rows anchor at the triangle centroid
     (the same anchor the emissive-hit MIS reconstruction can rebuild)."""
     np_, nsp, nd = lights.n_point[0], lights.n_spot[0], lights.n_dir[0]
     total = np_ + nsp + nd + lights.n_area[0]
-    L = lights.light_table.shape[0]
-    qs = []
-    for i in range(L):
-        row = lights.light_table[i]  # (20,) static slice — no gather
-        is_point = i < np_
-        is_spot = (~is_point) & (i < np_ + nsp)
-        is_dir = (~is_point) & (~is_spot) & (i < np_ + nsp + nd)
-        is_area = i >= np_ + nsp + nd
-        lum_en = (0.2126 * row[6] + 0.7152 * row[7] + 0.0722 * row[8])
-        lum_rad = (0.2126 * row[12] + 0.7152 * row[13] + 0.0722 * row[14])
-        cen = tuple(
-            jnp.where(is_area, (row[j] + row[3 + j] + row[6 + j]) / 3.0,
-                      row[j])
-            for j in range(3))
-        vec = tuple(cen[j] - p[j] for j in range(3))
-        d2 = jnp.maximum(v3_dot(vec, vec), 1e-8)
-        inv_d = 1.0 / jnp.sqrt(d2)
-        wi = v3_scale(vec, inv_d)
-        # linear spot falloff (matches _sample_light's radiance formula)
-        cos_to = -(wi[0] * row[3] + wi[1] * row[4] + wi[2] * row[5])
-        falloff = jnp.clip((cos_to - row[16])
-                           / jnp.maximum(row[15] - row[16], 1e-6), 0.0, 1.0)
-        # emitter-side cosine for area rows
-        cos_l = jnp.abs(wi[0] * row[9] + wi[1] * row[10] + wi[2] * row[11])
-        q = jnp.where(
-            is_point, lum_en / d2,
-            jnp.where(
-                is_spot, lum_en * falloff / d2,
-                jnp.where(is_dir, lum_en, lum_rad * row[17] * cos_l / d2),
-            ),
-        )
-        if ns is not None:
-            # surface cosine sharpens the pick for DELTA rows only: area
-            # rows must stay reconstructible at emissive-hit time from
-            # quantities the next vertex can rebuild (centroid anchor, no
-            # receiver normal), or the MIS weights stop partitioning unity
-            wi_eff = tuple(
-                jnp.where(is_dir, -row[3 + j], wi[j]) for j in range(3))
-            cos_s = jnp.maximum(v3_dot(ns, wi_eff), 0.0)
-            q = q * jnp.where(is_area, 1.0, cos_s)
-        q = jnp.where(i < total, q, 0.0)
-        qs.append(q)
-    return qs
+    table = lights.light_table  # (L, 20)
+    L = table.shape[0]
+    idx = jnp.arange(L)
+    is_point = (idx < np_)[:, None]                    # (L, 1)
+    is_spot = (~is_point) & (idx < np_ + nsp)[:, None]
+    is_dir = (~is_point) & (~is_spot) & (idx < np_ + nsp + nd)[:, None]
+    is_area = (idx >= np_ + nsp + nd)[:, None]
+
+    def col(j):
+        return table[:, j:j + 1]  # (L, 1) static column slice — no gather
+
+    lum_en = 0.2126 * col(6) + 0.7152 * col(7) + 0.0722 * col(8)
+    lum_rad = 0.2126 * col(12) + 0.7152 * col(13) + 0.0722 * col(14)
+    cen = tuple(
+        jnp.where(is_area, (col(j) + col(3 + j) + col(6 + j)) / 3.0, col(j))
+        for j in range(3))
+    vec = tuple(cen[j] - p[j][None, :] for j in range(3))  # (L, R)
+    d2 = jnp.maximum(
+        vec[0] * vec[0] + vec[1] * vec[1] + vec[2] * vec[2], 1e-8)
+    inv_d = 1.0 / jnp.sqrt(d2)
+    wi = tuple(vec[j] * inv_d for j in range(3))
+    # linear spot falloff (matches _sample_light's radiance formula)
+    cos_to = -(wi[0] * col(3) + wi[1] * col(4) + wi[2] * col(5))
+    falloff = jnp.clip((cos_to - col(16))
+                       / jnp.maximum(col(15) - col(16), 1e-6), 0.0, 1.0)
+    # emitter-side cosine for area rows
+    cos_l = jnp.abs(wi[0] * col(9) + wi[1] * col(10) + wi[2] * col(11))
+    q = jnp.where(
+        is_point, lum_en / d2,
+        jnp.where(
+            is_spot, lum_en * falloff / d2,
+            jnp.where(is_dir, jnp.broadcast_to(lum_en, d2.shape),
+                      lum_rad * col(17) * cos_l / d2),
+        ),
+    )
+    if ns is not None:
+        # surface cosine sharpens the pick for DELTA rows only: area
+        # rows must stay reconstructible at emissive-hit time from
+        # quantities the next vertex can rebuild (centroid anchor, no
+        # receiver normal), or the MIS weights stop partitioning unity
+        wi_eff = tuple(
+            jnp.where(is_dir, -col(3 + j), wi[j]) for j in range(3))
+        cos_s = jnp.maximum(
+            ns[0][None, :] * wi_eff[0] + ns[1][None, :] * wi_eff[1]
+            + ns[2][None, :] * wi_eff[2], 0.0)
+        q = q * jnp.where(is_area, 1.0, cos_s)
+    q = jnp.where((idx < total)[:, None], q, 0.0)
+    # static row slices keep _sample_light_c's sequential CDF walk (and
+    # its summation order) bit-identical to the round-3/4 unrolled form
+    return [q[i] for i in range(L)]
 
 
 def _sample_light_c(
