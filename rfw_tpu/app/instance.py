@@ -172,6 +172,83 @@ class Instance:
             if sink is not None:
                 sink(i, frame)
 
+    def run_windowed(self, window, max_frames: Optional[int] = None) -> int:
+        """The poll event loop (reference rfw/src/lib.rs:300-401): drain
+        window events into the Events resources, let the ResizeEvent
+        system resize the backend, run the scheduler on RedrawRequested,
+        present the frame, request the next redraw on MainEventsCleared.
+
+        `window` is any WindowHandle (HeadlessWindow for scripted runs,
+        BrowserWindow for a live interactive session). Returns the number
+        of presented frames; the loop ends on CloseRequested/Destroyed
+        (or after `max_frames`)."""
+        from rfw_tpu.app.window import (
+            CloseRequested, Destroyed, DeviceEvent, DeviceEvents,
+            InputBundle, KeyState, ResizeEvent, ResizeEvents, Resized,
+            ScaleFactorChanged, WindowEvent, WindowEvents,
+        )
+
+        if self.world.try_get(KeyState) is None:
+            self.with_plugin(InputBundle())
+            self.scheduler.add_system(self._resize_event_system,
+                                      Stage.PRE_UPDATE)
+        wevents: WindowEvents = self.world.get(WindowEvents)
+        devents: DeviceEvents = self.world.get(DeviceEvents)
+        revents: ResizeEvents = self.world.get(ResizeEvents)
+
+        # initial ResizeEvent with the window's real size/scale
+        # (reference lib.rs:320-329)
+        w, h = window.inner_size()
+        scale = window.scale_factor()
+        revents.push(ResizeEvent(w, h, scale))
+
+        frames = 0
+        closing = False
+        while not closing:
+            for ev in window.poll_events():
+                if isinstance(ev, DeviceEvent):
+                    devents.push(ev)
+                    continue
+                if not isinstance(ev, WindowEvent):
+                    _LOG.warning("unknown event %r dropped", ev)
+                    continue
+                if isinstance(ev, (CloseRequested, Destroyed)):
+                    closing = True
+                elif isinstance(ev, Resized):
+                    revents.push(ResizeEvent(ev.width, ev.height, scale))
+                elif isinstance(ev, ScaleFactorChanged):
+                    scale = ev.scale_factor
+                    revents.push(ResizeEvent(ev.width, ev.height, scale))
+                wevents.push(ev)
+            if closing:
+                break
+            # MainEventsCleared -> request_redraw; RedrawRequested ->
+            # scheduler.run + present (the swapchain blit)
+            window.request_redraw()
+            if window.take_redraw():
+                self.scheduler.run(self.world)
+                window.present(self.render_system.last_frame)
+                frames += 1
+            if max_frames is not None and frames >= max_frames:
+                break
+        window.close()
+        return frames
+
+    def _resize_event_system(self, world: World) -> None:
+        """Apply queued ResizeEvents to the backend (the reference routes
+        winit resizes through the ResizeEvent resource into its render
+        system rather than resizing inline)."""
+        from rfw_tpu.app.window import ResizeEvents
+
+        last = None
+        for ev in world.get(ResizeEvents).iter():
+            last = ev
+        if last is not None and (
+            self.render_system.width != int(last.width * last.scale)
+            or self.render_system.height != int(last.height * last.scale)
+        ):
+            self.resize(last.width, last.height, last.scale)
+
     def save_png(self, path: str) -> None:
         from PIL import Image
 

@@ -127,6 +127,32 @@ class Backend(Protocol):
     def resize(self, width: int, height: int, scale: float = 1.0) -> None:
         ...
 
+    # ---- construction --------------------------------------------------
+    # Every implementation also provides the FromWindowHandle ctor
+    # (reference rfw-backend/src/lib.rs:26-33) as a classmethod:
+    #   Backend.from_window_handle(window, width=None, height=None,
+    #                              scale=None, settings=None)
+    # see init_from_window_handle below for the shared semantics.
+
+
+def init_from_window_handle(backend_cls, window, width: Optional[int] = None,
+                            height: Optional[int] = None,
+                            scale: Optional[float] = None, settings=None):
+    """`FromWindowHandle::init` (reference rfw-backend/src/lib.rs:26-33):
+    construct a backend sized to a window handle. `window` is any
+    rfw_tpu.app.window.WindowHandle (inner_size + scale_factor stand in
+    for the raw OS handle — the TPU renders into host arrays that the
+    window provider presents, not into a surface). Explicit width/height/
+    scale override the window's, matching the reference signature."""
+    w, h = window.inner_size()
+    width = int(width if width is not None else w)
+    height = int(height if height is not None else h)
+    scale = float(scale if scale is not None else window.scale_factor())
+    backend = (backend_cls(width, height, settings) if settings is not None
+               else backend_cls(width, height))
+    backend.resize(width, height, scale)
+    return backend
+
 
 class RecordingBackend:
     """Test fake: records every call in order (the seam the reference never
@@ -190,3 +216,14 @@ class RecordingBackend:
     def resize(self, width, height, scale=1.0):
         self.width, self.height = width, height
         self._rec("resize", width, height)
+
+    @classmethod
+    def from_window_handle(cls, window, width=None, height=None,
+                           scale=None, settings=None):
+        backend = cls()
+        w, h = window.inner_size()
+        backend.resize(int(width if width is not None else w),
+                       int(height if height is not None else h),
+                       float(scale if scale is not None
+                             else window.scale_factor()))
+        return backend

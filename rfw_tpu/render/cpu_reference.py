@@ -183,6 +183,15 @@ def disney_eval_np(base_color, metallic, roughness, specular_f,
 class CpuReferenceBackend:
     """Numpy oracle implementing the Backend contract (see module doc)."""
 
+    @classmethod
+    def from_window_handle(cls, window, width=None, height=None,
+                           scale=None, settings=None):
+        """FromWindowHandle ctor (reference rfw-backend/src/lib.rs:26-33)."""
+        from rfw_tpu.backend.contract import init_from_window_handle
+
+        return init_from_window_handle(cls, window, width, height, scale,
+                                       settings)
+
     def __init__(self, width: int = 256, height: int = 256,
                  settings: Optional[TpuSettings] = None) -> None:
         self.settings = settings or TpuSettings()

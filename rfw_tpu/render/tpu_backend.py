@@ -243,6 +243,15 @@ def _same_ids(a: Optional[np.ndarray], b: Optional[np.ndarray]) -> bool:
 class TpuBackend:
     """Backend implementation (see module docstring)."""
 
+    @classmethod
+    def from_window_handle(cls, window, width=None, height=None,
+                           scale=None, settings=None):
+        """FromWindowHandle ctor (reference rfw-backend/src/lib.rs:26-33)."""
+        from rfw_tpu.backend.contract import init_from_window_handle
+
+        return init_from_window_handle(cls, window, width, height, scale,
+                                       settings)
+
     def __init__(self, width: int = 1280, height: int = 720,
                  settings: Optional[TpuSettings] = None) -> None:
         import jax
