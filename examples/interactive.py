@@ -42,6 +42,8 @@ def main(argv=None):
                     help="use the numpy oracle backend (no jax/TPU)")
     ap.add_argument("--frames", type=int, default=None,
                     help="stop after N frames (default: until tab closes)")
+    ap.add_argument("--no-pica", action="store_true",
+                    help="spheres only (fast enough for the CPU oracle)")
     args = ap.parse_args(argv)
     W, H = (int(x) for x in args.size.split("x"))
 
@@ -83,6 +85,8 @@ def main(argv=None):
                          np.float32),
                 quat_identity(), np.ones(3, np.float32)))
     try:
+        if args.no_pica:
+            raise RuntimeError("--no-pica")
         pica = scene.add_3d(scene.load(f"{ASSETS}/pica/scene.gltf"))
         k = 18.0 / 64.0
         cxz = np.array([(-36.92 + 27.37) / 2, 0.0, (-32.19 + 18.17) / 2])
