@@ -170,6 +170,56 @@ def main():
     results["light+disney"] = timeit(
         "light sample + disney", lambda: shade_fn(hit, d))
 
+    # ---- previously-unaccounted glue stages (round 5) ----------------
+    from rfw_tpu.render.sampler import sample_slot
+    from rfw_tpu.render.wavefront import camera_rays_c
+
+    pid = (py * W + px).astype(jnp.int32) if px is not None else \
+        jnp.arange(R, dtype=jnp.int32)
+
+    @jax.jit
+    def cam_fn(si):
+        cam_uv = sample_slot(si, pid, 0, 2)
+        lens_uv = sample_slot(si, pid, 1, 2)
+        ro, rd = camera_rays_c(view, W, H, key, (px, py),
+                               jitter=(cam_uv, lens_uv))
+        return ro[0] + rd[0]
+
+    results["camera+sobol2"] = timeit(
+        "camera rays + 2 sobol slots", cam_fn, jnp.uint32(1))
+
+    @jax.jit
+    def sobol_fn(si):
+        # the 1-bounce integrator draws 4 more 3-wide slots (v0 NEE+BSDF,
+        # v1 NEE at the final vertex, + spare) — price one 3-wide slot
+        return sample_slot(si, pid, 2, 3)
+
+    results["sobol_slot3"] = timeit(
+        "one 3-wide sobol slot", sobol_fn, jnp.uint32(1))
+
+    # v0 compaction sort: 16-operand, and the output restore: 4-operand
+    f1 = jnp.ones(R, jnp.float32)
+
+    @jax.jit
+    def v0sort_fn(k16):
+        out = jax.lax.sort(
+            (k16, hit.t, hit.prim, hit.inst, hit.u, hit.v,
+             f1, f1, f1, o[:, 0], o[:, 1], o[:, 2],
+             d[:, 0], d[:, 1], d[:, 2], pid), num_keys=1)
+        return out[1]
+
+    key16 = jnp.where(hit.prim >= 0, hit.prim >> 4, jnp.int32(1 << 30))
+    results["v0_sort16"] = timeit(
+        "v0 compact sort (16-op)", v0sort_fn, key16)
+
+    @jax.jit
+    def outsort_fn(p):
+        out = jax.lax.sort((p, f1, f1, f1), num_keys=1)
+        return out[1]
+
+    results["out_sort4"] = timeit(
+        "output pid sort (4-op)", outsort_fn, pid)
+
     import json
     print(json.dumps({k: round(v * 1e3, 1) for k, v in results.items()}))
 
