@@ -152,6 +152,12 @@ class PallasScene(NamedTuple):
     #   aligned (TREELET, 128) block fetch covering TGROUPS treelets.
     inst_t: jax.Array  # (16, Ipad+1) f32: world->object; last col = identity
     root_t: jax.Array  # (1, Ipad) i32 in SMEM: blas8 root per instance
+    tlo_t: jax.Array  # (1, Ipad) i32 in SMEM: first TREELET index of the
+    #   instance's mesh in the triangle arena (mesh ranges are
+    #   TREELET-aligned — pack._align_leaf_tris)
+    thi_t: jax.Array  # (1, Ipad) i32 in SMEM: one-past-last treelet index
+    #   (tlo == thi for padding/absent rows — the dense items tier then
+    #   never walks them)
     inst_box_min: jax.Array  # (Iarena,3) world instance AABBs (arena-padded;
     inst_box_max: jax.Array  #   padding rows inverted +inf/-inf) — consumed
     #   by the dense phase-A entry scan, not by the kernels
@@ -162,7 +168,8 @@ class PallasScene(NamedTuple):
     @property
     def vmem_bytes(self) -> int:
         return 4 * (self.scene_t.size + self.tri_t.size
-                    + self.inst_t.size + self.root_t.size)
+                    + self.inst_t.size + self.root_t.size
+                    + self.tlo_t.size + self.thi_t.size)
 
 
 def _bucket(n: int, mult: int = 2048) -> int:
@@ -193,7 +200,8 @@ def pallas_scene_bytes(scene) -> int:
     tri_lanes = _bucket(TLANES * treelets, 512)
     insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
     roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
-    return 4 * (srows * supers + TREELET * tri_lanes + 16 * insts + roots)
+    # roots + tlo_t + thi_t: three (1, Ipad) i32 SMEM tables
+    return 4 * (srows * supers + TREELET * tri_lanes + 16 * insts + 3 * roots)
 
 
 def pallas_resident_bytes(scene) -> int:
@@ -204,7 +212,7 @@ def pallas_resident_bytes(scene) -> int:
     srows = 8 * int(scene.blas8_code.shape[1])
     insts = _bucket(int(scene.inst_matrix.shape[0]) + 1)
     roots = _bucket(max(int(scene.inst_matrix.shape[0]), 1))
-    return 4 * (srows * supers + 16 * insts + roots)
+    return 4 * (srows * supers + 16 * insts + 3 * roots)
 
 
 def _woop12(v0, e1, e2):
@@ -283,11 +291,29 @@ def prepare_pallas_scene(scene) -> PallasScene:
              if n_inst else jnp.zeros(1, jnp.int32))
     root_t = _pad_lanes(roots[None, :])  # (1, Ipad) — lives in SMEM
 
+    # per-instance treelet ranges for the dense items tier (small meshes
+    # skip the BLAS walk and test every treelet of their mesh densely)
+    mtr = getattr(scene, "mesh_tri_range", None)
+    if mtr is not None and n_inst:
+        rng = jnp.asarray(mtr, jnp.int32)
+        im = jnp.asarray(scene.inst_mesh, jnp.int32)
+        idx = jnp.clip(im, 0, rng.shape[0] - 1)
+        present = (im >= 0) & (im < rng.shape[0])
+        tlo = jnp.where(present, rng[idx, 0], 0) >> TSHIFT
+        thi = jnp.where(present, rng[idx, 1], 0) >> TSHIFT
+    else:
+        tlo = jnp.zeros(max(n_inst, 1), jnp.int32)
+        thi = jnp.zeros(max(n_inst, 1), jnp.int32)
+    tlo_t = _pad_lanes(tlo.astype(jnp.int32)[None, :])
+    thi_t = _pad_lanes(thi.astype(jnp.int32)[None, :])
+
     return PallasScene(
         scene_t=scene_t,
         tri_t=tri_t,
         inst_t=inst_t,
         root_t=root_t,
+        tlo_t=tlo_t,
+        thi_t=thi_t,
         inst_box_min=jnp.asarray(scene.inst_aabb_min, jnp.float32),
         inst_box_max=jnp.asarray(scene.inst_aabb_max, jnp.float32),
         tlas_root=nb8,

@@ -488,6 +488,239 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
     )(meta, scene_t, tri_t, inst_t, root_t, sinst, o4, d4, tl3)
 
 
+#: dense items tier: instances whose mesh has at most this many triangles
+#: run an ALL-TREELET dense test instead of the BLAS walk. Their runs
+#: replace ~15-40 latency-bound while-iterations (pop + dependent node
+#: fetch + 8-child slab test each) with nblk <= MAX/512 sequential
+#: aligned block fetches + pure VPU treelet tests: the fetch index is a
+#: loop counter, so nothing in the chain is latency-bound, and a whole
+#: (TREELET, 128) block (8 treelets = 512 triangles) tests against the
+#: run's items in ~64 broadcast-madd epilogues. Mesh tri ranges are
+#:  TREELET-aligned (pack._align_leaf_tris), so treelet groups never
+#: span meshes and one scalar in-range gate per group suffices.
+DENSE_MAX_TRIS = int(_os.environ.get("RFW_DENSE_MAX_TRIS", "4096"))
+
+
+def _dense_kernel_factory(batch: int, any_hit: bool = False):
+    """All-treelet dense runs: stream k's instance comes from
+    sinst_ref[tile, k] (SMEM, -1 = skip); its mesh's treelet range comes
+    from the tlo/thi SMEM tables (ops.traverse.prepare_pallas_scene).
+    Outputs/contract identical to _items_kernel_factory (closest form),
+    so runs can be routed between the two kernels per instance class and
+    the planes merged by the class mask."""
+
+    def kernel(*refs):
+        (meta_ref, tri_ref, inst_ref, tlo_ref, thi_ref, sinst_ref,
+         o_ref, d_ref, tlim_ref,
+         t_out, prim_out, iout_out, u_out, v_out, obj_ref) = refs
+        n_inst = meta_ref[0, 2]
+        lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
+        n_grp = tri_ref.shape[1] // LANE
+
+        def fetch_col(ref, idx):
+            base = pl.multiple_of((idx // LANE) * LANE, LANE)
+            block = ref[:, pl.ds(base, LANE)]
+            onehot = lane_iota == (idx - base)
+            return jnp.sum(jnp.where(onehot, block, jnp.zeros_like(block)),
+                           axis=1, keepdims=True)
+
+        def tile_dense(b, o_ref, d_ref, tlim_ref, t_ref, prim_ref,
+                       iout_ref, u_ref, v_ref):
+            insts = [sinst_ref[b, k] for k in range(NSTREAM)]
+            t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
+            prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+            iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+            u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+            v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+
+            def set_obj(k, inst):
+                # world->object transform only: the dense test needs no
+                # inverse-direction rows (no slab tests)
+                i = jnp.where(inst < 0, n_inst, inst)
+                col = fetch_col(inst_ref, i)  # (16,1)
+                m = [col[r, 0] for r in range(12)]
+                sl = slice(k * SSUB, (k + 1) * SSUB)
+                wox = o_ref[0, 0, sl, :]
+                woy = o_ref[0, 1, sl, :]
+                woz = o_ref[0, 2, sl, :]
+                wdx = d_ref[0, 0, sl, :]
+                wdy = d_ref[0, 1, sl, :]
+                wdz = d_ref[0, 2, sl, :]
+                obj_ref[0, sl, :] = m[0] * wox + m[1] * woy + m[2] * woz + m[3]
+                obj_ref[1, sl, :] = m[4] * wox + m[5] * woy + m[6] * woz + m[7]
+                obj_ref[2, sl, :] = m[8] * wox + m[9] * woy + m[10] * woz + m[11]
+                obj_ref[3, sl, :] = m[0] * wdx + m[1] * wdy + m[2] * wdz
+                obj_ref[4, sl, :] = m[4] * wdx + m[5] * wdy + m[6] * wdz
+                obj_ref[5, sl, :] = m[8] * wdx + m[9] * wdy + m[10] * wdz
+
+            tlos, this_, blk0s, nbs = [], [], [], []
+            for k in range(NSTREAM):
+                set_obj(k, insts[k])
+                iid = jnp.clip(insts[k], 0, jnp.maximum(n_inst - 1, 0))
+                tlo = tlo_ref[0, iid]
+                thi = thi_ref[0, iid]
+                blk0 = tlo // TGROUPS
+                nb = jnp.where(insts[k] < 0, 0,
+                               (thi + TGROUPS - 1) // TGROUPS - blk0)
+                tlos.append(tlo)
+                this_.append(thi)
+                blk0s.append(blk0)
+                nbs.append(nb)
+            maxb = nbs[0]
+            for k in range(1, NSTREAM):
+                maxb = jnp.maximum(maxb, nbs[k])
+
+            def body(c, _):
+                for k in range(NSTREAM):
+                    @pl.when(c < nbs[k])
+                    def _(k=k):
+                        gb = jnp.minimum(blk0s[k] + c, n_grp - 1)
+                        base = pl.multiple_of(gb * LANE, LANE)
+                        blockk = tri_ref[:, pl.ds(base, LANE)]
+                        for gg in range(TGROUPS):
+                            tt = gb * TGROUPS + gg
+                            @pl.when((tt >= tlos[k]) & (tt < this_[k]))
+                            def _(gg=gg, tt=tt, k=k, blockk=blockk):
+                                rec = blockk[:, TLANES * gg:TLANES * (gg + 1)]
+                                ax = (rec[:, 0:1], rec[:, 1:2],
+                                      rec[:, 2:3], rec[:, 3:4])
+                                ay = (rec[:, 4:5], rec[:, 5:6],
+                                      rec[:, 6:7], rec[:, 7:8])
+                                az = (rec[:, 8:9], rec[:, 9:10],
+                                      rec[:, 10:11], rec[:, 11:12])
+                                first = tt << TSHIFT
+                                for s in range(SSUB):
+                                    row = k * SSUB + s
+                                    rsl = slice(row, row + 1)
+                                    ox = obj_ref[0, rsl, :]
+                                    oy = obj_ref[1, rsl, :]
+                                    oz = obj_ref[2, rsl, :]
+                                    dx = obj_ref[3, rsl, :]
+                                    dy = obj_ref[4, rsl, :]
+                                    dz = obj_ref[5, rsl, :]
+                                    opu = (ax[0] * ox + ax[1] * oy
+                                           + ax[2] * oz + ax[3])
+                                    opv = (ay[0] * ox + ay[1] * oy
+                                           + ay[2] * oz + ay[3])
+                                    opw = (az[0] * ox + az[1] * oy
+                                           + az[2] * oz + az[3])
+                                    dpu = ax[0] * dx + ax[1] * dy + ax[2] * dz
+                                    dpv = ay[0] * dx + ay[1] * dy + ay[2] * dz
+                                    dpw = az[0] * dx + az[1] * dy + az[2] * dz
+                                    r0 = pl.reciprocal(dpw, approx=True)
+                                    rw = r0 * (2.0 - dpw * r0)
+                                    tq = -opw * rw
+                                    uq = opu + tq * dpu
+                                    vq = opv + tq * dpv
+                                    tcur = t_ref[0, rsl, :]
+                                    ok = (
+                                        (uq >= -1e-7) & (vq >= -1e-7)
+                                        & (uq + vq <= 1 + 1e-7)
+                                        & (tq > T_MIN) & (tq < tcur)
+                                    )
+                                    if any_hit:
+                                        ok = ok & (prim_ref[0, rsl, :] < 0)
+                                        occl = jnp.any(ok, axis=0,
+                                                       keepdims=True)
+                                        prim_ref[0, rsl, :] = jnp.where(
+                                            occl, first,
+                                            prim_ref[0, rsl, :])
+                                        continue
+                                    score = jnp.where(
+                                        ok, tq, jnp.float32(np.inf))
+                                    tmin = jnp.min(score, axis=0,
+                                                   keepdims=True)
+                                    hit_any = tmin < tcur
+                                    jio = jax.lax.broadcasted_iota(
+                                        jnp.int32, (TREELET, LANE), 0)
+                                    jwin = jnp.min(
+                                        jnp.where(score == tmin, jio,
+                                                  TREELET),
+                                        axis=0, keepdims=True)
+                                    onehot = jio == jwin
+                                    uwin = jnp.sum(
+                                        jnp.where(onehot, uq, 0.0),
+                                        axis=0, keepdims=True)
+                                    vwin = jnp.sum(
+                                        jnp.where(onehot, vq, 0.0),
+                                        axis=0, keepdims=True)
+                                    t_ref[0, rsl, :] = jnp.where(
+                                        hit_any, tmin, tcur)
+                                    prim_ref[0, rsl, :] = jnp.where(
+                                        hit_any, first + jwin,
+                                        prim_ref[0, rsl, :])
+                                    iout_ref[0, rsl, :] = jnp.where(
+                                        hit_any, insts[k],
+                                        iout_ref[0, rsl, :])
+                                    u_ref[0, rsl, :] = jnp.where(
+                                        hit_any, uwin, u_ref[0, rsl, :])
+                                    v_ref[0, rsl, :] = jnp.where(
+                                        hit_any, vwin, v_ref[0, rsl, :])
+                return 0
+
+            jax.lax.fori_loop(0, maxb, body, 0)
+
+        def per_batch(b, _):
+            s = pl.ds(b, 1)
+            tile_dense(b, o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                       t_out.at[s], prim_out.at[s], iout_out.at[s],
+                       u_out.at[s], v_out.at[s])
+            return 0
+
+        jax.lax.fori_loop(0, batch, per_batch, 0)
+
+    return kernel
+
+
+def _dense_chunk(ps: PallasScene) -> int:
+    """VMEM-adaptive grid-step batch for the dense kernel: no supernode
+    array, no stack — just the treelet arena + instance matrices + the
+    (6, SUB, LANE) object-space scratch."""
+    scratch_b = 4 * 6 * SUB * LANE
+    resident = 4 * (ps.tri_t.size + ps.inst_t.size
+                    + ps.root_t.size + ps.tlo_t.size + ps.thi_t.size)
+    return auto_chunk(resident, 4 * 12 * SUB * LANE, scratch_b)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret", "batch"))
+def _run_dense_arrays(meta, tri_t, inst_t, tlo_t, thi_t, sinst,
+                      o4, d4, tl3, interpret: bool = False, batch: int = 1):
+    T = o4.shape[0]
+    assert T % batch == 0
+    kernel = _dense_kernel_factory(batch)
+    smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
+    vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
+    batch8 = -(-batch // 8) * 8
+    if batch8 != batch:
+        sinst = jnp.pad(
+            sinst.reshape(T // batch, batch, NSTREAM),
+            ((0, 0), (0, batch8 - batch), (0, 0)), constant_values=-1,
+        ).reshape(T // batch * batch8, NSTREAM)
+    sinst_spec = pl.BlockSpec((batch8, NSTREAM), lambda i: (i, 0),
+                              memory_space=pltpu.SMEM)
+    tile3 = pl.BlockSpec((batch, 3, SUB, LANE), lambda i: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM)
+    tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM)
+    out_shapes = (
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
+        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(T // batch,),
+        in_specs=[smem_spec, vmem_spec, vmem_spec, smem_spec, smem_spec,
+                  sinst_spec] + [tile3, tile3, tile1],
+        out_specs=(tile1,) * 5,
+        out_shape=out_shapes,
+        scratch_shapes=[pltpu.VMEM((6, SUB, LANE), jnp.float32)],
+        interpret=interpret,
+    )(meta, tri_t, inst_t, tlo_t, thi_t, sinst, o4, d4, tl3)
+
+
 def _compact_entries(ents_inst, compact_cap: int):
     """Scatter the valid (ray, entry) items of an (R,K) entry table into a
     dense compact buffer of static size `compact_cap` (ray-major order).
@@ -553,7 +786,8 @@ def twophase_closest_fused(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
                            K: int = 8, items_per_ray: float = 1.5,
                            n_inst_static: int | None = None,
                            interpret: bool = False,
-                           tri_hbm: bool = False):
+                           tri_hbm: bool = False,
+                           dense: bool | None = None):
     """Fully-traceable two-phase closest hit: Pallas TLAS-entries kernel ->
     compact-before-sort pack -> fixed-instance Pallas item walks ->
     scatter-min per-ray merge. No host syncs (safe inside render_sample's
@@ -634,9 +868,54 @@ def twophase_closest_fused(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
                       jnp.asarray(ps.n_tri, i32),
                       jnp.asarray(ps.n_inst, i32),
                       jnp.zeros((), i32)])[None]
-    t_s, prim_s, inst_s, u_s, v_s = _run_items_arrays(
-        meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
-        o4, d4, tl3, interpret=interpret, batch=batch, tri_hbm=tri_hbm)
+    if dense is None:
+        dense = _os.environ.get("RFW_DENSE_ITEMS", "1") == "1"
+    dense = dense and not tri_hbm
+    if dense:
+        # route each run by its instance's mesh size: small meshes take
+        # the all-treelet dense kernel (sequential block fetches + pure
+        # VPU treelet tests, no latency-bound walk), the rest keep the
+        # BLAS walk. Both kernels run the full grid with foreign runs
+        # masked to -1 (they exit before any traversal work), and the
+        # planes merge by the class mask.
+        tlo_s = ps.tlo_t[0, jnp.clip(sinst, 0, ps.tlo_t.shape[1] - 1)]
+        thi_s = ps.thi_t[0, jnp.clip(sinst, 0, ps.thi_t.shape[1] - 1)]
+        nt = thi_s - tlo_s
+        dense_k = ((sinst >= 0) & (nt > 0)
+                   & (nt <= DENSE_MAX_TRIS // TREELET))
+        sinst_w = jnp.where(dense_k, -1, sinst)
+        sinst_d = jnp.where(dense_k, sinst, -1)
+        t_s, prim_s, inst_s, u_s, v_s = _run_items_arrays(
+            meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst_w,
+            o4, d4, tl3, interpret=interpret, batch=batch, tri_hbm=tri_hbm)
+        batch_d = min(_dense_chunk(ps), o4.shape[0])
+        pad_d = (-o4.shape[0]) % batch_d
+        if pad_d:
+            o4d = jnp.concatenate(
+                [o4, jnp.zeros((pad_d,) + o4.shape[1:], o4.dtype)])
+            d4d = jnp.concatenate(
+                [d4, jnp.ones((pad_d,) + d4.shape[1:], d4.dtype)])
+            tl3d = jnp.concatenate(
+                [tl3, jnp.full((pad_d,) + tl3.shape[1:], -jnp.inf,
+                               tl3.dtype)])
+            sd = jnp.concatenate(
+                [sinst_d, jnp.full((pad_d, NSTREAM), -1, sinst_d.dtype)])
+        else:
+            o4d, d4d, tl3d, sd = o4, d4, tl3, sinst_d
+        t_d, prim_d, inst_d, u_d, v_d = _run_dense_arrays(
+            meta, ps.tri_t, ps.inst_t, ps.tlo_t, ps.thi_t, sd,
+            o4d, d4d, tl3d, interpret=interpret, batch=batch_d)
+        n4 = o4.shape[0]
+        dmask = jnp.repeat(dense_k, SSUB, axis=1)[:, :, None]
+        t_s = jnp.where(dmask, t_d[:n4], t_s)
+        prim_s = jnp.where(dmask, prim_d[:n4], prim_s)
+        inst_s = jnp.where(dmask, inst_d[:n4], inst_s)
+        u_s = jnp.where(dmask, u_d[:n4], u_s)
+        v_s = jnp.where(dmask, v_d[:n4], v_s)
+    else:
+        t_s, prim_s, inst_s, u_s, v_s = _run_items_arrays(
+            meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
+            o4, d4, tl3, interpret=interpret, batch=batch, tri_hbm=tri_hbm)
     t_f = t_s[:T].reshape(C)
     prim_f = prim_s[:T].reshape(C)
     inst_f = inst_s[:T].reshape(C)
@@ -674,7 +953,8 @@ def twophase_closest_with_fallback(ps: PallasScene, ray_o, ray_d,
                                    n_inst_static: int | None = None,
                                    fallback_frac: int = 64,
                                    interpret: bool = False,
-                                   tri_hbm: bool = False) -> Hit:
+                                   tri_hbm: bool = False,
+                                   dense: bool | None = None) -> Hit:
     """Two-phase closest hit with the exact-result contract: truncated
     rays (measured 0.7% on pica bounce rays at K=8) are compacted with a
     static-size nonzero and retraced through the classic two-level kernel.
@@ -689,7 +969,8 @@ def twophase_closest_with_fallback(ps: PallasScene, ray_o, ray_d,
     R = ray_o.shape[0]
     hit, trunc = twophase_closest_fused(
         ps, ray_o, ray_d, t_limit, K=K, items_per_ray=items_per_ray,
-        n_inst_static=n_inst_static, interpret=interpret, tri_hbm=tri_hbm)
+        n_inst_static=n_inst_static, interpret=interpret, tri_hbm=tri_hbm,
+        dense=dense)
 
     F = max(LANES, -(-(R // fallback_frac) // LANES) * LANES)
     idx = jnp.nonzero(trunc, size=F, fill_value=R)[0].astype(jnp.int32)

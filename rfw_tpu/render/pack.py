@@ -123,6 +123,13 @@ class TraceScene(NamedTuple):
     # them from this one gather instead of two more full-front row gathers)
     tri_shade: np.ndarray  # (T,32) f32
 
+    # per-mesh [lo, hi) slice of the triangle arena, indexed by mesh SLOT
+    # (absent slots: [0, 0)). Both ends are TREELET-aligned
+    # (_align_leaf_tris pads every mesh chunk), which is what lets the
+    # dense items tier test whole treelet groups behind one scalar
+    # in-range gate (ops.traverse_items).
+    mesh_tri_range: np.ndarray  # (M,2) i32
+
     @property
     def num_instances(self) -> int:
         return self.inst_matrix.shape[0]
@@ -317,6 +324,7 @@ def pack_trace_scene(
     vtx_offset = 0
     wide_offset = 0
     mesh_info = {}  # slot -> (node_root, aabb_min, aabb_max, wide_root)
+    mesh_tri_spans = {}  # slot -> (lo, hi) triangle-arena slice
 
     for slot, mesh, prebuilt in meshes:
         pos = deformed_positions.get(slot, mesh.positions)
@@ -422,8 +430,9 @@ def pack_trace_scene(
                 "w8": (wide8_offset, wide8_offset + b8.shape[0]),
                 "vtx": (vtx_offset, vtx_offset + pos.shape[0]),
             }
+        mesh_tri_spans[slot] = (tri_offset, tri_offset + gather.shape[0])
         node_offset += bvh.num_nodes
-        tri_offset += gather.shape[0]  # 8-aligned padded arena size
+        tri_offset += gather.shape[0]  # TREELET-aligned padded arena size
         vtx_offset += pos.shape[0]
         wide_offset += wf.shape[0]
         wide8_offset += b8.shape[0]
@@ -567,7 +576,18 @@ def pack_trace_scene(
                       linear=True),
         tri_shade=P(cat("shade", tri_chunks, (0, 32), np.float32), 8192,
                     linear=True),
+        mesh_tri_range=_mesh_range_table(mesh_tri_spans),
     )
+
+
+def _mesh_range_table(spans: dict) -> np.ndarray:
+    """(M,2) i32 per-SLOT [lo, hi) triangle-arena ranges; absent slots
+    get [0, 0) (the dense items tier then never selects them)."""
+    m_cap = (max(spans) + 1) if spans else 1
+    table = np.zeros((m_cap, 2), np.int32)
+    for s, (lo, hi) in spans.items():
+        table[s] = (lo, hi)
+    return table
 
 
 def repack_instances(
