@@ -510,9 +510,13 @@ def _dense_kernel_factory(batch: int, any_hit: bool = False):
     the planes merged by the class mask."""
 
     def kernel(*refs):
-        (meta_ref, tri_ref, inst_ref, tlo_ref, thi_ref, sinst_ref,
-         o_ref, d_ref, tlim_ref,
-         t_out, prim_out, iout_out, u_out, v_out, obj_ref) = refs
+        if any_hit:
+            (meta_ref, tri_ref, inst_ref, tlo_ref, thi_ref, sinst_ref,
+             o_ref, d_ref, tlim_ref, prim_out, t_scratch, obj_ref) = refs
+        else:
+            (meta_ref, tri_ref, inst_ref, tlo_ref, thi_ref, sinst_ref,
+             o_ref, d_ref, tlim_ref,
+             t_out, prim_out, iout_out, u_out, v_out, obj_ref) = refs
         n_inst = meta_ref[0, 2]
         lane_iota = jax.lax.broadcasted_iota(jnp.int32, (1, LANE), 1)
         n_grp = tri_ref.shape[1] // LANE
@@ -529,9 +533,10 @@ def _dense_kernel_factory(batch: int, any_hit: bool = False):
             insts = [sinst_ref[b, k] for k in range(NSTREAM)]
             t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
             prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-            iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-            u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
-            v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+            if not any_hit:
+                iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
+                u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
+                v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
 
             def set_obj(k, inst):
                 # world->object transform only: the dense test needs no
@@ -572,7 +577,14 @@ def _dense_kernel_factory(batch: int, any_hit: bool = False):
 
             def body(c, _):
                 for k in range(NSTREAM):
-                    @pl.when(c < nbs[k])
+                    go = c < nbs[k]
+                    if any_hit:
+                        # early stream retirement: once every lane of the
+                        # stream is occluded, remaining blocks are moot
+                        sl = slice(k * SSUB, (k + 1) * SSUB)
+                        go = go & ~jnp.all(prim_ref[0, sl, :] >= 0)
+
+                    @pl.when(go)
                     def _(k=k):
                         gb = jnp.minimum(blk0s[k] + c, n_grp - 1)
                         base = pl.multiple_of(gb * LANE, LANE)
@@ -662,9 +674,13 @@ def _dense_kernel_factory(batch: int, any_hit: bool = False):
 
         def per_batch(b, _):
             s = pl.ds(b, 1)
-            tile_dense(b, o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
-                       t_out.at[s], prim_out.at[s], iout_out.at[s],
-                       u_out.at[s], v_out.at[s])
+            if any_hit:
+                tile_dense(b, o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                           t_scratch, prim_out.at[s], None, None, None)
+            else:
+                tile_dense(b, o_ref.at[s], d_ref.at[s], tlim_ref.at[s],
+                           t_out.at[s], prim_out.at[s], iout_out.at[s],
+                           u_out.at[s], v_out.at[s])
             return 0
 
         jax.lax.fori_loop(0, batch, per_batch, 0)
@@ -672,22 +688,25 @@ def _dense_kernel_factory(batch: int, any_hit: bool = False):
     return kernel
 
 
-def _dense_chunk(ps: PallasScene) -> int:
+def _dense_chunk(ps: PallasScene, any_hit: bool = False) -> int:
     """VMEM-adaptive grid-step batch for the dense kernel: no supernode
     array, no stack — just the treelet arena + instance matrices + the
-    (6, SUB, LANE) object-space scratch."""
-    scratch_b = 4 * 6 * SUB * LANE
+    (6, SUB, LANE) object-space scratch (+ the any-hit t plane)."""
+    scratch_b = 4 * (7 if any_hit else 6) * SUB * LANE
     resident = 4 * (ps.tri_t.size + ps.inst_t.size
                     + ps.root_t.size + ps.tlo_t.size + ps.thi_t.size)
-    return auto_chunk(resident, 4 * 12 * SUB * LANE, scratch_b)
+    planes = 8 if any_hit else 12
+    return auto_chunk(resident, 4 * planes * SUB * LANE, scratch_b)
 
 
-@functools.partial(jax.jit, static_argnames=("interpret", "batch"))
+@functools.partial(jax.jit, static_argnames=("interpret", "batch",
+                                              "any_hit"))
 def _run_dense_arrays(meta, tri_t, inst_t, tlo_t, thi_t, sinst,
-                      o4, d4, tl3, interpret: bool = False, batch: int = 1):
+                      o4, d4, tl3, interpret: bool = False, batch: int = 1,
+                      any_hit: bool = False):
     T = o4.shape[0]
     assert T % batch == 0
-    kernel = _dense_kernel_factory(batch)
+    kernel = _dense_kernel_factory(batch, any_hit)
     smem_spec = pl.BlockSpec(memory_space=pltpu.SMEM)
     vmem_spec = pl.BlockSpec(memory_space=pltpu.VMEM)
     batch8 = -(-batch // 8) * 8
@@ -702,21 +721,29 @@ def _run_dense_arrays(meta, tri_t, inst_t, tlo_t, thi_t, sinst,
                          memory_space=pltpu.VMEM)
     tile1 = pl.BlockSpec((batch, SUB, LANE), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM)
-    out_shapes = (
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
-        jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
-    )
+    if any_hit:
+        out_shapes = jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32)  # prim
+        out_specs = tile1
+        scratch = [pltpu.VMEM((1, SUB, LANE), jnp.float32),
+                   pltpu.VMEM((6, SUB, LANE), jnp.float32)]
+    else:
+        out_shapes = (
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # t
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # prim
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.int32),  # inst
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # u
+            jax.ShapeDtypeStruct((T, SUB, LANE), jnp.float32),  # v
+        )
+        out_specs = (tile1,) * 5
+        scratch = [pltpu.VMEM((6, SUB, LANE), jnp.float32)]
     return pl.pallas_call(
         kernel,
         grid=(T // batch,),
         in_specs=[smem_spec, vmem_spec, vmem_spec, smem_spec, smem_spec,
                   sinst_spec] + [tile3, tile3, tile1],
-        out_specs=(tile1,) * 5,
+        out_specs=out_specs,
         out_shape=out_shapes,
-        scratch_shapes=[pltpu.VMEM((6, SUB, LANE), jnp.float32)],
+        scratch_shapes=scratch,
         interpret=interpret,
     )(meta, tri_t, inst_t, tlo_t, thi_t, sinst, o4, d4, tl3)
 
@@ -1005,7 +1032,8 @@ def twophase_occluded_fused(ps: PallasScene, ray_o, ray_d, t_limit,
                             K: int = 8, items_per_ray: float = 1.5,
                             n_inst_static: int | None = None,
                             interpret: bool = False,
-                            tri_hbm: bool = False):
+                            tri_hbm: bool = False,
+                            dense: bool | None = None):
     """Two-phase ANY-HIT: the bounce-vertex NEE shadow rays share the
     closest path's shape (sorted incoherent origins), so they get the same
     ray-binned treatment — TLAS entries, single-instance stream runs, then
@@ -1077,10 +1105,46 @@ def twophase_occluded_fused(ps: PallasScene, ray_o, ray_d, t_limit,
                       jnp.asarray(ps.n_tri, i32),
                       jnp.asarray(ps.n_inst, i32),
                       jnp.zeros((), i32)])[None]
-    prim_s = _run_items_arrays(
-        meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
-        o4, d4, tl3, interpret=interpret, batch=batch, tri_hbm=tri_hbm,
-        any_hit=True)
+    if dense is None:
+        dense = _os.environ.get("RFW_DENSE_ITEMS", "1") == "1"
+    dense = dense and not tri_hbm
+    if dense:
+        tlo_s = ps.tlo_t[0, jnp.clip(sinst, 0, ps.tlo_t.shape[1] - 1)]
+        thi_s = ps.thi_t[0, jnp.clip(sinst, 0, ps.thi_t.shape[1] - 1)]
+        nt = thi_s - tlo_s
+        dense_k = ((sinst >= 0) & (nt > 0)
+                   & (nt <= DENSE_MAX_TRIS // TREELET))
+        sinst_w = jnp.where(dense_k, -1, sinst)
+        sinst_d = jnp.where(dense_k, sinst, -1)
+        prim_s = _run_items_arrays(
+            meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst_w,
+            o4, d4, tl3, interpret=interpret, batch=batch, tri_hbm=tri_hbm,
+            any_hit=True)
+        batch_d = min(_dense_chunk(ps, any_hit=True), o4.shape[0])
+        pad_d = (-o4.shape[0]) % batch_d
+        if pad_d:
+            o4d = jnp.concatenate(
+                [o4, jnp.zeros((pad_d,) + o4.shape[1:], o4.dtype)])
+            d4d = jnp.concatenate(
+                [d4, jnp.ones((pad_d,) + d4.shape[1:], d4.dtype)])
+            tl3d = jnp.concatenate(
+                [tl3, jnp.full((pad_d,) + tl3.shape[1:], -jnp.inf,
+                               tl3.dtype)])
+            sd = jnp.concatenate(
+                [sinst_d, jnp.full((pad_d, NSTREAM), -1, sinst_d.dtype)])
+        else:
+            o4d, d4d, tl3d, sd = o4, d4, tl3, sinst_d
+        prim_d = _run_dense_arrays(
+            meta, ps.tri_t, ps.inst_t, ps.tlo_t, ps.thi_t, sd,
+            o4d, d4d, tl3d, interpret=interpret, batch=batch_d,
+            any_hit=True)
+        dmask = jnp.repeat(dense_k, SSUB, axis=1)[:, :, None]
+        prim_s = jnp.where(dmask, prim_d[:o4.shape[0]], prim_s)
+    else:
+        prim_s = _run_items_arrays(
+            meta, ps.scene_t, ps.tri_t, ps.inst_t, ps.root_t, sinst,
+            o4, d4, tl3, interpret=interpret, batch=batch, tri_hbm=tri_hbm,
+            any_hit=True)
     prim_f = prim_s[:T].reshape(C)
 
     # per-ray OR by scatter-max
@@ -1099,7 +1163,8 @@ def twophase_occluded_with_fallback(ps: PallasScene, ray_o, ray_d, t_limit,
                                     n_inst_static: int | None = None,
                                     fallback_frac: int = 64,
                                     interpret: bool = False,
-                                    tri_hbm: bool = False):
+                                    tri_hbm: bool = False,
+                                    dense: bool | None = None):
     """Exact-result two-phase occlusion: undecided rays (full K-list or
     dropped items, and not yet occluded) are compacted and retraced with
     the classic any-hit kernel. Surplus rays beyond the static fallback
@@ -1113,7 +1178,8 @@ def twophase_occluded_with_fallback(ps: PallasScene, ray_o, ray_d, t_limit,
     tl_ray = jnp.broadcast_to(jnp.asarray(t_limit, jnp.float32), (R,))
     occ, undecided = twophase_occluded_fused(
         ps, ray_o, ray_d, tl_ray, K=K, items_per_ray=items_per_ray,
-        n_inst_static=n_inst_static, interpret=interpret, tri_hbm=tri_hbm)
+        n_inst_static=n_inst_static, interpret=interpret, tri_hbm=tri_hbm,
+        dense=dense)
 
     F = max(LANES, -(-(R // fallback_frac) // LANES) * LANES)
     idx = jnp.nonzero(undecided, size=F, fill_value=R)[0].astype(jnp.int32)

@@ -114,6 +114,29 @@ def test_dense_fallback_matches_oracle(rng):
     assert (np.asarray(got.prim)[m_ref] == np.asarray(ref.prim)[m_ref]).all()
 
 
+def test_dense_occluded_matches_walk(rng):
+    """Any-hit dense tier: occluded/undecided flags identical to the
+    walk-only pipeline, incl. dead (zero-limit) lanes."""
+    from rfw_tpu.ops.traverse_items import twophase_occluded_fused
+
+    sd, ps = _mixed_scene(rng)
+    o, d = make_rays(256, rng, origin_box=8.0, target_box=6.0)
+    tl = np.full(256, 10.0, np.float32)
+    tl[::5] = 0.0  # NEE dead-lane contract
+    kw = dict(K=4, items_per_ray=4.0,
+              n_inst_static=sd.inst_matrix.shape[0], interpret=True)
+    occ_d, und_d = twophase_occluded_fused(
+        ps, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tl),
+        dense=True, **kw)
+    occ_w, und_w = twophase_occluded_fused(
+        ps, jnp.asarray(o), jnp.asarray(d), jnp.asarray(tl),
+        dense=False, **kw)
+    np.testing.assert_array_equal(np.asarray(occ_d), np.asarray(occ_w))
+    np.testing.assert_array_equal(np.asarray(und_d), np.asarray(und_w))
+    assert np.asarray(occ_d).any()
+    assert not np.asarray(occ_d)[::5].any()
+
+
 def test_all_dense_scene(rng):
     """Every instance dense-class: the walk kernel idles, results still
     match the classic walker outside truncation."""
