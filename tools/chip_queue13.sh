@@ -26,6 +26,9 @@ step 141_items_dense 3600 env RFW_DENSE_ITEMS=1 python tools/bench_items.py --fu
 step 142_items_walk 2400 env RFW_DENSE_ITEMS=0 python tools/bench_items.py --fused --skip-main
 step 143_e2e_dense 3600 env RFW_DENSE_ITEMS=1 python bench.py --spp 4
 step 144_e2e_dense8k 3600 env RFW_DENSE_ITEMS=1 RFW_DENSE_MAX_TRIS=8192 python bench.py --spp 4
+# round-4 turned tp_shadow OFF because classic any-hit beat the items
+# stack; the dense tier changes the items stack's cost — re-flip A/B
+step 144b_e2e_dense_tpsh 3600 env RFW_DENSE_ITEMS=1 RFW_TP_SHADOW=1 python bench.py --spp 4
 step 145_profile 3600 python tools/profile_e2e.py --width 1920 --height 1080 --reps 2
 step 146_bisect 6000 python tools/bisect_e2e.py --reps 3
 step 147_ladder_on 2400 python examples/cornell.py --size 512 --spp 4 --bounces 4 --honest --out /tmp/lad_on.png
