@@ -897,7 +897,10 @@ def twophase_closest_fused(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
                       jnp.zeros((), i32)])[None]
     if dense is None:
         dense = _os.environ.get("RFW_DENSE_ITEMS", "1") == "1"
-    dense = dense and not tri_hbm
+    # SMEM prices scalars at ~128B each (docs/ROUND4.md): the two
+    # (1, Ipad) range tables fit the ~1MB budget only up to one
+    # 2048-lane bucket — bigger instance arenas keep the walk
+    dense = dense and not tri_hbm and ps.tlo_t.shape[1] <= 2048
     if dense:
         # route each run by its instance's mesh size: small meshes take
         # the all-treelet dense kernel (sequential block fetches + pure
@@ -1107,7 +1110,10 @@ def twophase_occluded_fused(ps: PallasScene, ray_o, ray_d, t_limit,
                       jnp.zeros((), i32)])[None]
     if dense is None:
         dense = _os.environ.get("RFW_DENSE_ITEMS", "1") == "1"
-    dense = dense and not tri_hbm
+    # SMEM prices scalars at ~128B each (docs/ROUND4.md): the two
+    # (1, Ipad) range tables fit the ~1MB budget only up to one
+    # 2048-lane bucket — bigger instance arenas keep the walk
+    dense = dense and not tri_hbm and ps.tlo_t.shape[1] <= 2048
     if dense:
         tlo_s = ps.tlo_t[0, jnp.clip(sinst, 0, ps.tlo_t.shape[1] - 1)]
         thi_s = ps.thi_t[0, jnp.clip(sinst, 0, ps.thi_t.shape[1] - 1)]
