@@ -152,12 +152,6 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
         def tile_walk(b, o_ref, d_ref, tlim_ref, t_ref, prim_ref,
                       iout_ref, u_ref, v_ref):
             insts = [sinst_ref[b, k] for k in range(NSTREAM)]
-            t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
-            prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-            if not any_hit:
-                iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-                u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
-                v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
 
             def safe_inv(x):
                 return 1.0 / jnp.where(jnp.abs(x) < 1e-20,
@@ -187,8 +181,27 @@ def _items_kernel_factory(batch: int, tri_hbm: bool = False,
                 obj_ref[7, sl, :] = safe_inv(dy)
                 obj_ref[8, sl, :] = safe_inv(dz)
 
+            # per-stream gated init + object transform: empty runs (pack
+            # padding, or runs routed to the dense kernel) skip the
+            # instance-matrix fetch and all output/scratch writes — their
+            # output rows stay unwritten, which every consumer masks
+            # (slot_item >= 0 guards the merges; foreign rows are merged
+            # away by the dense/walk class mask)
             for k in range(NSTREAM):
-                set_obj(k, insts[k])
+                @pl.when(insts[k] >= 0)
+                def _(k=k):
+                    sl = slice(k * SSUB, (k + 1) * SSUB)
+                    t_ref[0, sl, :] = jnp.minimum(tlim_ref[0, sl, :], T_MAX)
+                    prim_ref[0, sl, :] = jnp.full((SSUB, LANE), -1,
+                                                  jnp.int32)
+                    if not any_hit:
+                        iout_ref[0, sl, :] = jnp.full((SSUB, LANE), -1,
+                                                      jnp.int32)
+                        u_ref[0, sl, :] = jnp.zeros((SSUB, LANE),
+                                                    jnp.float32)
+                        v_ref[0, sl, :] = jnp.zeros((SSUB, LANE),
+                                                    jnp.float32)
+                    set_obj(k, insts[k])
 
             def body(carry):
                 walks, iters = carry
@@ -531,12 +544,6 @@ def _dense_kernel_factory(batch: int, any_hit: bool = False):
         def tile_dense(b, o_ref, d_ref, tlim_ref, t_ref, prim_ref,
                        iout_ref, u_ref, v_ref):
             insts = [sinst_ref[b, k] for k in range(NSTREAM)]
-            t_ref[0] = jnp.minimum(tlim_ref[0], T_MAX)
-            prim_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-            if not any_hit:
-                iout_ref[0] = jnp.full((SUB, LANE), -1, jnp.int32)
-                u_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
-                v_ref[0] = jnp.zeros((SUB, LANE), jnp.float32)
 
             def set_obj(k, inst):
                 # world->object transform only: the dense test needs no
@@ -560,7 +567,24 @@ def _dense_kernel_factory(batch: int, any_hit: bool = False):
 
             tlos, this_, blk0s, nbs = [], [], [], []
             for k in range(NSTREAM):
-                set_obj(k, insts[k])
+                # gated init + transform: foreign/empty runs (walk-class,
+                # pack padding) write nothing — their rows are merged away
+                # by the class mask / slot_item guards downstream
+                @pl.when(insts[k] >= 0)
+                def _(k=k):
+                    sl = slice(k * SSUB, (k + 1) * SSUB)
+                    t_ref[0, sl, :] = jnp.minimum(tlim_ref[0, sl, :],
+                                                  T_MAX)
+                    prim_ref[0, sl, :] = jnp.full((SSUB, LANE), -1,
+                                                  jnp.int32)
+                    if not any_hit:
+                        iout_ref[0, sl, :] = jnp.full((SSUB, LANE), -1,
+                                                      jnp.int32)
+                        u_ref[0, sl, :] = jnp.zeros((SSUB, LANE),
+                                                    jnp.float32)
+                        v_ref[0, sl, :] = jnp.zeros((SSUB, LANE),
+                                                    jnp.float32)
+                    set_obj(k, insts[k])
                 iid = jnp.clip(insts[k], 0, jnp.maximum(n_inst - 1, 0))
                 tlo = tlo_ref[0, iid]
                 thi = thi_ref[0, iid]
