@@ -503,14 +503,24 @@ def _run_items_arrays(meta, scene_t, tri_t, inst_t, root_t, sinst,
 
 #: dense items tier: instances whose mesh has at most this many triangles
 #: run an ALL-TREELET dense test instead of the BLAS walk. Their runs
-#: replace ~15-40 latency-bound while-iterations (pop + dependent node
+#: replace the latency-bound while-iterations (pop + dependent node
 #: fetch + 8-child slab test each) with nblk <= MAX/512 sequential
 #: aligned block fetches + pure VPU treelet tests: the fetch index is a
 #: loop counter, so nothing in the chain is latency-bound, and a whole
 #: (TREELET, 128) block (8 treelets = 512 triangles) tests against the
 #: run's items in ~64 broadcast-madd epilogues. Mesh tri ranges are
-#:  TREELET-aligned (pack._align_leaf_tris), so treelet groups never
+#: TREELET-aligned (pack._align_leaf_tris), so treelet groups never
 #: span meshes and one scalar in-range gate per group suffices.
+#:
+#: MEASURED OFF by default (docs/ROUND5.md queues 13/14): on the pica
+#: bounce population the tier is parity with the walk at best — items
+#: tool 2.29 vs 2.44 Mrays/s, e2e 9.21 (all-dense) vs 9.22 anchor —
+#: consistent with the round-4 wide-arity lesson that per-iteration
+#: cost on this toolchain is instruction-streaming-bound: the dense
+#: kernel's fatter iterations (16 treelet-group epilogues per block per
+#: stream) cost what the walk's thinner ones do, and the second
+#: pallas_call adds a compile to every program. RFW_DENSE_ITEMS=1
+#: opts in (exactness is proven: bit-identical to the walk on chip).
 DENSE_MAX_TRIS = int(_os.environ.get("RFW_DENSE_MAX_TRIS", "4096"))
 
 
@@ -920,7 +930,7 @@ def twophase_closest_fused(ps: PallasScene, ray_o, ray_d, t_limit=T_MAX,
                       jnp.asarray(ps.n_inst, i32),
                       jnp.zeros((), i32)])[None]
     if dense is None:
-        dense = _os.environ.get("RFW_DENSE_ITEMS", "1") == "1"
+        dense = _os.environ.get("RFW_DENSE_ITEMS", "0") == "1"
     # SMEM prices scalars at ~128B each (docs/ROUND4.md): the two
     # (1, Ipad) range tables fit the ~1MB budget only up to one
     # 2048-lane bucket — bigger instance arenas keep the walk
@@ -1133,7 +1143,7 @@ def twophase_occluded_fused(ps: PallasScene, ray_o, ray_d, t_limit,
                       jnp.asarray(ps.n_inst, i32),
                       jnp.zeros((), i32)])[None]
     if dense is None:
-        dense = _os.environ.get("RFW_DENSE_ITEMS", "1") == "1"
+        dense = _os.environ.get("RFW_DENSE_ITEMS", "0") == "1"
     # SMEM prices scalars at ~128B each (docs/ROUND4.md): the two
     # (1, Ipad) range tables fit the ~1MB budget only up to one
     # 2048-lane bucket — bigger instance arenas keep the walk
